@@ -1,13 +1,215 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Analytics, VectorSearch}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator has a `queries` entry; everything
+  * SQL-expressible also has a DuckDB `oracleSql` twin with IDENTICAL
+  * column names. Order-dependent double aggregates are rounded to 4
+  * decimals on BOTH sides; order-independent folds (vector distances,
+  * sequential window sums) are left at full precision — they are
+  * bit-identical across engines by construction.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    VectorSearch.knnL2(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q1_agg" -> (Analytics.q1Agg _),
+    "q2_filter_project" -> (Analytics.q2FilterProject _),
+    "q3_join_agg" -> (Analytics.q3JoinAgg _),
+    "q4_broadcast_join" -> (Analytics.q4BroadcastJoin _),
+    "q5_multi_join" -> (Analytics.q5MultiJoin _),
+    "q6_selective_filter" -> (Analytics.q6SelectiveFilter _),
+    "q7_window" -> (Analytics.q7Window _),
+    "q8_distinct" -> (Analytics.q8Distinct _),
+    "q9_approx_distinct" -> (Analytics.q9ApproxDistinct _),
+    "q10_topk" -> (Analytics.q10TopK _),
+    "q11_semi_join" -> (Analytics.q11SemiJoin _),
+    "q12_anti_join" -> (Analytics.q12AntiJoin _),
+    "q13_rollup" -> (Analytics.q13Rollup _),
+    "q14_case_agg" -> (Analytics.q14CaseAgg _),
+    "q15_having" -> (Analytics.q15Having _),
+    "q16_union" -> (Analytics.q16Union _),
+    "q17_subquery" -> (Analytics.q17Subquery _),
+    "q18_sort" -> (Analytics.q18Sort _),
+    "q19_sessionize" -> (Analytics.q19Sessionize _),
+    "q20_time_bucket" -> (Analytics.q20TimeBucket _),
+    "q21_json_extract" -> (Analytics.q21JsonExtract _),
+    "q22_grouping_sets" -> (Analytics.q22GroupingSets _),
+    "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.knnL2(s, d)),
+    "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.knnCosine(s, d)),
+    "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.knnDot(s, d)),
+    "v4_filtered_knn" -> ((s: SparkSession, d: String) => VectorSearch.filteredKnn(s, d)),
+    "v5_concept_math" -> ((s: SparkSession, d: String) => VectorSearch.conceptMathKnn(s, d)),
+    "v6_ingest_combine" -> (VectorSearch.ingestCombine _),
+    "v7_norms" -> (VectorSearch.norms _),
+    "v8_embed_udf" -> ((s: SparkSession, d: String) => VectorSearch.embedUdfKnn(s, d)),
+  )
+
+  private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(1) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45.0 AND l_shipdate >= '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty, count(1) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q6_selective_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        | count(1) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q7_window" ->
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice, running_spend
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER w AS rn,
+        |        sum(o_totalprice) OVER w AS running_spend
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q8_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q11_semi_join" ->
+      """SELECT c_mktsegment, count(1) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_anti_join" ->
+      """SELECT c_mktsegment, count(1) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty, count(1) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q14_case_agg" ->
+      """SELECT o_orderstatus,
+        | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low,
+        | count(1) AS n_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_having" ->
+      """SELECT l_partkey, round(sum(l_quantity), 4) AS sum_qty FROM lineitem
+        |GROUP BY 1 HAVING sum(l_quantity) > 300.0 ORDER BY 1""".stripMargin,
+    "q16_union" ->
+      """SELECT DISTINCT o_custkey
+        |FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+        |      UNION ALL
+        |      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY 1""".stripMargin,
+    "q17_subquery" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.5
+        |ORDER BY 1""".stripMargin,
+    "q18_sort" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_acctbal DESC, s_suppkey""".stripMargin,
+    "q19_sessionize" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        | count(1) AS n_events
+        |FROM (SELECT user_id,
+        |        CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS new_sess
+        |      FROM (SELECT user_id,
+        |              epoch(ts) - lag(epoch(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |            FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        | count(1) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q21_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        | count(1) AS n,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        | coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+        | count(1) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+        |ORDER BY 1, 2""".stripMargin,
+    "v1_knn_l2" ->
+      s"""SELECT vec_id, label,
+         | list_distance(embedding::DOUBLE[], ${vec(0)}::DOUBLE[]) AS score
+         |FROM embeddings ORDER BY score, vec_id LIMIT 10""".stripMargin,
+    "v2_knn_cosine" ->
+      s"""SELECT vec_id, label,
+         | 1.0 - list_cosine_similarity(embedding::DOUBLE[], ${vec(1)}::DOUBLE[]) AS score
+         |FROM embeddings ORDER BY score, vec_id LIMIT 10""".stripMargin,
+    "v3_knn_dot" ->
+      s"""SELECT vec_id, label,
+         | list_inner_product(embedding::DOUBLE[], ${vec(2)}::DOUBLE[]) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "v4_filtered_knn" ->
+      s"""SELECT vec_id, label,
+         | list_distance(embedding::DOUBLE[], ${vec(3)}::DOUBLE[]) AS score
+         |FROM embeddings WHERE label IN (1, 3, 5)
+         |ORDER BY score, vec_id LIMIT 10""".stripMargin,
+    "v5_concept_math" ->
+      s"""SELECT vec_id, label,
+         | 1.0 - list_cosine_similarity(embedding::DOUBLE[],
+         |   ${VectorSearch.sqlArray(VectorSearch.conceptVector)}::DOUBLE[]) AS score
+         |FROM embeddings ORDER BY score, vec_id LIMIT 10""".stripMargin,
+    "v6_ingest_combine" ->
+      """SELECT doc_id,
+        | replace(replace(text, '’', ' '), '‘', ' ') AS caption,
+        | lang, source, n_chars, label,
+        | sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS emb_norm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "v7_norms" ->
+      """SELECT vec_id,
+        | sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2,
+        | list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))) AS l1,
+        | list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS linf
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+  )
 }

@@ -1,0 +1,270 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst vector-distance expressions with whole-stage codegen.
+  *
+  * Re-expresses the ClickHouse distance functions the reference leans on
+  * (`search.py:24` builds `L2Distance(column, features) AS score`) as
+  * first-class Spark expressions: the distance loop is emitted straight
+  * into the generated Java of the enclosing WholeStageCodegen stage — no
+  * UDF boxing, no per-row closure dispatch, no Array[Float] allocation.
+  * At 100 TB this is the difference between a scan-speed knn and a
+  * serialization-bound one.
+  *
+  * Inputs: two `array<float>` / `array<double>` columns (mixed ok);
+  * math is done in double. Null-intolerant (null in → null out).
+  */
+abstract class VectorBinaryFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  protected def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"${prettyName} expects array<float|double>, got ${other.catalogString}")
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> arguments")
+  }
+
+  @inline private def get(a: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  /** Sequential left-to-right fold — same evaluation order as the
+    * generated code and as a single-threaded engine, so results are
+    * bit-reproducible across partitions/plans. */
+  protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    fold(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      elemType(left), elemType(right))
+
+  /** Java accessor snippet for element i of an array<float|double>. */
+  protected def acc(v: String, i: String, et: DataType): String = et match {
+    case FloatType => s"(double) $v.getFloat($i)"
+    case _ => s"$v.getDouble($i)"
+  }
+
+  /** Loop body contract: declare accumulators before the loop, update per
+    * element (xa/xb bound to the two doubles), produce result expr. */
+  protected def genInit(ctx: CodegenContext): (String, String => String, String)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val xa = ctx.freshName("xa")
+      val xb = ctx.freshName("xb")
+      val (init, body, result) = genInit(ctx)
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |$init
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xa = ${acc(a, i, elemType(left))};
+         |  double $xb = ${acc(b, i, elemType(right))};
+         |  ${body(s"$xa, $xb")}
+         |}
+         |${ev.value} = $result;
+       """.stripMargin
+    })
+}
+
+/** sqrt(sum((a-b)^2)) — ClickHouse `L2Distance`. */
+case class L2Distance(left: Expression, right: Expression) extends VectorBinaryFold {
+  override def prettyName: String = "l2_distance"
+  protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = lt == FloatType; val rf = rt == FloatType
+    while (i < n) {
+      val x = (if (lf) a.getFloat(i).toDouble else a.getDouble(i)) -
+        (if (rf) b.getFloat(i).toDouble else b.getDouble(i))
+      s += x * x; i += 1
+    }
+    math.sqrt(s)
+  }
+  protected def genInit(ctx: CodegenContext): (String, String => String, String) = {
+    val s = ctx.freshName("s"); val d = ctx.freshName("d")
+    (s"double $s = 0.0;",
+      args => { val Array(xa, xb) = args.split(", ")
+        s"double $d = $xa - $xb; $s += $d * $d;" },
+      s"Math.sqrt($s)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** sum((a-b)^2) — ClickHouse `L2SquaredDistance`. */
+case class L2SquaredDistance(left: Expression, right: Expression) extends VectorBinaryFold {
+  override def prettyName: String = "l2_squared_distance"
+  protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = lt == FloatType; val rf = rt == FloatType
+    while (i < n) {
+      val x = (if (lf) a.getFloat(i).toDouble else a.getDouble(i)) -
+        (if (rf) b.getFloat(i).toDouble else b.getDouble(i))
+      s += x * x; i += 1
+    }
+    s
+  }
+  protected def genInit(ctx: CodegenContext): (String, String => String, String) = {
+    val s = ctx.freshName("s"); val d = ctx.freshName("d")
+    (s"double $s = 0.0;",
+      args => { val Array(xa, xb) = args.split(", ")
+        s"double $d = $xa - $xb; $s += $d * $d;" },
+      s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** sum(a*b) — ClickHouse `dotProduct` / inner product. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryFold {
+  override def prettyName: String = "dot_product"
+  protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = lt == FloatType; val rf = rt == FloatType
+    while (i < n) {
+      s += (if (lf) a.getFloat(i).toDouble else a.getDouble(i)) *
+        (if (rf) b.getFloat(i).toDouble else b.getDouble(i))
+      i += 1
+    }
+    s
+  }
+  protected def genInit(ctx: CodegenContext): (String, String => String, String) = {
+    val s = ctx.freshName("s")
+    (s"double $s = 0.0;",
+      args => { val Array(xa, xb) = args.split(", ")
+        s"$s += $xa * $xb;" },
+      s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** 1 - dot/(|a||b|) — ClickHouse `cosineDistance`. */
+case class CosineDistance(left: Expression, right: Expression) extends VectorBinaryFold {
+  override def prettyName: String = "cosine_distance"
+  protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = lt == FloatType; val rf = rt == FloatType
+    while (i < n) {
+      val xa = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val xb = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += xa * xb; na += xa * xa; nb += xb * xb; i += 1
+    }
+    1.0 - dot / math.sqrt(na * nb)
+  }
+  protected def genInit(ctx: CodegenContext): (String, String => String, String) = {
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    (s"double $dot = 0.0; double $na = 0.0; double $nb = 0.0;",
+      args => { val Array(xa, xb) = args.split(", ")
+        s"$dot += $xa * $xb; $na += $xa * $xa; $nb += $xb * $xb;" },
+      s"1.0 - $dot / Math.sqrt($na * $nb)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** sum(|a-b|) — ClickHouse `L1Distance`. */
+case class L1Distance(left: Expression, right: Expression) extends VectorBinaryFold {
+  override def prettyName: String = "l1_distance"
+  protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = lt == FloatType; val rf = rt == FloatType
+    while (i < n) {
+      s += math.abs((if (lf) a.getFloat(i).toDouble else a.getDouble(i)) -
+        (if (rf) b.getFloat(i).toDouble else b.getDouble(i)))
+      i += 1
+    }
+    s
+  }
+  protected def genInit(ctx: CodegenContext): (String, String => String, String) = {
+    val s = ctx.freshName("s")
+    (s"double $s = 0.0;",
+      args => { val Array(xa, xb) = args.split(", ")
+        s"$s += Math.abs($xa - $xb);" },
+      s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** max(|a-b|) — ClickHouse `LinfDistance`. */
+case class LinfDistance(left: Expression, right: Expression) extends VectorBinaryFold {
+  override def prettyName: String = "linf_distance"
+  protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = lt == FloatType; val rf = rt == FloatType
+    while (i < n) {
+      val d = math.abs((if (lf) a.getFloat(i).toDouble else a.getDouble(i)) -
+        (if (rf) b.getFloat(i).toDouble else b.getDouble(i)))
+      if (d > s) s = d
+      i += 1
+    }
+    s
+  }
+  protected def genInit(ctx: CodegenContext): (String, String => String, String) = {
+    val s = ctx.freshName("s"); val d = ctx.freshName("d")
+    (s"double $s = 0.0;",
+      args => { val Array(xa, xb) = args.split(", ")
+        s"double $d = Math.abs($xa - $xb); if ($d > $s) $s = $d;" },
+      s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** sqrt(sum(a^2)) — ClickHouse `L2Norm`. Unary, codegen'd. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "l2_norm"
+  override def dataType: DataType = DoubleType
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0; var i = 0; val n = a.numElements(); val f = isFloat
+    while (i < n) {
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x; i += 1
+    }
+    math.sqrt(s)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val getter = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $x = $getter; $s += $x * $x;
+         |}
+         |${ev.value} = Math.sqrt($s);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.call_function
+
+/** Column-level API + SQL registration for the vector expressions.
+  *
+  * Functions are registered in the session FunctionRegistry under the
+  * snake_case names (`l2_distance(a, b)` in Spark SQL ≈ ClickHouse's
+  * `L2Distance(a, b)`, `search.py:24`) and surfaced to the DataFrame API
+  * via `call_function`, which resolves through the same registry — one
+  * code path for SQL and DataFrame users.
+  */
+object vectors {
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "l2_distance" -> { es => L2Distance(es(0), es(1)) },
+    "l2_squared_distance" -> { es => L2SquaredDistance(es(0), es(1)) },
+    "dot_product" -> { es => DotProduct(es(0), es(1)) },
+    "cosine_distance" -> { es => CosineDistance(es(0), es(1)) },
+    "l1_distance" -> { es => L1Distance(es(0), es(1)) },
+    "linf_distance" -> { es => LinfDistance(es(0), es(1)) },
+    "l2_norm" -> { es => L2Norm(es.head) },
+  )
+
+  /** Idempotent; call before using the Column API in a session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  def l2Distance(a: Column, b: Column): Column = call_function("l2_distance", a, b)
+  def l2SquaredDistance(a: Column, b: Column): Column =
+    call_function("l2_squared_distance", a, b)
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  def cosineDistance(a: Column, b: Column): Column =
+    call_function("cosine_distance", a, b)
+  def l1Distance(a: Column, b: Column): Column = call_function("l1_distance", a, b)
+  def linfDistance(a: Column, b: Column): Column = call_function("linf_distance", a, b)
+  def l2Norm(a: Column): Column = call_function("l2_norm", a)
+}

@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core SQL/analytics surface (SURVEY §2, q1–q22).
+  *
+  * The reference drives ClickHouse with declarative SQL
+  * (`search.py:24-27` — filter / project / ORDER BY … LIMIT); this is the
+  * equivalent Spark surface over the TPC-H-ish testdata, written so
+  * Catalyst produces the plan you'd want at 100 TB:
+  *  - filters/projections sit directly on the parquet scan (pushdown),
+  *  - dimension joins are `broadcast()` (no shuffle of the fact table),
+  *  - aggregations are partial (map-side combine) before the shuffle,
+  *  - top-k is ORDER BY+LIMIT → TakeOrderedAndProject (per-partition
+  *    heaps, O(k) driver merge — never a global sort),
+  *  - every query ends in a deterministic ORDER BY so results are
+  *    reproducible across cluster sizes and AQE decisions.
+  */
+object Analytics {
+
+  /** q1: TPC-H Q1-shaped pricing summary. Partial aggregation means each
+    * of the 1000 executors ships 4 rows, not 100 TB. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q2: selective filter + narrow projection; `.explain` must show
+    * PushedFilters + a 3-column ReadSchema. */
+  def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > lit(45.0) &&
+        col("l_shipdate") >= lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** q3: fact-fact shuffle join + agg; customer dim broadcast. */
+  def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count_distinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q4: classic broadcast hash join — `part` is a dim table; at 100 TB
+    * the lineitem side never shuffles. */
+  def q4BroadcastJoin(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** q5: 5-way star join — every dimension broadcast, single shuffle for
+    * the final aggregation. */
+  def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** q6: TPC-H Q6 — pure scan-filter-agg, zero shuffle beyond the final
+    * single-row combine. */
+  def q6SelectiveFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01") &&
+        col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+        col("l_quantity") < lit(24.0))
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** q7: window functions — per-customer order ranking + running spend.
+    * Partitioned by o_custkey: scales horizontally, no global sort. */
+  def q7Window(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rn") <= lit(3))
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** q8: exact distinct — expands to a two-phase aggregate. */
+  def q8Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+
+  /** q9: approximate distinct (HLL++) — constant memory per group where
+    * exact distinct would shuffle every key; the 100 TB answer.
+    * No SQL oracle (sketch results are engine-specific). */
+  def q9ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** q10: distributed top-k — ORDER BY + LIMIT plans as
+    * TakeOrderedAndProject (per-partition heap, driver k-merge). */
+  def q10TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** q11: EXISTS → left-semi join (no row multiplication, streams). */
+  def q11SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q12: NOT EXISTS → left-anti join. */
+  def q12AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q13: ROLLUP — multi-level totals in one pass (Expand + partial agg).
+    * NULL grouping keys are coalesced so ordering is engine-agnostic. */
+  def q13Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** q14: conditional aggregation — filtered counts without extra scans. */
+  def q14CaseAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(when(col("o_orderpriority") === lit("1-URGENT"), 1)).as("n_urgent"),
+        count(when(col("o_orderpriority") === lit("5-LOW"), 1)).as("n_low"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q15: HAVING — post-aggregation filter stays after the combine. */
+  def q15Having(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("raw_sum"))
+      .filter(col("raw_sum") > lit(300.0))
+      .select(col("l_partkey"), round(col("raw_sum"), 4).as("sum_qty"))
+      .orderBy(col("l_partkey"))
+
+  /** q16: UNION ALL + DISTINCT (hash de-dup, one shuffle). */
+  def q16Union(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > lit(400000.0))
+      .select(col("o_custkey"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_custkey"))
+    big.union(urgent).distinct().orderBy(col("o_custkey"))
+  }
+
+  /** q17: scalar subquery — global avg broadcast back into the filter. */
+  def q17Subquery(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val avgPrice = p.agg(avg(col("p_retailprice")).as("a"))
+    p.crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("a") * lit(1.5))
+      .select(col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q18: full distributed sort (range partition + local sort). */
+  def q18Sort(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+
+  /** q19: sessionization — gap > 30 min starts a new session. Window by
+    * user: each user's history sorts locally, scales with users. The
+    * epoch is taken as a double (µs/1e6) so Spark and the oracle agree
+    * bit-for-bit. */
+  def q19Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("sec", col("ts").cast("double"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > lit(1800.0), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q20: time-bucketed aggregation (the streaming window shape, batch form). */
+  def q20TimeBucket(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** q21: JSON extraction from the events.props payload — the exif-map
+    * pattern from the reference's schema (`process.py:42`). */
+  def q21JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") % lit(10L)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+      .orderBy(col("k_bucket"))
+
+  /** q22: GROUPING SETS via the SQL surface (view + spark.sql). */
+  def q22GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_events_gs")
+    s.sql(
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |       coalesce(date_format(date_trunc('DAY', ts), 'yyyy-MM-dd'), 'ALL') AS day,
+        |       count(1) AS n
+        |FROM graft_events_gs
+        |GROUP BY GROUPING SETS ((event_type), (date_trunc('DAY', ts)), ())
+        |ORDER BY etype, day""".stripMargin)
+  }
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/parity.py /tmp/vout /root/testdata/sf0.01
+Loads each <out>/<name> parquet (Spark result), runs the matching SQL
+from oracle_sql.json in DuckDB over views named after the testdata
+tables, and compares after sorting columns by name and rows by value.
+Reports exact-match, near-match (fp tolerance), or mismatch.
+"""
+import sys, json, math
+import duckdb
+import pandas as pd
+
+out, sf = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders',
+          'lineitem','events','documents','embeddings']:
+    con.execute(f"create view {t} as select * from '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).df()
+        got = pd.read_parquet(f'{out}/{name}')
+    except Exception as e:
+        print(f'{name}: ERROR {e}')
+        fails.append(name)
+        continue
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f'{name}: COLS exp={list(exp.columns)} got={list(got.columns)}')
+        fails.append(name); continue
+    if len(exp) != len(got):
+        print(f'{name}: ROWS exp={len(exp)} got={len(got)}')
+        fails.append(name); continue
+    exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    ok = True; worst = 0.0; col_bad = None
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(g):
+            e = e.astype(float); g = g.astype(float)
+            if not e.equals(g):
+                diff = (e - g).abs()
+                rel = diff / e.abs().clip(lower=1e-12)
+                m = float(rel.max())
+                if m > worst: worst, col_bad = m, c
+                if m > 1e-9: ok = False
+        else:
+            es = e.astype(str); gs = g.astype(str)
+            if not es.equals(gs):
+                ok = False; col_bad = c; worst = float('nan')
+    if ok and worst == 0.0:
+        print(f'{name}: EXACT ({len(exp)} rows)')
+    elif ok:
+        print(f'{name}: NEAR maxrel={worst:.2e} col={col_bad} ({len(exp)} rows)')
+    else:
+        print(f'{name}: MISMATCH col={col_bad} maxrel={worst}')
+        fails.append(name)
+missing = [n for n in oracle if n not in oracle]
+print('---')
+print(f'{len(oracle)-len(fails)}/{len(oracle)} pass; fails: {fails}')
