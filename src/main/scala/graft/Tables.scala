@@ -22,15 +22,17 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it as nano-count
     * LongType under `spark.sql.legacy.parquet.nanosAsLong` — convert to a
-    * microsecond timestamp (the testdata has µs resolution, so lossless). */
+    * microsecond timestamp with exact integer division (`div`), matching
+    * the ns→µs truncation the oracle engine applies when it reads the
+    * same file. Double division would be lossy: epoch-ns (~1.7e18)
+    * exceeds double's 2^53 exact-integer range. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") /
-              org.apache.spark.sql.functions.lit(1000L)).cast("long")))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
   }

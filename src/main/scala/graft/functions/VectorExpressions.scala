@@ -45,6 +45,17 @@ abstract class VectorBinaryFold extends BinaryExpression {
     case _ => a.getDouble(i)
   }
 
+  /** Dimension check shared by the interpreted paths: ClickHouse raises
+    * on mismatched array sizes (`L2Distance` et al.), and silently
+    * folding over min(n) would return a plausible wrong distance for a
+    * corrupt/mis-dimensioned embedding — fail loudly instead. */
+  protected final def checkedLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: array size mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   /** Sequential left-to-right fold — same evaluation order as the
     * generated code and as a single-threaded engine, so results are
     * bit-reproducible across partitions/plans. */
@@ -72,7 +83,11 @@ abstract class VectorBinaryFold extends BinaryExpression {
       val xb = ctx.freshName("xb")
       val (init, body, result) = genInit(ctx)
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("$prettyName: array size mismatch: "
+         |    + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |$init
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xa = ${acc(a, i, elemType(left))};
@@ -89,7 +104,7 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryF
   override def prettyName: String = "l2_distance"
   protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
     var s = 0.0; var i = 0
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     val lf = lt == FloatType; val rf = rt == FloatType
     while (i < n) {
       val x = (if (lf) a.getFloat(i).toDouble else a.getDouble(i)) -
@@ -114,7 +129,7 @@ case class L2SquaredDistance(left: Expression, right: Expression) extends Vector
   override def prettyName: String = "l2_squared_distance"
   protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
     var s = 0.0; var i = 0
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     val lf = lt == FloatType; val rf = rt == FloatType
     while (i < n) {
       val x = (if (lf) a.getFloat(i).toDouble else a.getDouble(i)) -
@@ -139,7 +154,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryF
   override def prettyName: String = "dot_product"
   protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
     var s = 0.0; var i = 0
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     val lf = lt == FloatType; val rf = rt == FloatType
     while (i < n) {
       s += (if (lf) a.getFloat(i).toDouble else a.getDouble(i)) *
@@ -164,7 +179,7 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorBin
   override def prettyName: String = "cosine_distance"
   protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     val lf = lt == FloatType; val rf = rt == FloatType
     while (i < n) {
       val xa = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
@@ -190,7 +205,7 @@ case class L1Distance(left: Expression, right: Expression) extends VectorBinaryF
   override def prettyName: String = "l1_distance"
   protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
     var s = 0.0; var i = 0
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     val lf = lt == FloatType; val rf = rt == FloatType
     while (i < n) {
       s += math.abs((if (lf) a.getFloat(i).toDouble else a.getDouble(i)) -
@@ -215,7 +230,7 @@ case class LinfDistance(left: Expression, right: Expression) extends VectorBinar
   override def prettyName: String = "linf_distance"
   protected def fold(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
     var s = 0.0; var i = 0
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     val lf = lt == FloatType; val rf = rt == FloatType
     while (i < n) {
       val d = math.abs((if (lf) a.getFloat(i).toDouble else a.getDouble(i)) -

@@ -23,12 +23,16 @@ object vectors {
     "l2_norm" -> { es => L2Norm(es.head) },
   )
 
-  /** Idempotent; call before using the Column API in a session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent; call before using the Column API in a session. Skips
+    * names that are already registered so repeated per-query calls don't
+    * spam `WARN SimpleFunctionRegistry ... replaced`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
+  }
 
   def l2Distance(a: Column, b: Column): Column = call_function("l2_distance", a, b)
   def l2SquaredDistance(a: Column, b: Column): Column =

@@ -46,14 +46,17 @@ object Analytics {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
-  /** q3: fact-fact shuffle join + agg; customer dim broadcast. */
+  /** q3: fact-fact shuffle join + agg. customer grows with scale factor,
+    * so no forced broadcast hint: AQE + autoBroadcastJoinThreshold pick
+    * broadcast at small SF and shuffle/sort-merge at 100 TB, where a
+    * forced broadcast of a billion-row customer would OOM executors. */
   def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
@@ -61,20 +64,23 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** q4: classic broadcast hash join — `part` is a dim table; at 100 TB
-    * the lineitem side never shuffles. */
+  /** q4: dim-table hash join. part grows linearly with SF, so the
+    * broadcast decision is left to AQE/size stats rather than a forced
+    * hint: small SF broadcasts (no lineitem shuffle), 100 TB falls back
+    * to a shuffle join instead of OOMing on a forced broadcast. */
   def q4BroadcastJoin(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
     Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
   }
 
-  /** q5: 5-way star join — every dimension broadcast, single shuffle for
-    * the final aggregation. */
+  /** q5: 5-way star join. nation/region are fixed-cardinality (25/5
+    * rows) → forced broadcast is always safe; customer grows with SF →
+    * AQE decides (broadcast at small SF, shuffle at 100 TB). */
   def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
     val r = Tables.region(s, d)
     val n = Tables.nation(s, d)
@@ -83,7 +89,7 @@ object Analytics {
     val l = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

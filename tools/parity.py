@@ -42,10 +42,17 @@ for name, sql in sorted(oracle.items()):
         e, g = exp[c], got[c]
         if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(g):
             e = e.astype(float); g = g.astype(float)
+            # NaN-mask mismatch is a real mismatch (NaN poisons the
+            # relative-error comparison below into a silent pass).
+            import numpy as np
+            en, gn = np.isnan(e.values), np.isnan(g.values)
+            if (en ^ gn).any():
+                ok = False; col_bad = c; worst = float('nan')
+                continue
             if not e.equals(g):
                 diff = (e - g).abs()
                 rel = diff / e.abs().clip(lower=1e-12)
-                m = float(rel.max())
+                m = float(np.nanmax(rel.values)) if len(rel) else 0.0
                 if m > worst: worst, col_bad = m, c
                 if m > 1e-9: ok = False
         else:
@@ -59,6 +66,12 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f'{name}: MISMATCH col={col_bad} maxrel={worst}')
         fails.append(name)
-missing = [n for n in oracle if n not in oracle]
+import os
+dirs = {d for d in os.listdir(out)
+        if os.path.isdir(os.path.join(out, d))}
+no_oracle = sorted(dirs - set(oracle))
+no_result = sorted(set(oracle) - dirs)
 print('---')
+if no_oracle: print(f'spark results WITHOUT oracle entry: {no_oracle}')
+if no_result: print(f'oracle entries WITHOUT spark result: {no_result}')
 print(f'{len(oracle)-len(fails)}/{len(oracle)} pass; fails: {fails}')
