@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, VectorSearch}
+import graft.operators.{Analytics, Dedup, VectorSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -52,6 +52,11 @@ object SparkEntry {
     "v6_ingest_combine" -> (VectorSearch.ingestCombine _),
     "v7_norms" -> (VectorSearch.norms _),
     "v8_embed_udf" -> ((s: SparkSession, d: String) => VectorSearch.embedUdfKnn(s, d)),
+    "d1_exact_dedup" -> (Dedup.d1Query _),
+    "d2_ngram_jaccard" -> (Dedup.d2Query _),
+    "d3_minhash_lsh" -> (Dedup.d3Query _),
+    "d4_simhash" -> (Dedup.d4Query _),
+    "d5_embedding_neardup" -> (Dedup.d5Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -211,5 +216,5 @@ object SparkEntry {
         | list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))) AS l1,
         | list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS linf
         |FROM embeddings ORDER BY vec_id""".stripMargin,
-  )
+  ) ++ Dedup.oracles
 }

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic text primitives.
+  *
+  * Every helper here has an exact DuckDB twin (the `Sql` strings), so
+  * operators built from them are oracle-checkable bit-for-bit: both
+  * engines lower → strip to [a-z0-9 ] → split on whitespace → the same
+  * shingles, and both derive 60-bit integer hashes from the same md5 hex
+  * prefix. md5 (not xxhash64) is deliberate: it is the one keyed hash
+  * both engines implement identically, which is what makes MinHash /
+  * SimHash / fingerprint results verifiable against an independent
+  * engine rather than "trust me" rows-only checks.
+  */
+object textops {
+
+  /** Lowercased alnum tokens. Twin: [[tokensSql]]. */
+  def tokens(c: Column): Column =
+    filter(
+      split(regexp_replace(lower(c), "[^a-z0-9 ]", " "), "\\s+"),
+      x => x =!= lit(""))
+
+  def tokensSql(c: String): String =
+    s"list_filter(string_split_regex(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), '\\s+'), x -> x <> '')"
+
+  /** Distinct word k-shingles (k=3) of a token array. Twin: [[shinglesSql]]. */
+  def shingles(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - lit(2)),
+        i => concat_ws(" ", slice(t, i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+
+  def shinglesSql(t: String): String =
+    s"list_distinct([array_to_string($t[i:i+2], ' ') for i in range(1, len($t) - 1)])"
+
+  /** 60-bit non-negative hash from the md5 hex prefix — the cross-engine
+    * stand-in for a 64-bit hash function. Twin: [[hash60Sql]]. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def hash60Sql(c: String): String =
+    s"('0x' || substr(md5($c), 1, 15))::BIGINT"
+
+  /** Whitespace-collapsed, punctuation-stripped, lowercased normal form
+    * for content fingerprinting. Twin: [[normalizeSql]]. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  def normalizeSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+}
