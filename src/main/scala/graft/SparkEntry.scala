@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Dedup, VectorSearch}
+import graft.operators.{Analytics, Dedup, Multimodal, TextAnalysis, VectorSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -57,6 +57,11 @@ object SparkEntry {
     "d3_minhash_lsh" -> (Dedup.d3Query _),
     "d4_simhash" -> (Dedup.d4Query _),
     "d5_embedding_neardup" -> (Dedup.d5Query _),
+    "t1_langid" -> (TextAnalysis.t1Query _),
+    "t2_quality" -> (TextAnalysis.t2Query _),
+    "t3_tokens" -> (TextAnalysis.t3Query _),
+    "t4_fingerprint" -> (TextAnalysis.t4Query _),
+    "m1_binary_meta" -> (Multimodal.m1Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -216,5 +221,5 @@ object SparkEntry {
         | list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))) AS l1,
         | list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS linf
         |FROM embeddings ORDER BY vec_id""".stripMargin,
-  ) ++ Dedup.oracles
+  ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
 }

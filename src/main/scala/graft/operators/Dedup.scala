@@ -284,7 +284,7 @@ object Dedup {
          |                a.simhash AS sa, b.simhash AS sb
          |         FROM chunks a JOIN chunks b
          |           ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+         |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INTEGER AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 12
          |ORDER BY 1, 2""".stripMargin,
     "d5_embedding_neardup" ->

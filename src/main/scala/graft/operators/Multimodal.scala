@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.textops
+
+/** Training-data multimodal plumbing (SURVEY §2, m1).
+  *
+  * Models the reference's wide LAION row — opaque payload bytes plus
+  * typed metadata (`process.py` carries width/height/exif beside the
+  * embedding) — as Spark columns: payload is `binary`, metadata is a
+  * typed struct, and "decode" is a clearly-marked deterministic STUB
+  * (no image libs in this environment). What is real and load-bearing
+  * for 100 TB: the schema (binary + struct), the per-partition batch
+  * decode path ([[decodeImages]] — the Scala twin of a
+  * `mapInPandas` decode), and the fact that metadata extraction is pure
+  * codegen'd column work that never materialises the payload twice.
+  */
+object Multimodal {
+
+  /** Typed metadata the "decoder" yields. */
+  case class ImageMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+    channels: Int, format: String)
+
+  /** STUB decode: derives deterministic fake dimensions from the
+    * payload hash. A real deployment swaps `decodeOne` for an actual
+    * image decode (e.g. javax.imageio / JNI) — the partition-batched
+    * call pattern, schema and shuffle behavior stay identical. */
+  private def decodeOne(docId: Long, payload: Array[Byte]): ImageMeta = {
+    // ??? <- real decode goes here; deterministic fake below
+    val h = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).take(7).map("%02x".format(_)).mkString, 16)
+    ImageMeta(docId, payload.length,
+      width = (64 + h % 1856).toInt,
+      height = (64 + (h / 7) % 1016).toInt,
+      channels = (1 + h % 4).toInt,
+      format = if (docId % 3 == 0) "png" else if (docId % 3 == 1) "jpeg" else "webp")
+  }
+
+  /** Batch decode over (doc_id, payload) rows — one decoder instance
+    * per partition, rows streamed through it (the mapInPandas shape:
+    * amortised per-batch setup, no per-row driver involvement). */
+  def decodeImages(payloads: Dataset[(Long, Array[Byte])]): Dataset[ImageMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      // per-partition decoder setup would go here (model load, etc.)
+      it.map { case (id, bytes) => decodeOne(id, bytes) }
+    }
+  }
+
+  /** m1: binary payload + typed metadata extraction, all-expression
+    * form (the driver-gated, oracle-checked path). The payload is the
+    * utf-8 bytes of the text (a stand-in for image bytes); metadata is
+    * hash-derived exactly like the stub, but via [[textops.hash60]] so
+    * DuckDB reproduces it. */
+  def binaryMeta(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    docs
+      .select(col("doc_id"), payload.as("payload"))
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"),
+        (lit(64) + textops.hash60(concat(col("payload").cast("string"), lit("|w"))) % 1856).as("width"),
+        (lit(64) + textops.hash60(concat(col("payload").cast("string"), lit("|h"))) % 1016).as("height"),
+        (lit(1) + textops.hash60(concat(col("payload").cast("string"), lit("|c"))) % 4).as("channels"),
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg")
+          .otherwise("webp").as("format")))
+      .select(col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.channels").as("channels"),
+        col("meta.format").as("format"))
+      .orderBy(col("doc_id"))
+  }
+
+  def m1Query(s: SparkSession, d: String): DataFrame =
+    binaryMeta(Tables.documents(s, d))
+
+  val oracles: Map[String, String] = Map(
+    "m1_binary_meta" ->
+      s"""SELECT doc_id,
+         |  octet_length(text::BLOB)::INTEGER AS n_bytes,
+         |  64 + ${textops.hash60Sql("text || '|w'")} % 1856 AS width,
+         |  64 + ${textops.hash60Sql("text || '|h'")} % 1016 AS height,
+         |  1 + ${textops.hash60Sql("text || '|c'")} % 4 AS channels,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+         |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+         |       ELSE 'webp' END AS format
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

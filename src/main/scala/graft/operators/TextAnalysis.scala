@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.textops
+
+/** Training-data text analysis (SURVEY §2, t1–t4).
+  *
+  * Everything is built from codegen'd builtin functions — split /
+  * regexp / size / md5 / array lambdas — no UDFs, so each per-doc
+  * computation stays inside WholeStageCodegen and scales as a pure map
+  * over the corpus (zero shuffles except the final presentation
+  * aggregate/sort). Stopword lists and formulas are shared verbatim
+  * with the DuckDB oracle twins in [[TextAnalysis.oracles]].
+  */
+object TextAnalysis {
+
+  /** Per-language stopword lists (tiny, public common-word sets). One
+    * Scala constant feeds both the Spark plan and the generated oracle
+    * SQL so they cannot drift. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "du", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "para", "por", "con", "como"),
+  )
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def countIn(t: Column, ws: Seq[String]): Column =
+    size(filter(t, x => x.isInCollection(ws)))
+
+  // ---------------------------------------------------------------- t1
+
+  /** t1: stopword-vote language ID. Scores = stopword hit counts per
+    * language; argmax with a fixed en≥de≥fr≥es tie-break (expressed as
+    * the same CASE chain in both engines). Output is the
+    * truth-vs-predicted confusion matrix. */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = textops.tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id"), col("lang"),
+      countIn(t, Stopwords(0)._2).as("s_en"),
+      countIn(t, Stopwords(1)._2).as("s_de"),
+      countIn(t, Stopwords(2)._2).as("s_fr"),
+      countIn(t, Stopwords(3)._2).as("s_es"))
+    scored.withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  def t1Query(s: SparkSession, d: String): DataFrame =
+    langId(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------- t2
+
+  /** t2: per-doc quality scoring from length / whitespace / stopword
+    * ratios, combined by a clipped linear formula (deliberately no
+    * exp/log — libm rounding differs across engines; +,-,*,/ are IEEE
+    * correctly-rounded everywhere). */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = textops.tokens(col("text"))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        size(t).as("n_tokens"),
+        aggregate(t, lit(0), (acc, x) => acc + length(x)).as("tok_chars"),
+        countIn(t, Stopwords(0)._2).as("n_stop"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") === 0, 0.0).otherwise(
+          round(col("tok_chars").cast("double") / col("n_tokens"), 4)))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(col("n_stop").cast("double") / col("n_tokens"), 4)))
+      .withColumn("quality",
+        round(least(lit(1.0),
+          lit(0.2) + lit(2.0) * when(col("n_tokens") === 0, 0.0)
+            .otherwise(col("n_stop").cast("double") / col("n_tokens")) +
+            least(col("n_tokens").cast("double"), lit(100.0)) / lit(500.0)), 4))
+      .select(col("doc_id"), col("len_chars"), col("n_tokens"),
+        col("avg_token_len"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t2Query(s: SparkSession, d: String): DataFrame =
+    quality(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------- t3
+
+  /** BPE-ish pre-tokenizer: runs of alnum, or single non-alnum
+    * non-space chars — the standard byte-pair pre-split shape. */
+  val BpePattern = "[a-z0-9]+|[^a-z0-9\\s]"
+
+  /** t3: token counting — whitespace tokens vs regex pre-tokens, plus
+    * chars-per-token (the quick LLM-cost estimator). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        size(textops.tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+          .as("n_bpe_tokens"),
+        length(col("text")).as("len_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_bpe_tokens") === 0, 0.0).otherwise(
+          round(col("len_chars").cast("double") / col("n_bpe_tokens"), 4)))
+      .orderBy(col("doc_id"))
+
+  def t3Query(s: SparkSession, d: String): DataFrame =
+    tokenCounts(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------- t4
+
+  /** t4: content fingerprint — md5 of the whitespace-collapsed,
+    * punctuation-stripped lowercase normal form, with the per-
+    * fingerprint group size alongside (the dedup-ready key). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val fp = md5(textops.normalizeText(col("text")))
+    docs.select(col("doc_id"), fp.as("fingerprint"))
+      .withColumn("n_same",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint"))))
+      .orderBy(col("doc_id"))
+  }
+
+  def t4Query(s: SparkSession, d: String): DataFrame =
+    fingerprint(Tables.documents(s, d))
+
+  // ------------------------------------------------------------ oracles
+
+  private val toksSql = textops.tokensSql("text")
+  private def countInSql(ws: Seq[String]): String =
+    s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x)))"
+
+  val oracles: Map[String, String] = Map(
+    "t1_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    ${countInSql(Stopwords(0)._2)} AS s_en,
+         |    ${countInSql(Stopwords(1)._2)} AS s_de,
+         |    ${countInSql(Stopwords(2)._2)} AS s_fr,
+         |    ${countInSql(Stopwords(3)._2)} AS s_es
+         |  FROM (SELECT doc_id, lang, $toksSql AS t FROM documents))
+         |SELECT lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang,
+         |  count(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t2_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, length(text)::INTEGER AS len_chars,
+         |         len(t)::INTEGER AS n_tokens,
+         |         list_sum(list_transform(t, x -> length(x))) AS tok_chars,
+         |         ${countInSql(Stopwords(0)._2)} AS n_stop
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))
+         |SELECT doc_id, len_chars, n_tokens,
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |       ELSE round(tok_chars * 1.0 / n_tokens, 4) END
+         |    AS avg_token_len,
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |       ELSE round(n_stop * 1.0 / n_tokens, 4) END AS stop_ratio,
+         |  round(least(1.0,
+         |    0.2 + 2.0 * (CASE WHEN n_tokens = 0 THEN 0.0
+         |                      ELSE n_stop * 1.0 / n_tokens END) +
+         |    least(n_tokens * 1.0, 100.0) / 500.0), 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "t3_tokens" ->
+      s"""SELECT doc_id,
+         |  len($toksSql)::INTEGER AS n_ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::INTEGER AS n_bpe_tokens,
+         |  length(text)::INTEGER AS len_chars,
+         |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) = 0
+         |       THEN 0.0
+         |       ELSE round(length(text) * 1.0 /
+         |         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')), 4)
+         |  END AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      s"""SELECT doc_id, md5(${textops.normalizeSql("text")}) AS fingerprint,
+         |  count(*) OVER (PARTITION BY md5(${textops.normalizeSql("text")})) AS n_same
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
