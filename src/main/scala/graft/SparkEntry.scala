@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Dedup, Multimodal, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, Dedup, Multimodal, TextAnalysis, VectorSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -62,6 +62,9 @@ object SparkEntry {
     "t3_tokens" -> (TextAnalysis.t3Query _),
     "t4_fingerprint" -> (TextAnalysis.t4Query _),
     "m1_binary_meta" -> (Multimodal.m1Query _),
+    "a1_batch_knn" -> (Ann.a1Query _),
+    "a2_lsh_ann" -> (Ann.a2Query _),
+    "a3_ivf_ann" -> (Ann.a3Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -221,5 +224,5 @@ object SparkEntry {
         | list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))) AS l1,
         | list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS linf
         |FROM embeddings ORDER BY vec_id""".stripMargin,
-  ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
+  ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++ Ann.oracles
 }

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.vectors
+
+/** Similarity search / ANN over the embedding corpus (SURVEY §2, a1–a3).
+  *
+  * Three tiers of the same problem:
+  *  - a1: exact batch brute force — the correctness baseline. Query set
+  *    broadcast against the corpus scan, codegen'd distance, per-query
+  *    top-k.
+  *  - a2: random-hyperplane LSH — corpus bucketed by sign bits of P
+  *    fixed hyperplane projections; a query only scans its bucket. The
+  *    100 TB scale path: bucket assignment is a pure map over the scan,
+  *    the probe is a bucket-key join, candidate count ∝ bucket
+  *    occupancy, never corpus².
+  *  - a3: IVF — corpus assigned to its nearest coarse centroid (pure
+  *    per-row expression argmin over the broadcast centroid set, no
+  *    shuffle), queries probe the nprobe nearest cells.
+  *
+  * All three share one deterministic literal query set so results are
+  * oracle-checkable; every distance/rank decision ties-break on ids.
+  */
+object Ann {
+
+  val K = 10
+  val NumQueries = 5
+
+  /** Deterministic literal query vectors (driver-side constants, like
+    * the reference's client-side CLIP encodings). */
+  val querySet: Seq[(Int, Seq[Double])] =
+    (0 until NumQueries).map(i => i -> VectorSearch.qvec(10 + i))
+
+  private def queriesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    querySet.toDF("query_id", "qv")
+  }
+
+  private def sqlValues(rows: Seq[String]): String = rows.mkString(", ")
+
+  private def queriesValuesSql: String =
+    sqlValues(querySet.map { case (i, v) =>
+      s"($i, ${VectorSearch.sqlArray(v)}::DOUBLE[])"
+    })
+
+  // ---------------------------------------------------------------- a1
+
+  /** a1: exact batch knn — every query against the full corpus. The
+    * query set is broadcast (it is small by construction); the corpus
+    * is scanned once, scores stay in whole-stage codegen, and the
+    * per-query top-k is a rank over a partition of nq×n rows. At scale
+    * the window shuffle moves only (query_id, vec_id, score) triples —
+    * the embeddings themselves are pruned before the exchange. */
+  def batchKnn(embs: DataFrame, queries: DataFrame, k: Int = K): DataFrame = {
+    val scored = embs.join(broadcast(queries))
+      .withColumn("score", vectors.cosineDistance(col("embedding"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
+    scored
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("query_id"), col("score"), col("vec_id"))
+  }
+
+  def a1Query(s: SparkSession, d: String): DataFrame = {
+    vectors.register(s)
+    batchKnn(Tables.embeddings(s, d), queriesDf(s))
+  }
+
+  // ---------------------------------------------------------------- a2
+
+  val NumPlanes = 6
+
+  /** Fixed random hyperplanes (deterministic, shared with the oracle). */
+  val planes: Seq[Seq[Double]] =
+    (0 until NumPlanes).map(p => VectorSearch.qvec(20 + p))
+
+  /** Sign-bit bucket of a vector column: bit p set iff dot(v, plane_p) ≥ 0. */
+  def bucketCol(v: Column): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      when(vectors.dotProduct(v, typedlit(pl)) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Driver-side bucket of a literal vector (same arithmetic order). */
+  def bucketOf(v: Seq[Double]): Int =
+    planes.zipWithIndex.map { case (pl, p) =>
+      if (pl.zip(v).map { case (a, b) => a * b }.sum >= 0) 1 << p else 0
+    }.sum
+
+  private def bucketSql(v: String): String =
+    planes.zipWithIndex.map { case (pl, p) =>
+      s"(CASE WHEN list_inner_product($v, ${VectorSearch.sqlArray(pl)}::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** a2: LSH-bucketed ANN. Corpus bucket assignment is a pure map
+    * (P codegen'd dot products per row); each query joins only its own
+    * bucket (~n/2^P of the corpus), then exact cosine + top-k inside
+    * the bucket. Queries carry driver-precomputed buckets. Recall is
+    * the LSH trade: a true neighbor in another bucket is missed —
+    * multi-table/multi-probe extends this (more (table, bucket) join
+    * keys), the plan shape is unchanged. */
+  def lshKnn(embs: DataFrame, k: Int = K)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val queries = querySet.map { case (i, v) => (i, bucketOf(v), v) }
+      .toDF("query_id", "qbucket", "qv")
+    val bucketed = embs.withColumn("bkt", bucketCol(col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
+    bucketed.join(broadcast(queries), col("bkt") === col("qbucket"))
+      .withColumn("score", vectors.cosineDistance(col("embedding"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("query_id"), col("score"), col("vec_id"))
+  }
+
+  def a2Query(s: SparkSession, d: String): DataFrame = {
+    vectors.register(s)
+    lshKnn(Tables.embeddings(s, d))(s)
+  }
+
+  // ---------------------------------------------------------------- a3
+
+  val CentroidStride = 50
+  val NProbe = 2
+
+  /** a3: IVF-style coarse quantization. Centroids are a deterministic
+    * sample of the corpus (vec_id % stride = 0 — a k-means stand-in;
+    * training would only change the centroid values, not the plan).
+    * The tiny centroid set is collected once to the driver (it is
+    * small by construction, like real IVF codebooks) and baked into a
+    * per-row argmin EXPRESSION: assignment is a pure map over the
+    * corpus scan — no shuffle, no join, argmin over an array of
+    * (dist, cid) structs. Queries probe their NProbe nearest cells;
+    * exact distance only inside probed cells. */
+  def ivfKnn(embs: DataFrame, k: Int = K)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val cents: Seq[(Long, Seq[Double])] = embs
+      .filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+
+    // per-row nearest-centroid id: array_min over (dist, cid) structs —
+    // lexicographic struct ordering = min dist, ties to min cid.
+    val distStructs = cents.map { case (cid, cv) =>
+      struct(vectors.l2Distance(col("embedding"), typedlit(cv)).as("d"),
+        lit(cid).as("cid"))
+    }
+    val assigned = embs.withColumn("cid",
+      array_min(array(distStructs: _*)).getField("cid"))
+
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val probes = querySet.flatMap { case (i, qv) =>
+      cents.map { case (cid, cv) => (i, cid, l2(qv, cv)) }
+        .sortBy { case (_, cid, dd) => (dd, cid) }
+        .take(NProbe)
+        .map { case (_, cid, _) => (i, cid, qv) }
+    }.toDF("query_id", "pcid", "qv")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
+    assigned.join(broadcast(probes), col("cid") === col("pcid"))
+      .withColumn("score", vectors.l2Distance(col("embedding"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("query_id"), col("score"), col("vec_id"))
+  }
+
+  def a3Query(s: SparkSession, d: String): DataFrame = {
+    vectors.register(s)
+    ivfKnn(Tables.embeddings(s, d))(s)
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  val oracles: Map[String, String] = Map(
+    "a1_batch_knn" ->
+      s"""WITH queries(query_id, qv) AS (VALUES $queriesValuesSql)
+         |SELECT query_id, vec_id,
+         |       1.0 - list_cosine_similarity(embedding::DOUBLE[], qv) AS score
+         |FROM embeddings CROSS JOIN queries
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
+         |ORDER BY query_id, score, vec_id""".stripMargin,
+    "a2_lsh_ann" ->
+      s"""WITH queries(query_id, qbucket, qv) AS (VALUES ${
+        sqlValues(querySet.map { case (i, v) =>
+          s"($i, ${bucketOf(v)}, ${VectorSearch.sqlArray(v)}::DOUBLE[])" })}),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |             ${bucketSql("embedding::DOUBLE[]")} AS bkt
+         |      FROM embeddings)
+         |SELECT query_id, vec_id, 1.0 - list_cosine_similarity(e, qv) AS score
+         |FROM c JOIN queries ON bkt = qbucket
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
+         |ORDER BY query_id, score, vec_id""".stripMargin,
+    "a3_ivf_ann" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS ccid, embedding::DOUBLE[] AS cv FROM embeddings
+         |  WHERE vec_id % $CentroidStride = 0),
+         |assigned AS (
+         |  SELECT vec_id, e, ccid AS cid FROM (
+         |    SELECT v.vec_id, v.embedding::DOUBLE[] AS e, c.ccid,
+         |           list_distance(v.embedding::DOUBLE[], c.cv) AS cdist
+         |    FROM embeddings v CROSS JOIN cents c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, ccid) = 1),
+         |queries(query_id, qv) AS (VALUES $queriesValuesSql),
+         |qprobe AS (
+         |  SELECT query_id, qv, ccid AS cid FROM (
+         |    SELECT q.query_id, q.qv, c.ccid, list_distance(q.qv, c.cv) AS qdist
+         |    FROM queries q CROSS JOIN cents c)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdist, ccid) <= $NProbe)
+         |SELECT query_id, vec_id, list_distance(e, qv) AS score
+         |FROM assigned JOIN qprobe USING (cid)
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
+         |ORDER BY query_id, score, vec_id""".stripMargin,
+  )
+}
