@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory carrying the engine's optimizer/runtime tuning —
+  * one place, shared by Bench / Verify / ExplainQ / tests. */
+object GraftSession {
+
+  /** Catalyst rules this engine excludes, with reasons:
+    *
+    *  - `InferFiltersFromGenerate`: derives `size(arr) > 0 AND
+    *    isnotnull(arr)` from every explode, and predicate pushdown then
+    *    substitutes the whole array-BUILDING expression into the
+    *    scan-stage filter — so the most expensive projection in a dedup
+    *    plan is re-evaluated (twice: size + isnotnull), serially, below
+    *    the very exchange that was placed to parallelize it. Profiled
+    *    at 5–100 s per dedup query on the single-split test corpus.
+    *    Dropping it costs nothing for this engine's plans: exploded
+    *    arrays here are always computed on the fly, never stored
+    *    columns whose emptiness could prune a scan. (The sibling
+    *    hazard — IsNotNull inferred from JOIN keys via
+    *    InferFiltersFromConstraints — is kept, and neutralized where it
+    *    bites by making derived join keys statically non-nullable with
+    *    `coalesce`, see Dedup.minhashLsh/simhash.)
+    */
+  val ExcludedRules: String =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+  def local(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules", ExcludedRules)
+      // wide-but-legitimate expression trees (e.g. v8's 64-component
+      // embed array) otherwise spam truncation warnings into the log
+      .config("spark.sql.debug.maxToStringFields", "200")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -49,7 +49,7 @@ object SparkEntry {
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.knnDot(s, d)),
     "v4_filtered_knn" -> ((s: SparkSession, d: String) => VectorSearch.filteredKnn(s, d)),
     "v5_concept_math" -> ((s: SparkSession, d: String) => VectorSearch.conceptMathKnn(s, d)),
-    "v6_ingest_combine" -> (VectorSearch.ingestCombine _),
+    "v6_ingest_combine" -> (VectorSearch.v6Query _),
     "v7_norms" -> (VectorSearch.norms _),
     "v8_embed_udf" -> ((s: SparkSession, d: String) => VectorSearch.embedUdfKnn(s, d)),
     "d1_exact_dedup" -> (Dedup.d1Query _),
@@ -122,6 +122,12 @@ object SparkEntry {
     "q8_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q9's oracle checks the HLL accuracy CONTRACT, not the sketch value
+    // (engine-specific): exact count + "estimate within 5%" must hold.
+    "q9_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(1) AS n_rows, TRUE AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -211,10 +217,14 @@ object SparkEntry {
          | 1.0 - list_cosine_similarity(embedding::DOUBLE[],
          |   ${VectorSearch.sqlArray(VectorSearch.conceptVector)}::DOUBLE[]) AS score
          |FROM embeddings ORDER BY score, vec_id LIMIT 10""".stripMargin,
+    // exif_source/exif_lang are read back OUT of the parsed
+    // map<string,string> on the Spark side; the oracle checks they
+    // round-tripped the JSON identical to the original fields.
     "v6_ingest_combine" ->
       """SELECT doc_id,
         | replace(replace(text, '’', ' '), '‘', ' ') AS caption,
         | lang, source, n_chars, label,
+        | source AS exif_source, lang AS exif_lang,
         | sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS emb_norm
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
@@ -224,5 +234,14 @@ object SparkEntry {
         | list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))) AS l1,
         | list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS linf
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // v8's embed stub is hash60-derived, so DuckDB rebuilds the exact
+    // same vectors and the knn is hash-checked end to end.
+    "v8_embed_udf" ->
+      s"""SELECT doc_id,
+         | 1.0 - list_cosine_similarity(
+         |   list_transform(range(0, ${VectorSearch.Dim}),
+         |     i -> (${graft.functions.textops.hash60Sql("text || ':' || i::VARCHAR")} % 1000)::DOUBLE / 500.0 - 1.0),
+         |   ${vec(4)}::DOUBLE[]) AS score
+         |FROM documents ORDER BY score, doc_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++ Ann.oracles
 }

@@ -16,14 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object textops {
 
-  /** Lowercased alnum tokens. Twin: [[tokensSql]]. */
+  /** Lowercased alnum tokens. Twin: [[tokensSql]].
+    *
+    * `regexp_extract_all`, NOT split-then-filter: the result is
+    * identical (maximal [a-z0-9] runs of the lowered text), but
+    * `RegExpExtractAll` caches its compiled Pattern per expression
+    * instance while interpreted `StringSplit` recompiles the regex on
+    * EVERY row — inside a higher-order `filter` (interpreted subtree)
+    * that recompile dominated the round-2 dedup profile. */
   def tokens(c: Column): Column =
-    filter(
-      split(regexp_replace(lower(c), "[^a-z0-9 ]", " "), "\\s+"),
-      x => x =!= lit(""))
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
   def tokensSql(c: String): String =
-    s"list_filter(string_split_regex(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), '\\s+'), x -> x <> '')"
+    s"regexp_extract_all(lower($c), '[a-z0-9]+')"
 
   /** Distinct word k-shingles (k=3) of a token array. Twin: [[shinglesSql]]. */
   def shingles(t: Column): Column =

@@ -132,13 +132,23 @@ object Analytics {
       .orderBy(col("l_returnflag"))
 
   /** q9: approximate distinct (HLL++) — constant memory per group where
-    * exact distinct would shuffle every key; the 100 TB answer.
-    * No SQL oracle (sketch results are engine-specific). */
+    * exact distinct would shuffle every key; the 100 TB answer. Sketch
+    * estimates are engine-specific, so the checkable contract is the
+    * HLL's accuracy bound: the query emits the exact count plus a
+    * boolean asserting the estimate landed within 5% of it (rsd is
+    * 2%, so 5% is a comfortable-but-real bound); the oracle recomputes
+    * the exact count and expects `true`. The exact-distinct column
+    * exists FOR the check — the production operator at scale is
+    * `approx_count_distinct` alone. */
   def q9ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count_distinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_rows"),
+        (abs(col("approx_parts") - col("n_parts")).cast("double") /
+          col("n_parts") <= 0.05).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
   /** q10: distributed top-k — ORDER BY + LIMIT plans as

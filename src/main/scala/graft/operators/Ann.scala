@@ -127,35 +127,45 @@ object Ann {
   // ---------------------------------------------------------------- a3
 
   val CentroidStride = 50
+  /** Hard cap on the codebook size — the collected centroid set is
+    * CONSTANT-SIZE regardless of corpus size (a real IVF codebook is a
+    * few k trained centroids at any scale; round 2's uncapped stride
+    * sample grew linearly with the corpus and blew up both the driver
+    * and the plan). */
+  val NumCentroids = 32
   val NProbe = 2
 
-  /** a3: IVF-style coarse quantization. Centroids are a deterministic
-    * sample of the corpus (vec_id % stride = 0 — a k-means stand-in;
-    * training would only change the centroid values, not the plan).
-    * The tiny centroid set is collected once to the driver (it is
-    * small by construction, like real IVF codebooks) and baked into a
-    * per-row argmin EXPRESSION: assignment is a pure map over the
-    * corpus scan — no shuffle, no join, argmin over an array of
-    * (dist, cid) structs. Queries probe their NProbe nearest cells;
-    * exact distance only inside probed cells. */
+  /** a3: IVF-style coarse quantization. The codebook is the first
+    * [[NumCentroids]] corpus ids divisible by [[CentroidStride]] — a
+    * deterministic k-means stand-in (training would change the centroid
+    * VALUES, not the plan). Only this bounded codebook is collected,
+    * and it enters the plan as ONE literal array-of-structs column;
+    * cell assignment is a per-row argmin fold over that literal — a
+    * pure map over the corpus scan: no shuffle, no join, constant work
+    * per row, constant plan size. Queries probe their NProbe nearest
+    * cells; exact distance only inside probed cells. */
   def ivfKnn(embs: DataFrame, k: Int = K)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     val cents: Seq[(Long, Seq[Double])] = embs
-      .filter(col("vec_id") % CentroidStride === 0)
+      .filter(col("vec_id") % CentroidStride === 0 &&
+        col("vec_id") < CentroidStride.toLong * NumCentroids)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).map(_.toDouble).toSeq))
       .sortBy(_._1).toSeq
 
-    // per-row nearest-centroid id: array_min over (dist, cid) structs —
-    // lexicographic struct ordering = min dist, ties to min cid.
-    val distStructs = cents.map { case (cid, cv) =>
-      struct(vectors.l2Distance(col("embedding"), typedlit(cv)).as("d"),
-        lit(cid).as("cid"))
-    }
+    // per-row nearest-centroid id: array_min over (dist², cid) structs —
+    // lexicographic struct ordering = min dist, ties to min cid; dist²
+    // orders identically to the oracle's sqrt'd list_distance.
+    val centsLit = typedlit(cents)
     val assigned = embs.withColumn("cid",
-      array_min(array(distStructs: _*)).getField("cid"))
+      array_min(transform(centsLit, c =>
+        struct(
+          aggregate(zip_with(col("embedding"), c.getField("_2"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x).as("d"),
+          c.getField("_1").as("cid")))).getField("cid"))
 
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
@@ -205,7 +215,8 @@ object Ann {
     "a3_ivf_ann" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS ccid, embedding::DOUBLE[] AS cv FROM embeddings
-         |  WHERE vec_id % $CentroidStride = 0),
+         |  WHERE vec_id % $CentroidStride = 0
+         |    AND vec_id < ${CentroidStride.toLong * NumCentroids}),
          |assigned AS (
          |  SELECT vec_id, e, ccid AS cid FROM (
          |    SELECT v.vec_id, v.embedding::DOUBLE[] AS e, c.ccid,

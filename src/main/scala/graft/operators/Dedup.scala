@@ -26,8 +26,11 @@ object Dedup {
   /** Frequent-shingle cap: shingles appearing in more docs than this are
     * dropped before pair generation (both engines). A shingle shared by
     * 10^6 docs at 100 TB would otherwise emit 10^12 candidate pairs —
-    * classic hot-key skew; dropping it loses no near-dup signal. */
-  val MaxShingleDf = 1000
+    * classic hot-key skew; dropping it loses no near-dup signal. 100 (not
+    * 1000): pair cost is df²/2 per surviving shingle, and near-dup pairs
+    * are joined by their *rare* shared shingles, so the low cap costs no
+    * recall while bounding the join at 5k pairs per shingle. */
+  val MaxShingleDf = 100
 
   /** LSH bucket cap for MinHash banding, same skew rationale. */
   val MaxBandBucket = 200
@@ -56,34 +59,78 @@ object Dedup {
 
   // ---------------------------------------------------------------- d2
 
-  /** Distinct 3-word shingles per doc, dropping shingle-less docs. */
-  private def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), textops.shingles(textops.tokens(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
+  /** Distinct 3-word shingles per doc, dropping shingle-less docs.
+    *
+    * The round-robin spread first: shingle/signature building is
+    * CPU-bound per-row work, but Spark sizes scan partitions by BYTES
+    * (`maxPartitionBytes`), which under-parallelizes compute-heavy
+    * stages — the test corpus is one small parquet split, i.e. ONE core
+    * for all the hashing. Rebalancing costs one shuffle of the raw
+    * (id, text) rows — cheap next to the per-shingle hash work — and on
+    * a many-split 100 TB input it is a cores-wide coalesce, not a
+    * blow-up: `defaultParallelism` = total executor cores. */
+  /** Spread → build → materialize. The sandwich of exchanges is doing
+    * two specific jobs found by profiling, not cargo cult:
+    *
+    *  - EX1 (after the cheap filter): Spark sizes scan partitions by
+    *    BYTES, so a small single-split file runs every downstream
+    *    per-row computation on ONE core. The ≥3-tokens filter is the
+    *    only predicate allowed to reach the scan — any filter placed
+    *    above the shingle build gets predicate-pushed below the
+    *    repartition WITH the whole build expression substituted in
+    *    (that was the round-2 serial-scan-stage profile).
+    *  - EX2 (after the build): a materialization boundary. Without it
+    *    CollapseProject merges the build into every consumer
+    *    projection — and when the consumer iterates it inside a
+    *    higher-order lambda (32 hash fns, 60 bits), the merged
+    *    expression re-evaluates PER ITERATION. Only the built arrays
+    *    cross EX2, and they cross once.
+    */
+  private def spreadBuildMaterialize(docs: DataFrame)(build: Column): DataFrame = {
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      .filter(size(textops.tokens(col("text"))) >= 3)
+      .repartition(np)
+      .select(col("doc_id"), build)
+      .repartition(np)
+  }
 
-  /** d2: n-gram Jaccard near-dup pairs. Explode shingles, drop hot
+  /** (doc_id, sh): materialized distinct 3-word shingle arrays. */
+  private def docShingles(docs: DataFrame): DataFrame =
+    spreadBuildMaterialize(docs)(
+      textops.shingles(textops.tokens(col("text"))).as("sh"))
+
+  /** (doc_id, hvs): materialized per-shingle hash60 values — signature
+    * builders iterate these 32–60×, so they must cross an exchange as
+    * longs, not as an inlinable md5 expression. */
+  private def docShingleHashes(docs: DataFrame): DataFrame =
+    spreadBuildMaterialize(docs)(
+      transform(textops.shingles(textops.tokens(col("text"))),
+        g => textops.hash60(g)).as("hvs"))
+
+  /** d2: n-gram Jaccard near-dup pairs. Explode shingles (carrying each
+    * doc's distinct-shingle COUNT on the posting row — it rides along
+    * for free and saves two whole size-join branches), drop hot
     * shingles (df > [[MaxShingleDf]]), self-join on the shingle key to
-    * count common shingles per pair, then Jaccard over the original
-    * distinct-shingle set sizes. The join key is the shingle — pairs
-    * only materialise for docs that actually share one. */
+    * count common shingles per pair, then Jaccard from the carried set
+    * sizes (`max` = the per-doc constant). The join key is the
+    * shingle — pairs only materialise for docs that actually share
+    * one; both self-join sides are the same subtree, so the exchange
+    * is planned once and reused. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = docShingles(docs)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val ex = docShingles(docs)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
     val hot = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select(col("g"))
     val pruned = ex.join(hot, Seq("g"), "left_anti")
-    val common = pruned.as("a")
+    pruned.as("a")
       .join(pruned.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("common"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("sa.n") + col("sb.n") - col("common")))
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("common"),
         round(col("jaccard"), 4).as("jaccard"))
@@ -98,26 +145,56 @@ object Dedup {
   val MinHashFns = 32
   val BandRows = 4 // → 8 bands of 4 signature rows
 
+  /** Universal-hash family for MinHash: hash_h(g) = (a_h·hi + b_h·lo +
+    * c_h) mod (2^61−1), where hi/lo are the top/bottom 30 bits of ONE
+    * md5-derived base hash per shingle. One md5 per shingle instead of
+    * [[MinHashFns]] — the md5s were 32× the signature-build cost — and
+    * the 31-bit coefficients keep every product within 62 bits, so the
+    * arithmetic is overflow-free and bit-identical in DuckDB. */
+  val MinHashP: Long = (1L << 61) - 1
+  private def mhCoef(salt: Int): Seq[Long] =
+    (0 until MinHashFns).map(h => (1103515245L * (h + salt) + 12345L) % 2147483647L)
+  private val mhA = mhCoef(1)
+  private val mhB = mhCoef(101)
+  private val mhC = mhCoef(201)
+  private val Lo30Mask = (1L << 30) - 1
+
   /** d3: MinHash + LSH banding. Signature h of a doc = min over its
-    * shingles of hash60(shingle:h); band key = xor of the band's 4
-    * signature rows (order-independent, so no collect_list ordering
-    * hazard). Docs sharing any (band, key) bucket become candidates —
-    * the self-join is on the bucket key, so cost scales with bucket
-    * occupancy, not corpus². Oversized buckets (skew) are dropped by
-    * [[MaxBandBucket]]. */
+    * shingles of the h-th universal hash of hash60(shingle); band key =
+    * xor of the band's 4 signature rows (order-independent, so no
+    * collect_list ordering hazard). Docs sharing any (band, key) bucket
+    * become candidates — the self-join is on the bucket key, so cost
+    * scales with bucket occupancy, not corpus². Oversized buckets
+    * (skew) are dropped by [[MaxBandBucket]].
+    *
+    * The whole signature is ONE per-doc projection (one md5 per
+    * shingle, then `transform` over the hash indices × `array_min` over
+    * the shingle hashes with pure integer arithmetic) — the per-doc row
+    * never multiplies, nothing but (doc_id, band, bkey) reaches a
+    * shuffle. The round-2 shape (explode shingles × 32 md5 hash fns
+    * through two groupBys) shuffled 32× the corpus' shingle rows and
+    * was 38s at sf0.1 for the same candidate semantics. */
   def minhashLsh(docs: DataFrame): DataFrame = {
-    val ex = docShingles(docs).select(col("doc_id"), explode(col("sh")).as("g"))
-    val sig = ex
-      .select(col("doc_id"), col("g"),
-        explode(sequence(lit(0), lit(MinHashFns - 1))).as("h"))
-      .withColumn("hv",
-        textops.hash60(concat(col("g"), lit(":"), col("h").cast("string"))))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(col("hv")).as("mh"))
-    val bands = sig
-      .withColumn("band", expr(s"h div $BandRows"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr("bit_xor(mh)").as("bkey"))
+    val (aLit, bLit, cLit) = (typedlit(mhA), typedlit(mhB), typedlit(mhC))
+    val sig = docShingleHashes(docs)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(MinHashFns - 1)), h =>
+          array_min(transform(col("hvs"), hv =>
+            (element_at(aLit, h + 1) * shiftright(hv, 30) +
+              element_at(bLit, h + 1) * hv.bitwiseAND(lit(Lo30Mask)) +
+              element_at(cLit, h + 1)) % lit(MinHashP)))).as("sig"))
+    // coalesce makes bkey STATICALLY non-nullable (it never is null at
+    // runtime — every doc here has ≥1 shingle): the join below would
+    // otherwise infer IsNotNull(bkey) and predicate-push the whole
+    // signature expression into the serial scan-stage filter; on a
+    // non-nullable key the inferred filter constant-folds away.
+    val bands = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(MinHashFns / BandRows - 1)),
+          b => struct(b.as("band"),
+            coalesce((0 until BandRows).map(r =>
+              element_at(col("sig"), b * lit(BandRows) + lit(r + 1)))
+              .reduce(_ bitwiseXOR _), lit(-1L)).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val bucketed = bands.withColumn("bn",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bkey"))))
@@ -138,23 +215,36 @@ object Dedup {
 
   val SimHashBits = 60 // hash60 width
 
+  /** Bit-position powers 2^0..2^59 as one literal array (shared by the
+    * vote and reassembly passes below). */
+  private def pows: Column = typedlit((0 until SimHashBits).map(b => 1L << b))
+
   /** Per-doc 60-bit SimHash over distinct 3-word shingles: bit b is set
     * when more shingle hashes have bit b set than unset. Shingles, not
     * unigrams: on a small-vocabulary corpus every doc has nearly the
     * same distinct-token SET, which collapses unigram SimHash to ~0
-    * hamming everywhere; shingle sets are distinctive. Two explodes
-    * (shingles × bit positions) feed partial-aggregated groupBys — all
-    * map-side combinable, no all-pairs work. */
+    * hamming everywhere; shingle sets are distinctive.
+    *
+    * The bit vote runs per BIT (`transform` over the 60 bit powers,
+    * scalar `aggregate` fold over the shingle-hash array inside) — the
+    * inner fold accumulates a plain long, so no intermediate 60-slot
+    * array is allocated per shingle. Zero shuffles, zero row
+    * multiplication; the round-2 shape (explode shingles × 60 bit
+    * positions through two groupBys) was a 60× row blowup and 33s at
+    * sf0.1 for the same result. */
   def simhash(docs: DataFrame): DataFrame = {
-    val ex = docShingles(docs)
-      .select(col("doc_id"), explode(col("sh")).as("w"))
-      .withColumn("th", textops.hash60(col("w")))
-    ex.select(col("doc_id"), col("th"),
-        explode(sequence(lit(0), lit(SimHashBits - 1))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("shiftright(th, b) & 1") === 1, 1L).otherwise(-1L)).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+    docShingleHashes(docs)
+      .select(col("doc_id"),
+        transform(pows, p =>
+          aggregate(col("hvs"), lit(0L), (acc, th) =>
+            acc + when(th.bitwiseAND(p) > 0, lit(1L)).otherwise(lit(-1L)))).as("votes"))
+      .select(col("doc_id"),
+        // coalesce: statically non-nullable (never null at runtime) so
+        // the chunk join's inferred IsNotNull(ck) folds away instead of
+        // predicate-pushing this whole expression into the scan stage.
+        coalesce(aggregate(
+          zip_with(col("votes"), pows, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x), lit(0L)).as("simhash"))
   }
 
   /** d4: SimHash near-dup pairs. Candidate generation splits the 60-bit
@@ -187,25 +277,60 @@ object Dedup {
 
   // ---------------------------------------------------------------- d5
 
-  /** d5: embedding-cosine near-dup pairs with sign-block candidate
-    * generation: vectors are bucketed by the sign bits of their first
-    * two components (an axis-aligned 2-plane LSH), exact cosine runs
-    * only within a bucket. The block join key keeps the self-join
-    * linear in bucket occupancy; recall is traded explicitly (pairs
-    * straddling a sign boundary are missed — more planes/tables tighten
-    * this, see [[Ann]] for the general LSH machinery). */
+  /** d5 LSH shape: [[NearDupTables]] independent tables of
+    * [[NearDupPlanes]] random hyperplanes each → 2^planes buckets per
+    * table. More planes = smaller buckets (cheaper, lower recall per
+    * table); more tables = recovered recall. At a larger corpus, planes
+    * grows like log₂(n / target-occupancy) — the plan shape is fixed. */
+  val NearDupTables = 3
+  val NearDupPlanes = 8
+  /** Bucket-occupancy cap, same skew rationale as [[MaxBandBucket]]:
+    * within-bucket pairing is QUADRATIC in occupancy, so one hot bucket
+    * (e.g. the all-zeros region) must not degenerate to all-pairs. */
+  val MaxNearDupBucket = 500
+
+  /** Deterministic hyperplanes for near-dup table t (shared with the
+    * DuckDB oracle; seeds disjoint from [[Ann.planes]]). */
+  def nearDupPlanes(t: Int): Seq[Seq[Double]] =
+    (0 until NearDupPlanes).map(p => VectorSearch.qvec(30 + t * NearDupPlanes + p))
+
+  /** d5: embedding-cosine near-dup pairs via multi-table random-
+    * hyperplane LSH. Each vector gets one sign-bit bucket per table (a
+    * pure codegen'd map — T×P dot products per row, no shuffle); the
+    * self-join runs per (table, bucket) with oversized buckets dropped,
+    * so candidate cost is Σ occupancy²/2 over capped buckets — bounded,
+    * never corpus². Pairs found by several tables are deduplicated on
+    * the id pair BEFORE re-joining embeddings for the exact cosine
+    * verify, so only (vec_a, vec_b) id pairs cross the dedup shuffle. */
   def embeddingNearDup(embs: DataFrame, maxDistance: Double = 0.55): DataFrame = {
-    val e = embs.select(col("vec_id"), col("embedding"),
-      ((element_at(col("embedding"), 1) >= 0).cast("int") * 2 +
-        (element_at(col("embedding"), 2) >= 0).cast("int")).as("blk"))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val tableBuckets = (0 until NearDupTables).map { t =>
+      val bkt = nearDupPlanes(t).zipWithIndex.map { case (pl, p) =>
+        when(vectors.dotProduct(col("embedding"), typedlit(pl)) >= 0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bkt.as("bkt"))
+    }
+    val bucketed = e
+      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val capped = bucketed.withColumn("bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("t"), col("bkt"))))
+      .filter(col("bn") <= MaxNearDupBucket)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
+      .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
       .withColumn("score",
-        vectors.cosineDistance(col("a.embedding"), col("b.embedding")))
+        vectors.cosineDistance(col("ea.embedding"), col("eb.embedding")))
       .filter(col("score") <= maxDistance)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("score"))
+      .select(col("vec_a"), col("vec_b"), col("score"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -218,6 +343,12 @@ object Dedup {
 
   private val toksSql = textops.tokensSql("text")
   private val shSql = textops.shinglesSql("t")
+
+  /** DuckDB twin of the table-t sign-bit bucket (over a column `emb`). */
+  private def nearDupBucketSql(t: Int): String =
+    nearDupPlanes(t).zipWithIndex.map { case (pl, p) =>
+      s"(CASE WHEN list_inner_product(emb, ${VectorSearch.sqlArray(pl)}::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** DuckDB twins, exact to the bit (see [[textops]] for the shared
     * primitives). */
@@ -254,10 +385,13 @@ object Dedup {
          |sh AS (SELECT doc_id, $shSql AS s FROM toks),
          |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh2),
-         |hx AS (SELECT doc_id, g, h,
-         |         ${graft.functions.textops.hash60Sql("g || ':' || h::VARCHAR")} AS hv
-         |       FROM ex CROSS JOIN (SELECT unnest(range(0, $MinHashFns)) AS h)),
-         |sig AS (SELECT doc_id, h, min(hv) AS mh FROM hx GROUP BY 1, 2),
+         |hx AS (SELECT doc_id, ${graft.functions.textops.hash60Sql("g")} AS hv FROM ex),
+         |sig AS (SELECT doc_id, h,
+         |          min((${mhA.mkString("[", ", ", "]")}[h + 1] * (hv >> 30) +
+         |               ${mhB.mkString("[", ", ", "]")}[h + 1] * (hv & $Lo30Mask) +
+         |               ${mhC.mkString("[", ", ", "]")}[h + 1]) % $MinHashP) AS mh
+         |        FROM hx CROSS JOIN (SELECT unnest(range(0, $MinHashFns)) AS h)
+         |        GROUP BY 1, 2),
          |bk AS (SELECT doc_id, h // $BandRows AS band, bit_xor(mh) AS bkey
          |       FROM sig GROUP BY 1, 2),
          |sized AS (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM bk),
@@ -288,15 +422,24 @@ object Dedup {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 12
          |ORDER BY 1, 2""".stripMargin,
     "d5_embedding_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 2 +
-        |         (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS blk
-        |  FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       1.0 - list_cosine_similarity(a.emb, b.emb) AS score
-        |FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
-        |WHERE 1.0 - list_cosine_similarity(a.emb, b.emb) <= 0.55
-        |ORDER BY 1, 2""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |tb AS (${(0 until NearDupTables).map(t =>
+             s"SELECT vec_id, $t AS t, ${nearDupBucketSql(t)} AS bkt FROM e")
+             .mkString("\n  UNION ALL ")}),
+         |capped AS (
+         |  SELECT vec_id, t, bkt FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY t, bkt) AS bn FROM tb)
+         |  WHERE bn <= $MaxNearDupBucket),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM capped a JOIN capped b
+         |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b,
+         |       1.0 - list_cosine_similarity(ea.emb, eb.emb) AS score
+         |FROM cand
+         |JOIN e ea ON vec_a = ea.vec_id
+         |JOIN e eb ON vec_b = eb.vec_id
+         |WHERE 1.0 - list_cosine_similarity(ea.emb, eb.emb) <= 0.55
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

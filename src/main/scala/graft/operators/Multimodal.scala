@@ -24,19 +24,27 @@ object Multimodal {
   case class ImageMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
     channels: Int, format: String)
 
-  /** STUB decode: derives deterministic fake dimensions from the
-    * payload hash. A real deployment swaps `decodeOne` for an actual
-    * image decode (e.g. javax.imageio / JNI) — the partition-batched
-    * call pattern, schema and shuffle behavior stay identical. */
-  private def decodeOne(docId: Long, payload: Array[Byte]): ImageMeta = {
-    // ??? <- real decode goes here; deterministic fake below
-    val h = java.lang.Long.parseLong(
+  /** Scala twin of [[textops.hash60]] (md5 hex prefix → 60-bit long)
+    * for use outside the expression tree. */
+  private def hash60(s: String): Long =
+    java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
-        .digest(payload).take(7).map("%02x".format(_)).mkString, 16)
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+
+  /** STUB decode: derives deterministic fake dimensions from
+    * hash60(payload‖suffix) — the SAME formulas as [[binaryMeta]]'s
+    * expression path, so the two paths agree bit for bit (unit-tested).
+    * A real deployment swaps `decodeOne` for an actual image decode
+    * (e.g. javax.imageio / JNI) — the partition-batched call pattern,
+    * schema and shuffle behavior stay identical. */
+  private[operators] def decodeOne(docId: Long, payload: Array[Byte]): ImageMeta = {
+    // ??? <- real decode goes here; deterministic fake below
+    val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
     ImageMeta(docId, payload.length,
-      width = (64 + h % 1856).toInt,
-      height = (64 + (h / 7) % 1016).toInt,
-      channels = (1 + h % 4).toInt,
+      width = (64 + hash60(text + "|w") % 1856).toInt,
+      height = (64 + hash60(text + "|h") % 1016).toInt,
+      channels = (1 + hash60(text + "|c") % 4).toInt,
       format = if (docId % 3 == 0) "png" else if (docId % 3 == 1) "jpeg" else "webp")
   }
 
@@ -54,8 +62,9 @@ object Multimodal {
   /** m1: binary payload + typed metadata extraction, all-expression
     * form (the driver-gated, oracle-checked path). The payload is the
     * utf-8 bytes of the text (a stand-in for image bytes); metadata is
-    * hash-derived exactly like the stub, but via [[textops.hash60]] so
-    * DuckDB reproduces it. */
+    * hash-derived via [[textops.hash60]] with the SAME formulas as
+    * [[decodeOne]], so DuckDB reproduces it and the mapPartitions
+    * decode path yields identical rows (unit-tested). */
   def binaryMeta(docs: DataFrame): DataFrame = {
     val payload = col("text").cast("binary")
     docs

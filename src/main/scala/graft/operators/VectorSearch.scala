@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.vectors
+import graft.functions.{concepts, vectors}
 
 /** LAION vector-search surface (SURVEY §2, v1–v8).
   *
@@ -75,24 +75,22 @@ object VectorSearch {
       .orderBy(col("score"), col("vec_id"))
       .limit(k)
 
-  /** v5 helper: driver-side concept algebra — the reference evaluates
-    * `'cat' + 'fluffy' - 'dog'` client-side into one query vector
-    * (`search.py:70-105`, `udfs/embed_concept.py`); combining literal
-    * vectors on the driver is the Spark-idiomatic equivalent (constant
-    * folding, not a per-row arrayMap). */
-  def conceptCombine(a: Seq[Double], op: String, b: Seq[Double]): Seq[Double] = op match {
-    case "+" => a.zip(b).map { case (x, y) => x + y }
-    case "-" => a.zip(b).map { case (x, y) => x - y }
-    case "*" => a.zip(b).map { case (x, y) => x * y }
-    case "/" => a.zip(b).map { case (x, y) => x / y }
-    case o => throw new IllegalArgumentException(s"unknown operator $o")
-  }
+  /** v5: concept environment — named "concepts" resolving to vectors.
+    * The reference resolves names through its embedding model
+    * (`udfs/embed_concept.py`); here they are the deterministic query
+    * literals, which keeps the oracle exact. */
+  def conceptEnv: Map[String, Seq[Double]] =
+    Map("q0" -> qvec(0), "q1" -> qvec(1), "q2" -> qvec(2))
 
-  def conceptScale(k: Double, a: Seq[Double]): Seq[Double] = a.map(_ * k)
+  /** The flagship concept expression, evaluated by the infix grammar
+    * ([[graft.functions.concepts.parse]]) exactly as the reference
+    * parses `'cat' + 0.5 * 'fluffy' - 'dog'` — precedence, parens,
+    * scalars on either side. Driver-side evaluation (like the
+    * reference's client-side tree walk) constant-folds the whole
+    * algebra into one literal before the search plan exists. */
+  val ConceptExpr = "(q0 + 0.5 * q1) - q2"
 
-  /** v5: concept-math knn: (q0 + 0.5·q1) − q2, then cosine search. */
-  def conceptVector: Seq[Double] =
-    conceptCombine(conceptCombine(qvec(0), "+", conceptScale(0.5, qvec(1))), "-", qvec(2))
+  def conceptVector: Seq[Double] = concepts.parse(ConceptExpr, conceptEnv)
 
   def conceptMathKnn(s: SparkSession, d: String, k: Int = 10): DataFrame =
     embeddings(s, d)
@@ -102,21 +100,55 @@ object VectorSearch {
       .limit(k)
 
   /** v6: process.py equivalent — align metadata with embeddings by id,
-    * clean text (curly quotes → space, `process.py:78`), carry typed
-    * metadata + the vector into one wide row. At 100 TB both sides are
-    * bucketed/partitioned on the id so this is a co-located join. */
+    * clean text (curly quotes → space, `process.py:78`), parse exif
+    * JSON into a `map<string,string>` column (`process.py:76`), and
+    * carry typed metadata + the map + the vector into one wide row.
+    * The testdata has no raw exif column, so a deterministic exif JSON
+    * string is synthesized from the row first; what's exercised — JSON
+    * string in, MapType out via `from_json`, map access downstream —
+    * is the reference's ingest contract. The id equijoin shuffles both
+    * sides on the id; [[ingestWrite]]'s bucketed variant makes repeat
+    * ingests against the same corpus co-located. */
   def ingestCombine(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val embs = embeddings(s, d)
+    val exifJson = format_string(
+      """{"source":"%s","lang":"%s","n_chars":"%s"}""",
+      col("source"), col("lang"), col("n_chars"))
     docs.join(embs, col("doc_id") === col("vec_id"))
+      .withColumn("exif", from_json(exifJson,
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
       .select(
         col("doc_id"),
         regexp_replace(regexp_replace(col("text"), "’", " "), "‘", " ")
           .as("caption"),
         col("lang"), col("source"), col("n_chars"), col("label"),
+        col("exif"),
+        col("embedding"),
         vectors.l2Norm(col("embedding")).as("emb_norm"))
-      .orderBy(col("doc_id"))
   }
+
+  /** process.py's writer re-expressed: zstd parquet (the reference
+    * writes `compression='zstd'`). The map/array columns survive the
+    * round-trip; pass `bucketBy`-style pre-partitioning upstream when
+    * the corpus will be re-joined on doc_id. */
+  def ingestWrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+
+  /** Driver-gated v6 projection: scalar columns only (a raw MapType
+    * column has no canonical cross-engine hash form), with the map
+    * exercised via element_at round-trips the oracle checks against the
+    * original fields. */
+  def v6Query(s: SparkSession, d: String): DataFrame =
+    ingestCombine(s, d)
+      .select(col("doc_id"), col("caption"), col("lang"), col("source"),
+        col("n_chars"), col("label"),
+        element_at(col("exif"), "source").as("exif_source"),
+        element_at(col("exif"), "lang").as("exif_lang"),
+        col("emb_norm"))
+      .orderBy(col("doc_id"))
 
   /** v7: vector norms as first-class expressions (L1/L2/Linf vs zero). */
   def norms(s: SparkSession, d: String): DataFrame = {
@@ -134,10 +166,14 @@ object VectorSearch {
     * column in, Array(Float32)-shaped vector out. The model call is
     * STUBBED with a deterministic hash-derived vector (no ML libs in
     * this environment); the engine-side contract — columnar in/out,
-    * codegen-able expression tree, knn over the result — is real. */
+    * codegen-able expression tree, knn over the result — is real.
+    * Components derive from [[graft.functions.textops.hash60]] (md5,
+    * not xxhash64) so the stub has an exact DuckDB twin and v8 is
+    * hash-checked end to end instead of rows-only. */
   def embedText(c: Column): Column = {
     val comps = (0 until Dim).map { i =>
-      ((xxhash64(c, lit(i)) % lit(1000L)).cast("double") / lit(500.0))
+      (graft.functions.textops.hash60(concat(c, lit(":" + i))) % lit(1000L))
+        .cast("double") / lit(500.0) - lit(1.0)
     }
     array(comps: _*)
   }

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2, s1–s2).
+  *
+  * The reference ingests continuously by looping shards through a
+  * writer (`process.py:95-120` — each new shard parquet appended to the
+  * served table); Structured Streaming is the Spark-native form of that
+  * pattern: a `readStream` source, the SAME declarative transforms as
+  * batch, incremental state + watermark instead of a driver loop.
+  * Both operators below are plan-builders over any DataFrame/Dataset —
+  * batch or streaming — so the streaming path is unit-tested with
+  * `MemoryStream` and the logic is identical if pointed at a file or
+  * Kafka source.
+  *
+  * Scale notes: s1's state is one row per (window, event_type) — the
+  * watermark bounds it by evicting closed windows; s2's state is one
+  * small struct per live user session, keyed state partitioned by
+  * user_id across executors, evicted by event-time timeout. Neither
+  * holds raw events after the batch that delivered them.
+  */
+object EventStream {
+
+  /** s1: windowed event aggregation with a watermark. Late events
+    * beyond `watermark` are dropped and their windows finalized —
+    * bounded state no matter how long the stream runs. */
+  def windowedCounts(events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Int, sumValue: Double)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+    n_events: Int, sum_value: Double)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** s2: stateful sessionization via `flatMapGroupsWithState` — the
+    * streaming twin of the batch lag-gap-cumsum in Analytics.q19. A
+    * session closes when (a) a later event for the same user arrives
+    * more than `gapMs` after it (emitted that batch), or (b) the
+    * event-time watermark passes `end + gapMs` with no new events
+    * (emitted by timeout — the open session can't be extended anymore
+    * because anything that could extend it is now late). */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = SessionGapMs,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def toSession(userId: Long, st: SessionState): Session =
+      Session(userId, new Timestamp(st.start), new Timestamp(st.end),
+        st.n, st.sumValue)
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession(userId, _)).toList
+        state.remove()
+        out.iterator
+      } else {
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(st) if t - st.end <= gapMs =>
+              cur = Some(st.copy(end = math.max(st.end, t),
+                n = st.n + 1, sumValue = st.sumValue + e.value))
+            case Some(st) =>
+              closed ::= toSession(userId, st)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { st =>
+          state.update(st)
+          state.setTimeoutTimestamp(st.end + gapMs)
+        }
+        closed.reverse.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

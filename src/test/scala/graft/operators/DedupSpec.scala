@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Distinctive multi-sentence docs: near-dup pair (0, 1), unrelated 2+.
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog while the storm gathers " +
+      "strength beyond the eastern ridge and rain begins to fall"
+  private val docs = Seq(
+    (0L, baseText),
+    (1L, baseText + " slowly"), // near-dup of 0: shares almost all shingles
+    (2L, "completely different content about spark catalyst optimizer " +
+      "rules rewriting logical plans into physical execution strategies"),
+    (3L, "short text"), // < 3 tokens after shingling guard? 2 tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  test("exactDedup collapses the simulated recrawl copies") {
+    val out = Dedup.exactDedup(docs).collect()
+    // recrawl duplicates every 10th doc (here: doc 0) under id+1e6
+    out.length shouldBe 1
+    out(0).getAs[Long]("n_copies") shouldBe 2L
+    out(0).getAs[Long]("keeper") shouldBe 0L
+  }
+
+  test("ngramJaccard finds the near-dup pair and only it") {
+    val out = Dedup.ngramJaccard(docs, threshold = 0.5).collect()
+    out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))) shouldBe
+      Array((0L, 1L))
+    out(0).getAs[Double]("jaccard") should be > 0.5
+  }
+
+  test("minhashLsh: identical docs collide in all bands") {
+    val twins = Seq((10L, baseText), (11L, baseText), (12L, "unrelated words entirely about something else with many more tokens"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLsh(twins).collect()
+    val pairs = out.map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+      r.getAs[Long]("n_bands"))).toMap
+    pairs((10L, 11L)) shouldBe (Dedup.MinHashFns / Dedup.BandRows).toLong
+    pairs.keySet shouldBe Set((10L, 11L))
+  }
+
+  test("simhash: identical docs get identical hashes; hamming 0 pair found") {
+    val twins = Seq((20L, baseText), (21L, baseText)).toDF("doc_id", "text")
+    val hashes = Dedup.simhash(twins).collect()
+      .map(r => r.getAs[Long]("simhash")).distinct
+    hashes.length shouldBe 1
+    val pairs = Dedup.simhashPairs(twins).collect()
+    pairs.length shouldBe 1
+    pairs(0).getAs[Int]("hamming") shouldBe 0
+  }
+
+  test("embeddingNearDup finds identical vectors, skips distant ones") {
+    val dim = 64
+    val v = (0 until dim).map(i => ((i * 13 % 7) - 3).toFloat)
+    val w = (0 until dim).map(i => (((i + 3) * 29 % 11) - 5).toFloat) // unrelated
+    val embs = Seq((0L, v), (1L, v), (2L, w)).toDF("vec_id", "embedding")
+    graft.functions.vectors.register(spark)
+    val out = Dedup.embeddingNearDup(embs).collect()
+    out.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))) should
+      contain((0L, 1L))
+    out.foreach(r => r.getAs[Double]("score") should be <= 0.55)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.SparkSpec
+
+class VectorSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conceptVector == manual (q0 + 0.5*q1) - q2, via the infix parser") {
+    val expect = VectorSearch.qvec(0)
+      .lazyZip(VectorSearch.qvec(1)).lazyZip(VectorSearch.qvec(2))
+      .map((x, y, z) => (x + 0.5 * y) - z)
+    VectorSearch.conceptVector shouldBe expect
+  }
+
+  test("embedText: Dim components, [-1, 1) range, matches driver md5 math") {
+    def hash60Ref(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val text = "some caption text"
+    val got = Seq(text).toDF("text")
+      .select(VectorSearch.embedText(col("text")).as("v"))
+      .head().getSeq[Double](0)
+    got.length shouldBe VectorSearch.Dim
+    got.zipWithIndex.foreach { case (x, i) =>
+      x shouldBe (hash60Ref(s"$text:$i") % 1000L).toDouble / 500.0 - 1.0
+      x should (be >= -1.0 and be < 1.0)
+    }
+  }
+
+  test("ingestCombine carries a map<string,string> exif column that round-trips") {
+    val out = VectorSearch.ingestCombine(spark, graft.SparkSpec.TinySf)
+    out.schema("exif").dataType shouldBe MapType(StringType, StringType)
+    val rows = out.select(col("source"), col("lang"),
+      element_at(col("exif"), "source").as("es"),
+      element_at(col("exif"), "lang").as("el")).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getString(2) shouldBe r.getString(0)
+      r.getString(3) shouldBe r.getString(1)
+    }
+  }
+
+  test("ingestWrite produces zstd parquet that reads back identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstd").toString
+    val df = VectorSearch.ingestCombine(spark, graft.SparkSpec.TinySf)
+    VectorSearch.ingestWrite(df, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    files.filter(_.endsWith(".parquet")).foreach { f =>
+      f should include(".zstd.")
+    }
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe df.count()
+    back.schema("exif").dataType shouldBe MapType(StringType, StringType)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.EventStream.{Event, Session}
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minutes offset from a base well past epoch 0 — an event AT the
+    * initial watermark (epoch 0) is dropped as late, which is exactly
+    * the edge this base avoids. */
+  private val BaseMin = 24L * 60 * 365
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp((BaseMin + minutes) * 60000L)
+
+  test("s1 batch mode: same plan aggregates a batch DataFrame") {
+    val df = Seq(
+      Event(1, ts(1), "click", 1.0),
+      Event(2, ts(2), "click", 2.0),
+      Event(1, ts(11), "view", 5.0),
+    ).toDF()
+    val out = EventStream.windowedCounts(df, "10 minutes", "5 minutes")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("window_start").getTime / 60000L - BaseMin,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value"))).sortBy(t => (t._1, t._2))
+    out shouldBe Array((0L, "click", 2L, 3.0), (10L, "view", 1L, 5.0))
+  }
+
+  test("s1 streaming: windowed counts over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("s1out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(1), "click", 1.0),
+        Event(2, ts(2), "click", 2.0),
+        Event(1, ts(11), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("s1out").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n")))
+        .toSet
+      rows shouldBe Set(("click", 2L), ("view", 1L))
+      // incremental: a second micro-batch extends the same window state
+      input.addData(Event(3, ts(3), "click", 7.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("s1out").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n")))
+        .toSet
+      rows2 shouldBe Set(("click", 3L), ("view", 1L))
+    } finally q.stop()
+  }
+
+  test("s2 streaming sessionization: gap-close and watermark-timeout-close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(),
+        gapMs = 30 * 60000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("s2out")
+      .outputMode("append").start()
+    try {
+      // session A: user 1, two events 10 min apart (same session)
+      input.addData(Event(1, ts(0), "click", 1.0), Event(1, ts(10), "click", 2.0))
+      q.processAllAvailable()
+      spark.table("s2out").count() shouldBe 0 // still open
+
+      // 110-min gap → session A closes in-batch, session B opens
+      input.addData(Event(1, ts(120), "click", 3.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("s2out").as[Session].collect()
+      afterGap.length shouldBe 1
+      afterGap(0).user_id shouldBe 1L
+      afterGap(0).n_events shouldBe 2
+      afterGap(0).start shouldBe ts(0)
+      afterGap(0).end shouldBe ts(10)
+      afterGap(0).sum_value shouldBe 3.0
+
+      // push the watermark far past B's end+gap (150) → B closes by
+      // timeout; the extra batch lets the new watermark take effect
+      input.addData(Event(2, ts(600), "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(601), "click", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("s2out").as[Session].collect()
+      val user1 = all.filter(_.user_id == 1L).sortBy(_.start.getTime)
+      user1.length shouldBe 2
+      user1(1).n_events shouldBe 1
+      user1(1).start shouldBe ts(120)
+      user1(1).sum_value shouldBe 3.0
+    } finally q.stop()
+  }
+}
