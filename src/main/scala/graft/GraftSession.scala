@@ -36,7 +36,8 @@ object GraftSession {
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       // wide-but-legitimate expression trees (e.g. v8's 64-component
       // embed array) otherwise spam truncation warnings into the log
-      .config("spark.sql.debug.maxToStringFields", "200")
+      .config("spark.sql.debug.maxToStringFields", "2000")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

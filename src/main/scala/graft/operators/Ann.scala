@@ -97,17 +97,28 @@ object Ann {
       s"(CASE WHEN list_inner_product($v, ${VectorSearch.sqlArray(pl)}::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** a2: LSH-bucketed ANN. Corpus bucket assignment is a pure map
-    * (P codegen'd dot products per row); each query joins only its own
-    * bucket (~n/2^P of the corpus), then exact cosine + top-k inside
-    * the bucket. Queries carry driver-precomputed buckets. Recall is
-    * the LSH trade: a true neighbor in another bucket is missed —
-    * multi-table/multi-probe extends this (more (table, bucket) join
-    * keys), the plan shape is unchanged. */
+  /** Multi-probe set for a query bucket: the exact bucket plus every
+    * bucket at Hamming distance 1 (one hyperplane's sign flipped — the
+    * most likely place a near-neighbor lands when the query sits close
+    * to that plane). Driver-side, [[NumPlanes]]+1 values per query. */
+  def probeBuckets(b: Int): Seq[Int] =
+    b +: (0 until NumPlanes).map(p => b ^ (1 << p))
+
+  /** a2: LSH-bucketed ANN with multi-probe. Corpus bucket assignment is
+    * a pure map (P codegen'd dot products per row); each query joins
+    * its own bucket PLUS the P Hamming-1 probe buckets (~(P+1)·n/2^P of
+    * the corpus), then exact cosine + top-k inside the probed set.
+    * Queries carry driver-precomputed probe buckets, so the probe is
+    * still a single broadcast equi-join on the bucket key — multi-probe
+    * buys back the recall a single-bucket LSH loses near plane
+    * boundaries without changing the plan shape. A vector has exactly
+    * one bucket and probe values are distinct, so no candidate dedup is
+    * needed. */
   def lshKnn(embs: DataFrame, k: Int = K)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    val queries = querySet.map { case (i, v) => (i, bucketOf(v), v) }
-      .toDF("query_id", "qbucket", "qv")
+    val queries = querySet.flatMap { case (i, v) =>
+      probeBuckets(bucketOf(v)).map(pb => (i, pb, v))
+    }.toDF("query_id", "qbucket", "qv")
     val bucketed = embs.withColumn("bkt", bucketCol(col("embedding")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
     bucketed.join(broadcast(queries), col("bkt") === col("qbucket"))
@@ -193,6 +204,16 @@ object Ann {
 
   // ------------------------------------------------------------ oracles
 
+  /** Parity assumption, shared by every float-scoring oracle here and
+    * in [[Dedup.oracles]]: Spark's sequential left-to-right double
+    * accumulation must match DuckDB's `list_inner_product` /
+    * `list_cosine_similarity` / `list_distance` summation order at
+    * decision boundaries (bucket sign flips, threshold cuts, argmin
+    * ties). It does on the pinned harness DuckDB; a DuckDB that
+    * switches to pairwise/SIMD accumulation would flip hard-boundary
+    * cases. The query/plane vectors are exact binary fractions (k/64)
+    * precisely to keep dot products representable and away from
+    * boundaries. */
   val oracles: Map[String, String] = Map(
     "a1_batch_knn" ->
       s"""WITH queries(query_id, qv) AS (VALUES $queriesValuesSql)
@@ -203,8 +224,9 @@ object Ann {
          |ORDER BY query_id, score, vec_id""".stripMargin,
     "a2_lsh_ann" ->
       s"""WITH queries(query_id, qbucket, qv) AS (VALUES ${
-        sqlValues(querySet.map { case (i, v) =>
-          s"($i, ${bucketOf(v)}, ${VectorSearch.sqlArray(v)}::DOUBLE[])" })}),
+        sqlValues(querySet.flatMap { case (i, v) =>
+          probeBuckets(bucketOf(v)).map(pb =>
+            s"($i, $pb, ${VectorSearch.sqlArray(v)}::DOUBLE[])") })}),
          |c AS (SELECT vec_id, embedding::DOUBLE[] AS e,
          |             ${bucketSql("embedding::DOUBLE[]")} AS bkt
          |      FROM embeddings)

@@ -132,10 +132,22 @@ object VectorSearch {
 
   /** process.py's writer re-expressed: zstd parquet (the reference
     * writes `compression='zstd'`). The map/array columns survive the
-    * round-trip; pass `bucketBy`-style pre-partitioning upstream when
-    * the corpus will be re-joined on doc_id. */
+    * round-trip. */
   def ingestWrite(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+
+  /** Bucketed variant: the combined table bucketed + sorted on doc_id,
+    * so every later id-equijoin against a same-bucketed table (repeat
+    * ingests, incremental shards — the reference re-joins its corpus
+    * per shard batch, `process.py:95-120`) is CO-LOCATED: both sides
+    * already hash-partitioned on the key, no exchange at 100 TB.
+    * `bucketBy` requires a catalog table write (tested: the self-join
+    * of the result plans with zero shuffles). */
+  def ingestWriteBucketed(df: DataFrame, table: String, buckets: Int = 16): Unit =
+    df.write.mode("overwrite")
+      .format("parquet").option("compression", "zstd")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
 
   /** Driver-gated v6 projection: scalar columns only (a raw MapType
     * column has no canonical cross-engine hash form), with the map

@@ -49,6 +49,15 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("probeBuckets: exact bucket first, Hamming-1 neighbors, all distinct") {
+    val b = 0x2a
+    val probes = Ann.probeBuckets(b)
+    probes.head shouldBe b
+    probes.length shouldBe Ann.NumPlanes + 1
+    probes.distinct.length shouldBe probes.length
+    probes.tail.foreach { p => Integer.bitCount(p ^ b) shouldBe 1 }
+  }
+
   test("lshKnn returns at most k per query, each from the query's bucket") {
     vectors.register(spark)
     val out = Ann.lshKnn(corpus(200))(spark).collect()

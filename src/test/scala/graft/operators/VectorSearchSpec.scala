@@ -45,6 +45,23 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("ingestWriteBucketed: re-join on the bucket key plans without a shuffle") {
+    val df = VectorSearch.ingestCombine(spark, graft.SparkSpec.TinySf)
+      .select(col("doc_id"), col("caption"))
+    VectorSearch.ingestWriteBucketed(df, "graft_bucketed_spec", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = spark.table("graft_bucketed_spec")
+      val joined = t.as("x").join(t.as("y"), "doc_id")
+      joined.count() shouldBe df.count()
+      // both sides read pre-bucketed data: hash partitioning comes from
+      // the files, not an exchange
+      joined.queryExecution.executedPlan.toString should
+        not include "Exchange hashpartitioning"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ingestWrite produces zstd parquet that reads back identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zstd").toString
     val df = VectorSearch.ingestCombine(spark, graft.SparkSpec.TinySf)
