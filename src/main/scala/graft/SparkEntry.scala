@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, Dedup, Multimodal, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, Curation, Dedup, Multimodal, TextAnalysis, VectorSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -65,6 +65,11 @@ object SparkEntry {
     "a1_batch_knn" -> (Ann.a1Query _),
     "a2_lsh_ann" -> (Ann.a2Query _),
     "a3_ivf_ann" -> (Ann.a3Query _),
+    "c1_hash_split" -> (Curation.c1Query _),
+    "c2_stratified_sample" -> (Curation.c2Query _),
+    "c3_group_canonical" -> (Curation.c3Query _),
+    "c4_pii_scrub" -> (Curation.c4Query _),
+    "c5_ngram_stats" -> (Curation.c5Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -243,5 +248,6 @@ object SparkEntry {
          |     i -> (${graft.functions.textops.hash60Sql("text || ':' || i::VARCHAR")} % 1000)::DOUBLE / 500.0 - 1.0),
          |   ${vec(4)}::DOUBLE[]) AS score
          |FROM documents ORDER BY score, doc_id LIMIT 10""".stripMargin,
-  ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++ Ann.oracles
+  ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
+    Ann.oracles ++ Curation.oracles
 }

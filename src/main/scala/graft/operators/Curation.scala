@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.textops
+
+/** Training-data curation operators (SURVEY §2, c1–c5) — the pipeline
+  * steps downstream of dedup/quality that a 100 TB corpus build needs:
+  * deterministic splits, stratified sampling, canonical selection,
+  * PII scrubbing, corpus n-gram statistics.
+  *
+  * Everything is content-hash-deterministic (no `rand()`): split and
+  * sample membership derive from [[textops.hash60]] of the text, so
+  * results are reproducible across runs/engines, stable under corpus
+  * re-partitioning, and exactly DuckDB-checkable — which is also how
+  * real pipelines pin train/val membership (content-addressed, not
+  * row-order-addressed). Every operator is a pure map or a single
+  * aggregation: one shuffle at most, map-side combinable.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- c1
+
+  /** Split percentages (train/val boundaries in a 0..99 hash space). */
+  val TrainPct = 80
+  val ValPct = 10
+
+  private def splitCol =
+    when(textops.hash60(col("text")) % 100 < TrainPct, "train")
+      .when(textops.hash60(col("text")) % 100 < TrainPct + ValPct, "val")
+      .otherwise("test")
+
+  /** c1: deterministic train/val/test split by content hash — membership
+    * is a property of the DOCUMENT, not of row order or partitioning,
+    * so re-runs and re-shards can't leak val docs into train. Output is
+    * the per-split profile (count + size), one aggregation. */
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("split", splitCol)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+
+  def c1Query(s: SparkSession, d: String): DataFrame =
+    hashSplit(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------- c2
+
+  /** Per-mille keep-rate by language: upsample the rarer languages,
+    * downsample the dominant one — the usual mixture-rebalancing move. */
+  val LangRatePermille: Map[String, Int] = Map("en" -> 300, "zh" -> 250)
+  val DefaultRatePermille = 100
+
+  private def rateCol =
+    LangRatePermille.foldLeft(lit(DefaultRatePermille)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+
+  /** c2: stratified deterministic sampling — keep a doc iff its content
+    * hash lands under its stratum's per-mille rate. A pure map over the
+    * scan (the filter pushes into it); no shuffle except the
+    * presentation sort. */
+  def stratifiedSample(docs: DataFrame): DataFrame =
+    docs
+      .filter(textops.hash60(col("text")) % 1000 < rateCol)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  def c2Query(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------- c3
+
+  /** c3: canonical selection — one representative per (lang, source)
+    * group: the longest doc, ties to the smallest doc_id. `max` over a
+    * (n_chars, −doc_id) struct = map-side-combinable argmax, no window,
+    * no second pass over the group. */
+  def groupCanonical(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("source"),
+        (-col("best.neg_id")).as("keeper"),
+        col("best.n_chars").as("keeper_chars"),
+        col("n_docs"))
+      .orderBy(col("lang"), col("source"))
+
+  def c3Query(s: SparkSession, d: String): DataFrame =
+    groupCanonical(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------- c4
+
+  /** Conservative cross-engine patterns (identical semantics in Java
+    * regex and RE2): emails and long digit runs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** c4: PII scrubbing — redact emails and long digit runs in one
+    * codegen'd map pass; the fingerprint of the scrubbed text makes the
+    * result exactly checkable without shipping the text twice. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+    docs
+      .select(col("doc_id"),
+        md5(scrubbed).as("scrubbed_md5"),
+        (length(col("text")) =!= length(scrubbed)).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  def c4Query(s: SparkSession, d: String): DataFrame =
+    piiScrub(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------- c5
+
+  val TopNgrams = 20
+
+  /** c5: corpus n-gram statistics — document frequency of distinct
+    * 3-word shingles, top [[TopNgrams]]. One explode → one counting
+    * aggregation (map-side combinable) → distributed top-k
+    * (TakeOrderedAndProject). The same postings that feed d2's
+    * candidate join, used as a corpus-profiling operator. */
+  def ngramStats(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(textops.shingles(textops.tokens(col("text")))).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g"))
+      .limit(TopNgrams)
+
+  def c5Query(s: SparkSession, d: String): DataFrame =
+    ngramStats(Tables.documents(s, d))
+
+  // ------------------------------------------------------------ oracles
+
+  private val h60text = textops.hash60Sql("text")
+  private val toksSql = textops.tokensSql("text")
+  private val shSql = textops.shinglesSql("t")
+
+  val oracles: Map[String, String] = Map(
+    "c1_hash_split" ->
+      s"""SELECT CASE WHEN $h60text % 100 < $TrainPct THEN 'train'
+         |            WHEN $h60text % 100 < ${TrainPct + ValPct} THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c2_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $h60text % 1000 <
+         |  (CASE WHEN lang = 'zh' THEN ${LangRatePermille("zh")}
+         |        WHEN lang = 'en' THEN ${LangRatePermille("en")}
+         |        ELSE $DefaultRatePermille END)
+         |ORDER BY doc_id""".stripMargin,
+    "c3_group_canonical" ->
+      """SELECT lang, source, keeper, keeper_chars, n_docs FROM (
+        |  SELECT lang, source, doc_id AS keeper, n_chars AS keeper_chars,
+        |         count(*) OVER (PARTITION BY lang, source) AS n_docs,
+        |         row_number() OVER (PARTITION BY lang, source
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+    "c4_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$LongNumRe', '<NUM>', 'g')) AS scrubbed_md5,
+         |  length(text) <> length(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$LongNumRe', '<NUM>', 'g')) AS changed
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "c5_ngram_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, $shSql AS s FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0)
+         |SELECT g, count(*) AS df FROM ex GROUP BY g
+         |ORDER BY df DESC, g LIMIT $TopNgrams""".stripMargin,
+  )
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon text one", "en", "src0", 39),
+    (1L, "alpha beta gamma delta epsilon text two longer", "en", "src0", 47),
+    (2L, "contact me at someone@example.com for details", "en", "src1", 45),
+    (3L, "my number is 1234567890 call me", "de", "src1", 31),
+    (4L, "kurzer text ohne besonderheiten hier", "de", "src0", 36),
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("hashSplit partitions every doc into exactly one split") {
+    val out = Curation.hashSplit(docs).collect()
+    out.map(_.getAs[Long]("n_docs")).sum shouldBe docs.count()
+    out.map(_.getAs[String]("split")).toSet subsetOf Set("train", "val", "test")
+  }
+
+  test("stratifiedSample is deterministic and a subset") {
+    val a = Curation.stratifiedSample(docs).collect().map(_.getLong(0)).toSeq
+    val b = Curation.stratifiedSample(docs).collect().map(_.getLong(0)).toSeq
+    a shouldBe b
+    a.toSet subsetOf Set(0L, 1L, 2L, 3L, 4L)
+  }
+
+  test("groupCanonical keeps the longest doc per group, min-id ties") {
+    val out = Curation.groupCanonical(docs).collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("source")),
+        (r.getAs[Long]("keeper"), r.getAs[Long]("n_docs")))).toMap
+    out(("en", "src0")) shouldBe ((1L, 2L)) // 47 chars beats 39
+    out(("en", "src1")) shouldBe ((2L, 1L))
+    out(("de", "src0")) shouldBe ((4L, 1L))
+    out(("de", "src1")) shouldBe ((3L, 1L))
+  }
+
+  test("piiScrub flags exactly the docs containing an email or long number") {
+    val out = Curation.piiScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("changed")).toMap
+    out(2L) shouldBe true // email
+    out(3L) shouldBe true // 10-digit run
+    out(0L) shouldBe false
+    out(4L) shouldBe false
+  }
+
+  test("ngramStats counts shingle document frequency") {
+    val out = Curation.ngramStats(docs).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("df")).toMap
+    // docs 0 and 1 share the 'alpha beta gamma' shingle
+    out("alpha beta gamma") shouldBe 2L
+    out("beta gamma delta") shouldBe 2L
+  }
+}

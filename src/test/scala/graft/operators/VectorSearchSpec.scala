@@ -48,6 +48,16 @@ class VectorSearchSpec extends SparkSpec {
   test("ingestWriteBucketed: re-join on the bucket key plans without a shuffle") {
     val df = VectorSearch.ingestCombine(spark, graft.SparkSpec.TinySf)
       .select(col("doc_id"), col("caption"))
+    // the in-memory catalog is fresh per JVM but the warehouse dir is
+    // not — clear any leftover location from a previous test run
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_spec")
+    val loc = new java.io.File("/tmp/graft-warehouse/graft_bucketed_spec")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
     VectorSearch.ingestWriteBucketed(df, "graft_bucketed_spec", buckets = 4)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
