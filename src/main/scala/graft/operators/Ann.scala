@@ -49,21 +49,32 @@ object Ann {
 
   // ---------------------------------------------------------------- a1
 
-  /** a1: exact batch knn — every query against the full corpus. The
-    * query set is broadcast (it is small by construction); the corpus
-    * is scanned once, scores stay in whole-stage codegen, and the
-    * per-query top-k is a rank over a partition of nq×n rows. At scale
-    * the window shuffle moves only (query_id, vec_id, score) triples —
-    * the embeddings themselves are pruned before the exchange. */
+  /** a1: exact batch knn — every query against the full corpus, in two
+    * phases. The query set is broadcast (small by construction); the
+    * corpus is scanned once with scores in whole-stage codegen. Phase 1
+    * ranks per (query, SCAN PARTITION) — no shuffle, every core keeps
+    * its own top-k per query — so at most partitions×k×nq pruned
+    * triples reach the exchange. Phase 2 ranks the survivors per query.
+    * A single global rank per query would funnel nq×n rows through nq
+    * reducer partitions — 5 active reducers on a 1000-executor cluster;
+    * the partial phase makes reduction volume independent of corpus
+    * size, the same shape `TakeOrderedAndProject` gives single-query
+    * knn. */
   def batchKnn(embs: DataFrame, queries: DataFrame, k: Int = K): DataFrame = {
     val scored = embs.join(broadcast(queries))
       .withColumn("score", vectors.cosineDistance(col("embedding"), col("qv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
-    scored
       .select(col("query_id"), col("vec_id"), col("score"))
-      .withColumn("rn", row_number().over(w))
+    val wLocal = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("score"), col("vec_id"))
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(col("score"), col("vec_id"))
+    scored
+      .withColumn("pid", spark_partition_id()) // materialized pre-shuffle
+      .withColumn("prn", row_number().over(wLocal))
+      .filter(col("prn") <= k)
+      .withColumn("rn", row_number().over(wGlobal))
       .filter(col("rn") <= k)
-      .drop("rn")
+      .select(col("query_id"), col("vec_id"), col("score"))
       .orderBy(col("query_id"), col("score"), col("vec_id"))
   }
 

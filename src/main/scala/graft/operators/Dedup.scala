@@ -20,6 +20,14 @@ import graft.functions.{textops, vectors}
   * Hashing is md5-derived ([[textops.hash60]]) so every operator —
   * including MinHash and SimHash, usually "trust me" territory — has an
   * exact DuckDB oracle twin in [[Dedup.oracles]].
+  *
+  * Algorithms are the published ones: MinHash resemblance sketches
+  * (Broder, "On the resemblance and containment of documents", 1997)
+  * with banded LSH (Leskovec/Rajaraman/Ullman, MMDS ch. 3), SimHash
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", 2002) with the pigeonhole chunk-split candidate scheme
+  * (Manku/Jain/Sarma, "Detecting near-duplicates for web crawling",
+  * 2007), and random-hyperplane LSH for cosine (same Charikar paper).
   */
 object Dedup {
 
