@@ -203,10 +203,14 @@ object Dedup {
               element_at(col("sig"), b * lit(BandRows) + lit(r + 1)))
               .reduce(_ bitwiseXOR _), lit(-1L)).as("bkey")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val bucketed = bands.withColumn("bn",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bkey"))))
-      .filter(col("bn") <= MaxBandBucket)
+    // skew cap as an anti-join against the (tiny) oversized-bucket
+    // list, not a count-window: the window would shuffle AND sort every
+    // (doc, band) row; the hot-bucket list is a broadcast, the band
+    // rows stay where they are.
+    val hotBuckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > MaxBandBucket)
+      .select(col("band"), col("bkey"))
+    val bucketed = bands.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -322,10 +326,12 @@ object Dedup {
     val bucketed = e
       .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-    val capped = bucketed.withColumn("bn",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("t"), col("bkt"))))
-      .filter(col("bn") <= MaxNearDupBucket)
+    // same anti-join skew cap as d3: broadcast the oversized-bucket
+    // list instead of count-windowing every bucket row
+    val hotBuckets = bucketed.groupBy(col("t"), col("bkt"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > MaxNearDupBucket)
+      .select(col("t"), col("bkt"))
+    val capped = bucketed.join(broadcast(hotBuckets), Seq("t", "bkt"), "left_anti")
     val cand = capped.as("a")
       .join(capped.as("b"),
         col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
