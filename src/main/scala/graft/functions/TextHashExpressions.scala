@@ -1,0 +1,205 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native codegen'd signature expressions for the dedup operators.
+  *
+  * Both take the materialized per-shingle base-hash array
+  * (`array<long>`, see Dedup.docShingleHashes) and collapse it to a
+  * signature in ONE generated Java loop nest — primitive arithmetic,
+  * no per-element lambda dispatch, no intermediate array allocation
+  * per hash function / bit. The higher-order-function formulation
+  * (`transform` × `array_min` / `aggregate`) computes the same values
+  * but evaluates interpreted, one closure call per (element ×
+  * hash-fn/bit) — at 100 TB the generated loop is the difference
+  * between scan-bound and eval-bound signature stages.
+  *
+  * The math is EXACTLY the oracle's (see Dedup.oracles): every
+  * operation is overflow-free 64-bit integer arithmetic, identical in
+  * Java, Spark expressions, and DuckDB SQL.
+  */
+object TextHashes {
+  /** MinHash universal-hash family: hash_h(v) = (A_h·hi30(v) +
+    * B_h·lo30(v) + C_h) mod (2^61−1), coefficients < 2^31 so every
+    * product stays within 62 bits. */
+  val MinHashFns = 32
+  val MinHashP: Long = (1L << 61) - 1
+  val Lo30Mask: Long = (1L << 30) - 1
+  private def coef(salt: Int): Array[Long] =
+    (0 until MinHashFns).map(h =>
+      (1103515245L * (h + salt) + 12345L) % 2147483647L).toArray
+  val A: Array[Long] = coef(1)
+  val B: Array[Long] = coef(101)
+  val C: Array[Long] = coef(201)
+
+  /** SimHash width — 60 bits, matching [[textops.hash60]]. */
+  val SimHashBits = 60
+}
+
+/** array<long> base hashes → array<long> of [[TextHashes.MinHashFns]]
+  * MinHash rows: sig[h] = min over elements of the h-th universal hash.
+  * Empty input → null (mirrors `array_min` of an empty array). */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  import TextHashes._
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty input yields null
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return null
+    val sig = new Array[Long](MinHashFns)
+    var h = 0
+    while (h < MinHashFns) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val hv = a.getLong(j)
+        val x = (A(h) * (hv >> 30) + B(h) * (hv & Lo30Mask) + C(h)) % MinHashP
+        if (x < m) m = x
+        j += 1
+      }
+      sig(h) = m
+      h += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val aRef = ctx.addReferenceObj("mhA", A, "long[]")
+      val bRef = ctx.addReferenceObj("mhB", B, "long[]")
+      val cRef = ctx.addReferenceObj("mhC", C, "long[]")
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j"); val m = ctx.freshName("m")
+      val hv = ctx.freshName("hv"); val x = ctx.freshName("x")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $sig = new long[$MinHashFns];
+         |  for (int $h = 0; $h < $MinHashFns; $h++) {
+         |    long $m = Long.MAX_VALUE;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      long $hv = $a.getLong($j);
+         |      long $x = ($aRef[$h] * ($hv >> 30) + $bRef[$h] * ($hv & ${Lo30Mask}L)
+         |        + $cRef[$h]) % ${MinHashP}L;
+         |      if ($x < $m) $m = $x;
+         |    }
+         |    $sig[$h] = $m;
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** array<long> base hashes → 60-bit SimHash long: bit b set iff more
+  * elements have bit b set than unset. Empty input → 0 (mirrors the
+  * zero-accumulator `aggregate` fold). */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  import TextHashes._
+
+  override def prettyName: String = "simhash60"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val votes = new Array[Int](SimHashBits)
+    var j = 0
+    while (j < n) {
+      val hv = a.getLong(j)
+      var b = 0
+      while (b < SimHashBits) {
+        if (((hv >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < SimHashBits) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val b = ctx.freshName("b"); val hv = ctx.freshName("hv")
+      val votes = ctx.freshName("votes"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[$SimHashBits];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $hv = $a.getLong($j);
+         |  for (int $b = 0; $b < $SimHashBits; $b++) {
+         |    if ((($hv >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < $SimHashBits; $b++) {
+         |  if ($votes[$b] > 0) $out |= 1L << $b;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** SQL registration + Column API, mirroring [[vectors]]. */
+object texthash {
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> { es => MinHashSignature(es.head) },
+    "simhash60" -> { es => SimHash60(es.head) },
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+
+  def minhashSignature(c: Column): Column = call_function("minhash_signature", c)
+  def simhash60(c: Column): Column = call_function("simhash60", c)
+}

@@ -150,7 +150,7 @@ object Dedup {
 
   // ---------------------------------------------------------------- d3
 
-  val MinHashFns = 32
+  val MinHashFns: Int = graft.functions.TextHashes.MinHashFns
   val BandRows = 4 // → 8 bands of 4 signature rows
 
   /** Universal-hash family for MinHash: hash_h(g) = (a_h·hi + b_h·lo +
@@ -158,14 +158,14 @@ object Dedup {
     * md5-derived base hash per shingle. One md5 per shingle instead of
     * [[MinHashFns]] — the md5s were 32× the signature-build cost — and
     * the 31-bit coefficients keep every product within 62 bits, so the
-    * arithmetic is overflow-free and bit-identical in DuckDB. */
-  val MinHashP: Long = (1L << 61) - 1
-  private def mhCoef(salt: Int): Seq[Long] =
-    (0 until MinHashFns).map(h => (1103515245L * (h + salt) + 12345L) % 2147483647L)
-  private val mhA = mhCoef(1)
-  private val mhB = mhCoef(101)
-  private val mhC = mhCoef(201)
-  private val Lo30Mask = (1L << 30) - 1
+    * arithmetic is overflow-free and bit-identical in DuckDB. Constants
+    * and the codegen'd signature expression live in
+    * [[graft.functions.TextHashes]]. */
+  private val mhA = graft.functions.TextHashes.A.toSeq
+  private val mhB = graft.functions.TextHashes.B.toSeq
+  private val mhC = graft.functions.TextHashes.C.toSeq
+  private val MinHashP = graft.functions.TextHashes.MinHashP
+  private val Lo30Mask = graft.functions.TextHashes.Lo30Mask
 
   /** d3: MinHash + LSH banding. Signature h of a doc = min over its
     * shingles of the h-th universal hash of hash60(shingle); band key =
@@ -183,14 +183,10 @@ object Dedup {
     * through two groupBys) shuffled 32× the corpus' shingle rows and
     * was 38s at sf0.1 for the same candidate semantics. */
   def minhashLsh(docs: DataFrame): DataFrame = {
-    val (aLit, bLit, cLit) = (typedlit(mhA), typedlit(mhB), typedlit(mhC))
+    graft.functions.texthash.register(docs.sparkSession)
     val sig = docShingleHashes(docs)
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(MinHashFns - 1)), h =>
-          array_min(transform(col("hvs"), hv =>
-            (element_at(aLit, h + 1) * shiftright(hv, 30) +
-              element_at(bLit, h + 1) * hv.bitwiseAND(lit(Lo30Mask)) +
-              element_at(cLit, h + 1)) % lit(MinHashP)))).as("sig"))
+        graft.functions.texthash.minhashSignature(col("hvs")).as("sig"))
     // coalesce makes bkey STATICALLY non-nullable (it never is null at
     // runtime — every doc here has ≥1 shingle): the join below would
     // otherwise infer IsNotNull(bkey) and predicate-push the whole
@@ -227,36 +223,29 @@ object Dedup {
 
   val SimHashBits = 60 // hash60 width
 
-  /** Bit-position powers 2^0..2^59 as one literal array (shared by the
-    * vote and reassembly passes below). */
-  private def pows: Column = typedlit((0 until SimHashBits).map(b => 1L << b))
-
   /** Per-doc 60-bit SimHash over distinct 3-word shingles: bit b is set
     * when more shingle hashes have bit b set than unset. Shingles, not
     * unigrams: on a small-vocabulary corpus every doc has nearly the
     * same distinct-token SET, which collapses unigram SimHash to ~0
     * hamming everywhere; shingle sets are distinctive.
     *
-    * The bit vote runs per BIT (`transform` over the 60 bit powers,
-    * scalar `aggregate` fold over the shingle-hash array inside) — the
-    * inner fold accumulates a plain long, so no intermediate 60-slot
-    * array is allocated per shingle. Zero shuffles, zero row
-    * multiplication; the round-2 shape (explode shingles × 60 bit
-    * positions through two groupBys) was a 60× row blowup and 33s at
-    * sf0.1 for the same result. */
+    * The whole bit-vote is the codegen'd [[graft.functions.SimHash60]]
+    * loop over the materialized shingle hashes — zero shuffles, zero
+    * row multiplication, no per-(element × bit) lambda dispatch. The
+    * round-2 shape (explode shingles × 60 bit positions through two
+    * groupBys) was a 60× row blowup and 33s at sf0.1 for the same
+    * result; the interpreted higher-order fold that replaced it still
+    * paid a closure call per element per bit.
+    *
+    * coalesce: statically non-nullable (never null at runtime) so the
+    * chunk join's inferred IsNotNull(ck) folds away instead of
+    * predicate-pushing this whole expression into the scan stage. */
   def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.texthash.register(docs.sparkSession)
     docShingleHashes(docs)
       .select(col("doc_id"),
-        transform(pows, p =>
-          aggregate(col("hvs"), lit(0L), (acc, th) =>
-            acc + when(th.bitwiseAND(p) > 0, lit(1L)).otherwise(lit(-1L)))).as("votes"))
-      .select(col("doc_id"),
-        // coalesce: statically non-nullable (never null at runtime) so
-        // the chunk join's inferred IsNotNull(ck) folds away instead of
-        // predicate-pushing this whole expression into the scan stage.
-        coalesce(aggregate(
-          zip_with(col("votes"), pows, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-          lit(0L), (a, x) => a + x), lit(0L)).as("simhash"))
+        coalesce(graft.functions.texthash.simhash60(col("hvs")), lit(0L))
+          .as("simhash"))
   }
 
   /** d4: SimHash near-dup pairs. Candidate generation splits the 60-bit

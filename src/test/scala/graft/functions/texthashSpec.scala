@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class texthashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    Seq(123456789L, 987654321L, (1L << 59) + 17L),
+    Seq(42L),
+    (1 to 100).map(i => (i * 2654435761L) & ((1L << 60) - 1)),
+  )
+
+  private def minhashRef(vs: Seq[Long]): Seq[Long] =
+    (0 until TextHashes.MinHashFns).map { h =>
+      vs.map(hv =>
+        (TextHashes.A(h) * (hv >> 30) + TextHashes.B(h) * (hv & TextHashes.Lo30Mask)
+          + TextHashes.C(h)) % TextHashes.MinHashP).min
+    }
+
+  private def simhashRef(vs: Seq[Long]): Long =
+    (0 until TextHashes.SimHashBits).map { b =>
+      val vote = vs.map(hv => if (((hv >> b) & 1L) == 1L) 1 else -1).sum
+      if (vote > 0) 1L << b else 0L
+    }.sum
+
+  test("MinHashSignature matches the driver-side reference; empty → null") {
+    texthash.register(spark)
+    val got = (samples :+ Seq.empty[Long]).toDF("hvs")
+      .select(texthash.minhashSignature(col("hvs")).as("sig"))
+      .collect()
+    samples.zipWithIndex.foreach { case (vs, i) =>
+      got(i).getSeq[Long](0) shouldBe minhashRef(vs)
+    }
+    got(samples.length).isNullAt(0) shouldBe true
+  }
+
+  test("SimHash60 matches the driver-side reference; empty → 0") {
+    texthash.register(spark)
+    val got = (samples :+ Seq.empty[Long]).toDF("hvs")
+      .select(texthash.simhash60(col("hvs")).as("sh"))
+      .collect().map(_.getLong(0))
+    samples.zipWithIndex.foreach { case (vs, i) =>
+      got(i) shouldBe simhashRef(vs)
+    }
+    got(samples.length) shouldBe 0L
+  }
+
+  test("expressions survive the SQL registry path") {
+    texthash.register(spark)
+    samples.take(1).toDF("hvs").createOrReplaceTempView("th_test")
+    val row = spark.sql(
+      "SELECT minhash_signature(hvs) AS sig, simhash60(hvs) AS sh FROM th_test")
+      .head()
+    row.getSeq[Long](0) shouldBe minhashRef(samples.head)
+    row.getLong(1) shouldBe simhashRef(samples.head)
+  }
+}
