@@ -55,12 +55,17 @@ object Analytics {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    // two-level aggregation instead of count_distinct: pre-aggregate to
+    // (segment, orderkey) — map-side combinable, no Expand doubling of
+    // the joined rows — then the distinct order count is a plain count
+    // of groups and revenue a sum of partial sums.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       .groupBy(col("c_mktsegment"))
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
-        count_distinct(col("o_orderkey")).as("n_orders"))
+      .agg(round(sum(col("rev")), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"))
   }
 

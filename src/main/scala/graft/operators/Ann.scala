@@ -180,14 +180,20 @@ object Ann {
     // per-row nearest-centroid id: array_min over (dist², cid) structs —
     // lexicographic struct ordering = min dist, ties to min cid; dist²
     // orders identically to the oracle's sqrt'd list_distance.
+    // coalesce: cid is never null at runtime (the codebook is non-empty)
+    // but array_min is statically nullable, and the probe join below
+    // would infer IsNotNull(cid) and predicate-push this WHOLE argmin
+    // fold into the scan-stage filter — evaluated per row, serially on
+    // few-split inputs, then again in the projection. Non-nullable key
+    // → the inferred filter constant-folds away.
     val centsLit = typedlit(cents)
     val assigned = embs.withColumn("cid",
-      array_min(transform(centsLit, c =>
+      coalesce(array_min(transform(centsLit, c =>
         struct(
           aggregate(zip_with(col("embedding"), c.getField("_2"),
               (x, y) => (x - y) * (x - y)),
             lit(0.0), (a, x) => a + x).as("d"),
-          c.getField("_1").as("cid")))).getField("cid"))
+          c.getField("_1").as("cid")))).getField("cid"), lit(-1L)))
 
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
