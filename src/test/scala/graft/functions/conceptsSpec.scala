@@ -37,6 +37,19 @@ class conceptsSpec extends SparkSpec {
     concepts.parse("a * b", env) shouldBe va.zip(vb).map { case (x, y) => x * y }
   }
 
+  test("quoted phrases resolve like the reference's QuotedString operands") {
+    val phraseEnv: Map[String, Seq[Double]] =
+      env ++ Map("fluffy dog" -> vb, "it's" -> va)
+    concepts.parse("'fluffy dog' + a", phraseEnv) shouldBe
+      vb.zip(va).map { case (x, y) => x + y }
+    concepts.parse("2 * 'fluffy dog'", phraseEnv) shouldBe vb.map(2 * _)
+    concepts.parse("'it\\'s'", phraseEnv) shouldBe va
+    an[IllegalArgumentException] should be thrownBy
+      concepts.parse("'unterminated", phraseEnv)
+    an[IllegalArgumentException] should be thrownBy
+      concepts.parse("'no such concept'", phraseEnv)
+  }
+
   test("errors: unknown concept, trailing garbage, scalar result, bad dim") {
     an[IllegalArgumentException] should be thrownBy concepts.parse("nope", env)
     an[IllegalArgumentException] should be thrownBy concepts.parse("a + ", env)
