@@ -136,6 +136,14 @@ object VectorSearch {
   def ingestWrite(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)
 
+  /** Hive-layout variant: one directory per `lang` — the layout a
+    * 100 TB corpus ships with, so per-language reads prune whole
+    * partitions at planning time instead of filtering rows (tested: a
+    * lang predicate lands in the scan's PartitionFilters). */
+  def ingestWritePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("lang").parquet(path)
+
   /** Bucketed variant: the combined table bucketed + sorted on doc_id,
     * so every later id-equijoin against a same-bucketed table (repeat
     * ingests, incremental shards — the reference re-joins its corpus

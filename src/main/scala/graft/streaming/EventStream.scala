@@ -97,4 +97,19 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** s3: streaming exact-dedup — the continuous form of Dedup.d1 for an
+    * ingest stream (the reference re-ingests overlapping shards;
+    * duplicates must be dropped before they hit the corpus).
+    * `dropDuplicatesWithinWatermark` keys state by the content hash and
+    * GUARANTEES dedup for duplicates arriving within the watermark of
+    * first sight, while letting the state store evict hashes older than
+    * the watermark — bounded state on an unbounded stream, the only
+    * honest contract at 100 TB (an exact forever-dedup would grow state
+    * with the corpus; run batch d1 periodically for that). */
+  def dedupStream(docs: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

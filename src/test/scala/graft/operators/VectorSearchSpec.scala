@@ -72,6 +72,32 @@ class VectorSearchSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ingestWritePartitioned: lang predicate becomes a partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = VectorSearch.ingestCombine(spark, graft.SparkSpec.TinySf)
+      .select(col("doc_id"), col("caption"), col("lang"))
+    VectorSearch.ingestWritePartitioned(df, dir)
+    val filtered = spark.read.parquet(dir).filter(col("lang") === "en")
+    filtered.count() shouldBe df.filter(col("lang") === "en").count()
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    scan.partitionFilters.map(_.toString).mkString(",") should include("lang")
+    // nothing left to filter row-by-row: pruning happened at planning
+    scan.dataFilters shouldBe empty
+  }
+
+  test("vector distances fail loudly on dimension mismatch") {
+    graft.functions.vectors.register(spark)
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.functions.vectors.l2Distance(col("a"), col("b"))).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    messages should include("size mismatch")
+  }
+
   test("ingestWrite produces zstd parquet that reads back identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zstd").toString
     val df = VectorSearch.ingestCombine(spark, graft.SparkSpec.TinySf)

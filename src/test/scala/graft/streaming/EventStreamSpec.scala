@@ -57,6 +57,27 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s3 streaming dedup drops in-watermark duplicate content") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.dedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("s3out")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, ts(0), "alpha"), (1L, ts(1), "beta"), (2L, ts(2), "alpha"))
+      q.processAllAvailable()
+      // same-batch duplicate "alpha" collapsed
+      spark.table("s3out").count() shouldBe 2
+      // cross-batch duplicate within the watermark also collapsed
+      input.addData((3L, ts(3), "beta"), (4L, ts(4), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("s3out").collect()
+        .map(_.getAs[String]("text")).sorted
+      texts shouldBe Array("alpha", "beta", "gamma")
+    } finally q.stop()
+  }
+
   test("s2 streaming sessionization: gap-close and watermark-timeout-close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
