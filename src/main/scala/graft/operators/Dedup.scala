@@ -67,16 +67,6 @@ object Dedup {
 
   // ---------------------------------------------------------------- d2
 
-  /** Distinct 3-word shingles per doc, dropping shingle-less docs.
-    *
-    * The round-robin spread first: shingle/signature building is
-    * CPU-bound per-row work, but Spark sizes scan partitions by BYTES
-    * (`maxPartitionBytes`), which under-parallelizes compute-heavy
-    * stages — the test corpus is one small parquet split, i.e. ONE core
-    * for all the hashing. Rebalancing costs one shuffle of the raw
-    * (id, text) rows — cheap next to the per-shingle hash work — and on
-    * a many-split 100 TB input it is a cores-wide coalesce, not a
-    * blow-up: `defaultParallelism` = total executor cores. */
   /** Spread → build → materialize. The sandwich of exchanges is doing
     * two specific jobs found by profiling, not cargo cult:
     *

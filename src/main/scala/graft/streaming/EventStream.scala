@@ -112,4 +112,20 @@ object EventStream {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** s4: stream-stream ingest alignment — the streaming form of v6's
+    * metadata⋈embeddings combine (`process.py` aligns the two halves of
+    * a shard positionally; here each half arrives as its own stream).
+    * Inner equi-join on the id plus a time-range bound: the range is
+    * what lets Spark evict each side's join state once the watermark
+    * passes it — bounded buffers on unbounded streams. A doc whose
+    * embedding arrives more than `maxDelay` later is dropped, loudly
+    * bounded rather than silently unbounded. */
+  def alignStreams(docs: DataFrame, embs: DataFrame,
+      maxDelay: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", maxDelay)
+      .join(embs.withWatermark("ets", maxDelay),
+        expr(s"doc_id = vec_id AND " +
+          s"ets BETWEEN ts - INTERVAL $maxDelay AND ts + INTERVAL $maxDelay"))
+      .select(col("doc_id"), col("text"), col("embedding"), col("ts"))
 }

@@ -78,6 +78,27 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s4 stream-stream alignment joins doc/embedding halves within the delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsIn = MemoryStream[(Long, Timestamp, String)]
+    val embsIn = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val q = EventStream.alignStreams(
+        docsIn.toDF().toDF("doc_id", "ts", "text"),
+        embsIn.toDF().toDF("vec_id", "ets", "embedding"),
+        maxDelay = "30 minutes")
+      .writeStream.format("memory").queryName("s4out")
+      .outputMode("append").start()
+    try {
+      docsIn.addData((1L, ts(0), "doc one"), (2L, ts(5), "doc two"))
+      embsIn.addData((1L, ts(10), Seq(1f, 2f))) // 10 min after doc 1: joins
+      q.processAllAvailable()
+      spark.table("s4out").collect().map(_.getAs[Long]("doc_id")) shouldBe Array(1L)
+      embsIn.addData((2L, ts(120), Seq(3f, 4f))) // 115 min after doc 2: outside bound
+      q.processAllAvailable()
+      spark.table("s4out").collect().map(_.getAs[Long]("doc_id")) shouldBe Array(1L)
+    } finally q.stop()
+  }
+
   test("s2 streaming sessionization: gap-close and watermark-timeout-close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
