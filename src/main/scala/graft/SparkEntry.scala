@@ -44,6 +44,7 @@ object SparkEntry {
     "q20_time_bucket" -> (Analytics.q20TimeBucket _),
     "q21_json_extract" -> (Analytics.q21JsonExtract _),
     "q22_grouping_sets" -> (Analytics.q22GroupingSets _),
+    "q23_percentile" -> (Analytics.q23Percentile _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.knnL2(s, d)),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.knnCosine(s, d)),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.knnDot(s, d)),
@@ -200,6 +201,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
         |ORDER BY 1, 2""".stripMargin,
+    // q23: exact interpolated percentiles hash-match quantile_cont; the
+    // approx sketch is checked via its accuracy contract (see q9).
+    "q23_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        | round(quantile_cont(l_quantity, 0.95), 4) AS p95,
+        | TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "v1_knn_l2" ->
       s"""SELECT vec_id, label,
          | list_distance(embedding::DOUBLE[], ${vec(0)}::DOUBLE[]) AS score

@@ -185,11 +185,25 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** SQL registration + Column API, mirroring [[vectors]]. */
+/** SQL registration + Column API, mirroring [[vectors]]. Besides the
+  * native signature expressions, the [[textops]] building blocks are
+  * registered as composite expression trees so SQL users get the whole
+  * text surface: `simhash60(transform(tokenize(text), t -> ...))` etc. */
 object texthash {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Lower, Md5, RegExpExtractAll, RegExpReplace, StringTrim, Substring}
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_signature" -> { es => MinHashSignature(es.head) },
     "simhash60" -> { es => SimHash60(es.head) },
+    // textops twins (same trees the Column API builds)
+    "hash60" -> { es =>
+      Cast(Conv(Substring(Md5(Cast(es.head, BinaryType)),
+        Literal(1), Literal(15)), Literal(16), Literal(10)), LongType) },
+    "tokenize" -> { es =>
+      RegExpExtractAll(Lower(es.head), Literal("[a-z0-9]+"), Literal(0)) },
+    "normalize_text" -> { es =>
+      StringTrim(RegExpReplace(RegExpReplace(Lower(es.head),
+        Literal("[^a-z0-9 ]"), Literal(" ")), Literal(" +"), Literal(" "))) },
   )
 
   def register(spark: SparkSession): Unit = {

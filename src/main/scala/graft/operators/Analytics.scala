@@ -291,4 +291,24 @@ object Analytics {
         |GROUP BY GROUPING SETS ((event_type), (date_trunc('DAY', ts)), ())
         |ORDER BY etype, day""".stripMargin)
   }
+
+  /** q23: percentiles — exact interpolated (`percentile`, the same
+    * index = p·(n−1) linear interpolation DuckDB's `quantile_cont`
+    * uses, so p50/p95 hash-match) plus the sketch path
+    * (`percentile_approx`, a bounded-memory quantile digest — the
+    * 100 TB operator). Like q9, the sketch's checkable contract is its
+    * accuracy: the boolean asserts the approx p50 landed within 2% of
+    * exact; the oracle recomputes exact and expects `true`. */
+  def q23Percentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.95)).as("p95"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("ap50"))
+      .select(col("l_returnflag"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p95"), 4).as("p95"),
+        (abs(col("ap50") - col("p50")) / col("p50") <= 0.02).as("approx_ok"))
+      .orderBy(col("l_returnflag"))
 }

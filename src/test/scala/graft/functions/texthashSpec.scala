@@ -48,6 +48,20 @@ class texthashSpec extends SparkSpec {
     got(samples.length) shouldBe 0L
   }
 
+  test("textops twins are registered for SQL users") {
+    texthash.register(spark)
+    val row = spark.sql(
+      "SELECT hash60('abc') AS h, tokenize('Hello, World! 42') AS t, " +
+        "normalize_text('  A,,b  C ') AS nrm").head()
+    val expectH = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("abc".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    row.getLong(0) shouldBe expectH
+    row.getSeq[String](1) shouldBe Seq("hello", "world", "42")
+    row.getString(2) shouldBe "a b c"
+  }
+
   test("expressions survive the SQL registry path") {
     texthash.register(spark)
     samples.take(1).toDF("hvs").createOrReplaceTempView("th_test")
