@@ -63,6 +63,8 @@ object SparkEntry {
     "t3_tokens" -> (TextAnalysis.t3Query _),
     "t4_fingerprint" -> (TextAnalysis.t4Query _),
     "m1_binary_meta" -> (Multimodal.m1Query _),
+    "m2_resize" -> (Multimodal.m2Query _),
+    "m3_frame_sample" -> (Multimodal.m3Query _),
     "a1_batch_knn" -> (Ann.a1Query _),
     "a2_lsh_ann" -> (Ann.a2Query _),
     "a3_ivf_ann" -> (Ann.a3Query _),

@@ -89,6 +89,51 @@ object Multimodal {
   def m1Query(s: SparkSession, d: String): DataFrame =
     binaryMeta(Tables.documents(s, d))
 
+  /** Resize target: longest side capped at this, aspect preserved. */
+  val ResizeMax = 256
+
+  /** m2: resize planning — the pure-metadata half of an image resize
+    * (the pixel work is the stubbed decode's concern; the SHAPE math —
+    * aspect-preserving integer scaling, which partition the work rides
+    * in, the output schema — is engine-side and exact). Downscale only:
+    * images already within bounds pass through. Integer arithmetic
+    * (`new_w = w·256 div longest`) so both engines agree bit-for-bit. */
+  def resizePlan(docs: DataFrame): DataFrame =
+    binaryMeta(docs)
+      .select(col("doc_id"), col("width"), col("height"))
+      .withColumn("longest", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("longest") <= ResizeMax, col("width"))
+          .otherwise(expr(s"(width * $ResizeMax) div longest")).as("new_w"),
+        when(col("longest") <= ResizeMax, col("height"))
+          .otherwise(expr(s"(height * $ResizeMax) div longest")).as("new_h"))
+      .orderBy(col("doc_id"))
+
+  def m2Query(s: SparkSession, d: String): DataFrame =
+    resizePlan(Tables.documents(s, d))
+
+  /** Frame-sampling stride (every Nth frame of the fake "video"). */
+  val FrameStride = 30
+
+  /** m3: frame sampling — treat the payload as an opaque video whose
+    * frame count derives from the content hash (stub, like m1's
+    * decode), emit one row per sampled frame index. The plumbing that
+    * matters at 100 TB is real: a generator (explode of a computed
+    * `sequence`) that multiplies rows WITHOUT materialising frames,
+    * keyed so downstream per-frame decode work partitions evenly. */
+  def frameSample(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (lit(1) + textops.hash60(concat(col("text"), lit("|frames"))) % 300)
+          .as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          lit(FrameStride))).as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  def m3Query(s: SparkSession, d: String): DataFrame =
+    frameSample(Tables.documents(s, d))
+
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" ->
       s"""SELECT doc_id,
@@ -100,5 +145,25 @@ object Multimodal {
          |       WHEN doc_id % 3 = 1 THEN 'jpeg'
          |       ELSE 'webp' END AS format
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    64 + ${textops.hash60Sql("text || '|w'")} % 1856 AS width,
+         |    64 + ${textops.hash60Sql("text || '|h'")} % 1016 AS height
+         |  FROM documents),
+         |g AS (SELECT *, greatest(width, height) AS longest FROM m)
+         |SELECT doc_id, width, height,
+         |  CASE WHEN longest <= $ResizeMax THEN width
+         |       ELSE (width * $ResizeMax) // longest END AS new_w,
+         |  CASE WHEN longest <= $ResizeMax THEN height
+         |       ELSE (height * $ResizeMax) // longest END AS new_h
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "m3_frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    1 + ${textops.hash60Sql("text || '|frames'")} % 300 AS n_frames
+         |  FROM documents)
+         |SELECT doc_id, n_frames, unnest(range(0, n_frames, $FrameStride)) AS frame_idx
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
