@@ -185,6 +185,57 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** array<string> tokens → array<string> DISTINCT k-word shingles
+  * (space-joined, first-occurrence order — the same SET and order as
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * slice(t, i, k))))` and DuckDB's comprehension + `list_distinct`).
+  *
+  * One pass with a linked hash set instead of: a sequence-array
+  * allocation, k-element slice allocations and three lambda dispatches
+  * per position, plus array_distinct's second pass. Evaluated once per
+  * ROW (CodegenFallback — the loop body is string building, which
+  * gains little from codegen; the per-element interpreted-lambda
+  * overhead was the cost). */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** SQL registration + Column API, mirroring [[vectors]]. Besides the
   * native signature expressions, the [[textops]] building blocks are
   * registered as composite expression trees so SQL users get the whole
@@ -195,6 +246,7 @@ object texthash {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_signature" -> { es => MinHashSignature(es.head) },
     "simhash60" -> { es => SimHash60(es.head) },
+    "word_shingles" -> { es => WordShingles(es.head, 3) },
     // textops twins (same trees the Column API builds)
     "hash60" -> { es =>
       Cast(Conv(Substring(Md5(Cast(es.head, BinaryType)),
@@ -216,4 +268,5 @@ object texthash {
 
   def minhashSignature(c: Column): Column = call_function("minhash_signature", c)
   def simhash60(c: Column): Column = call_function("simhash60", c)
+  def wordShingles(c: Column): Column = call_function("word_shingles", c)
 }

@@ -125,15 +125,18 @@ object Curation {
     * aggregation (map-side combinable) → distributed top-k
     * (TakeOrderedAndProject). The same postings that feed d2's
     * candidate join, used as a corpus-profiling operator. */
-  def ngramStats(docs: DataFrame): DataFrame =
+  def ngramStats(docs: DataFrame): DataFrame = {
+    graft.functions.texthash.register(docs.sparkSession)
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        explode(textops.shingles(textops.tokens(col("text")))).as("g"))
+        explode(graft.functions.texthash.wordShingles(
+          textops.tokens(col("text")))).as("g"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("g"))
       .limit(TopNgrams)
+  }
 
   def c5Query(s: SparkSession, d: String): DataFrame =
     ngramStats(Tables.documents(s, d))

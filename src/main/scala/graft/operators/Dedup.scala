@@ -86,6 +86,7 @@ object Dedup {
     */
   private def spreadBuildMaterialize(docs: DataFrame)(build: Column): DataFrame = {
     val np = docs.sparkSession.sparkContext.defaultParallelism
+    graft.functions.texthash.register(docs.sparkSession)
     docs
       .filter(size(textops.tokens(col("text"))) >= 3)
       .repartition(np)
@@ -93,18 +94,22 @@ object Dedup {
       .repartition(np)
   }
 
+  /** Native single-pass shingle build ([[graft.functions.WordShingles]];
+    * same set/order as the declarative [[textops.shingles]] tree, which
+    * remains the cross-checked reference implementation). */
+  private def shingleCol: Column =
+    graft.functions.texthash.wordShingles(textops.tokens(col("text")))
+
   /** (doc_id, sh): materialized distinct 3-word shingle arrays. */
   private def docShingles(docs: DataFrame): DataFrame =
-    spreadBuildMaterialize(docs)(
-      textops.shingles(textops.tokens(col("text"))).as("sh"))
+    spreadBuildMaterialize(docs)(shingleCol.as("sh"))
 
   /** (doc_id, hvs): materialized per-shingle hash60 values — signature
     * builders iterate these 32–60×, so they must cross an exchange as
     * longs, not as an inlinable md5 expression. */
   private def docShingleHashes(docs: DataFrame): DataFrame =
     spreadBuildMaterialize(docs)(
-      transform(textops.shingles(textops.tokens(col("text"))),
-        g => textops.hash60(g)).as("hvs"))
+      transform(shingleCol, g => textops.hash60(g)).as("hvs"))
 
   /** d2: n-gram Jaccard near-dup pairs. Explode shingles (carrying each
     * doc's distinct-shingle COUNT on the posting row — it rides along

@@ -48,6 +48,22 @@ class texthashSpec extends SparkSpec {
     got(samples.length) shouldBe 0L
   }
 
+  test("WordShingles matches the declarative shingles tree on varied input") {
+    texthash.register(spark)
+    val texts = Seq(
+      "a b c d e", "a b", "", "x y z x y z x", "one two three",
+      "repeat repeat repeat repeat", "Tabs\tand,punct! mixed 42 tokens here",
+    )
+    val rows = texts.toDF("text")
+      .select(
+        texthash.wordShingles(textops.tokens(org.apache.spark.sql.functions.col("text"))).as("native"),
+        textops.shingles(textops.tokens(org.apache.spark.sql.functions.col("text"))).as("declarative"))
+      .collect()
+    rows.foreach { r =>
+      r.getSeq[String](0) shouldBe r.getSeq[String](1)
+    }
+  }
+
   test("textops twins are registered for SQL users") {
     texthash.register(spark)
     val row = spark.sql(
