@@ -30,6 +30,13 @@ object TextAnalysis {
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Spread the corpus across cores before the per-doc token work —
+    * scan partitions are sized by bytes, and a few-split input would
+    * otherwise run every tokenization serially (see Dedup's
+    * spreadBuildMaterialize for the profile behind this). */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   private def countIn(t: Column, ws: Seq[String]): Column =
     size(filter(t, x => x.isInCollection(ws)))
 
@@ -41,7 +48,7 @@ object TextAnalysis {
     * truth-vs-predicted confusion matrix. */
   def langId(docs: DataFrame): DataFrame = {
     val t = textops.tokens(col("text"))
-    val scored = docs.select(
+    val scored = spread(docs).select(
       col("doc_id"), col("lang"),
       countIn(t, Stopwords(0)._2).as("s_en"),
       countIn(t, Stopwords(1)._2).as("s_de"),
@@ -69,7 +76,7 @@ object TextAnalysis {
     * correctly-rounded everywhere). */
   def quality(docs: DataFrame): DataFrame = {
     val t = textops.tokens(col("text"))
-    docs.select(
+    spread(docs).select(
         col("doc_id"),
         length(col("text")).as("len_chars"),
         size(t).as("n_tokens"),
@@ -103,7 +110,7 @@ object TextAnalysis {
   /** t3: token counting — whitespace tokens vs regex pre-tokens, plus
     * chars-per-token (the quick LLM-cost estimator). */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(
+    spread(docs).select(
         col("doc_id"),
         size(textops.tokens(col("text"))).as("n_ws_tokens"),
         size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
@@ -124,7 +131,7 @@ object TextAnalysis {
     * fingerprint group size alongside (the dedup-ready key). */
   def fingerprint(docs: DataFrame): DataFrame = {
     val fp = md5(textops.normalizeText(col("text")))
-    docs.select(col("doc_id"), fp.as("fingerprint"))
+    spread(docs).select(col("doc_id"), fp.as("fingerprint"))
       .withColumn("n_same",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("fingerprint"))))
