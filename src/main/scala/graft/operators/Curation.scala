@@ -152,7 +152,7 @@ object Curation {
       s"""SELECT CASE WHEN $h60text % 100 < $TrainPct THEN 'train'
          |            WHEN $h60text % 100 < ${TrainPct + ValPct} THEN 'val'
          |            ELSE 'test' END AS split,
-         |       count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "c2_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
