@@ -236,6 +236,73 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** array<string> tokens → array<long>: hash60 of each DISTINCT k-word
+  * shingle, in one native pass — builds each shingle, dedups it, and
+  * hashes it without ever materialising the shingle-string array or
+  * dispatching an interpreted md5 expression per element. Exactly
+  * `transform(word_shingles(t), g -> hash60(g))`: the 60-bit value is
+  * the top 60 bits of the md5 digest, which is what parsing the first
+  * 15 hex chars yields. */
+case class ShingleHash60s(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "shingle_hash60s"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+  private val space = UTF8String.fromString(" ")
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[UTF8String]
+    val out = new java.util.ArrayList[java.lang.Long]
+    val digest = md5.get()
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val sh = UTF8String.concatWs(space, parts: _*)
+      if (seen.add(sh)) {
+        digest.reset()
+        val d = digest.digest(sh.getBytes)
+        // top 60 bits of the digest == first 15 hex chars parsed base-16
+        val be64 =
+          ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+            ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+            ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        out.add(be64 >>> 4)
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var z = 0
+    while (z < arr.length) { arr(z) = out.get(z); z += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** SQL registration + Column API, mirroring [[vectors]]. Besides the
   * native signature expressions, the [[textops]] building blocks are
   * registered as composite expression trees so SQL users get the whole
@@ -247,6 +314,7 @@ object texthash {
     "minhash_signature" -> { es => MinHashSignature(es.head) },
     "simhash60" -> { es => SimHash60(es.head) },
     "word_shingles" -> { es => WordShingles(es.head, 3) },
+    "shingle_hash60s" -> { es => ShingleHash60s(es.head, 3) },
     // textops twins (same trees the Column API builds)
     "hash60" -> { es =>
       Cast(Conv(Substring(Md5(Cast(es.head, BinaryType)),
@@ -269,4 +337,5 @@ object texthash {
   def minhashSignature(c: Column): Column = call_function("minhash_signature", c)
   def simhash60(c: Column): Column = call_function("simhash60", c)
   def wordShingles(c: Column): Column = call_function("word_shingles", c)
+  def shingleHash60s(c: Column): Column = call_function("shingle_hash60s", c)
 }

@@ -106,10 +106,13 @@ object Dedup {
 
   /** (doc_id, hvs): materialized per-shingle hash60 values — signature
     * builders iterate these 32–60×, so they must cross an exchange as
-    * longs, not as an inlinable md5 expression. */
+    * longs, not as an inlinable md5 expression. Built by the fused
+    * native pass ([[graft.functions.ShingleHash60s]]): shingle → dedup
+    * → hash without materialising the string array. */
   private def docShingleHashes(docs: DataFrame): DataFrame =
     spreadBuildMaterialize(docs)(
-      transform(shingleCol, g => textops.hash60(g)).as("hvs"))
+      graft.functions.texthash.shingleHash60s(
+        textops.tokens(col("text"))).as("hvs"))
 
   /** d2: n-gram Jaccard near-dup pairs. Explode shingles (carrying each
     * doc's distinct-shingle COUNT on the posting row — it rides along

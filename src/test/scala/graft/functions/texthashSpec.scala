@@ -64,6 +64,24 @@ class texthashSpec extends SparkSpec {
     }
   }
 
+  test("ShingleHash60s == hash60 over WordShingles on varied input") {
+    texthash.register(spark)
+    val texts = Seq(
+      "a b c d e", "a b", "", "x y z x y z x", "one two three four five",
+      "Punct, mixed! 42 tokens: here now",
+    )
+    val rows = texts.toDF("text")
+      .select(
+        texthash.shingleHash60s(textops.tokens(org.apache.spark.sql.functions.col("text"))).as("fused"),
+        org.apache.spark.sql.functions.transform(
+          texthash.wordShingles(textops.tokens(org.apache.spark.sql.functions.col("text"))),
+          g => textops.hash60(g)).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      r.getSeq[Long](0) shouldBe r.getSeq[Long](1)
+    }
+  }
+
   test("textops twins are registered for SQL users") {
     texthash.register(spark)
     val row = spark.sql(
