@@ -340,6 +340,50 @@ object Dedup {
     embeddingNearDup(Tables.embeddings(s, d))
   }
 
+  // ---------------------------------------------------------------- d6
+
+  /** d6: near-dup pair CLUSTERING — the step every pair-producing dedup
+    * needs before it can act: connected components over the pair graph,
+    * each doc labeled with the min doc_id of its component (= the
+    * canonical keeper). Iterative min-label propagation: each round,
+    * every node takes the min of its own and its neighbors' labels;
+    * convergence in O(component diameter) rounds — near-dup components
+    * are short chains, and the loop stops the first round nothing
+    * changes (checked with one scalar count per round — no data is
+    * collected). `localCheckpoint` cuts the lineage each round, the
+    * standard Spark idiom for iterative graph algorithms; at a 100 TB
+    * pair graph with long chains you'd switch to the O(log n)
+    * large-star/small-star formulation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", 2014) — same loop shape,
+    * different propagation rule. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  def d6Query(s: SparkSession, d: String): DataFrame =
+    dupClusters(ngramJaccard(Tables.documents(s, d)))
+
   // ------------------------------------------------------------ oracles
 
   private val toksSql = textops.tokensSql("text")
@@ -381,6 +425,34 @@ object Dedup {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+    // d6: recursive-CTE transitive closure over the same d2 pair graph;
+    // cluster = min reachable id (matches min-label propagation fixpoint)
+    "d6_dup_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, $shSql AS s FROM toks),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh2),
+         |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > $MaxShingleDf),
+         |pruned AS (SELECT * FROM ex WHERE g NOT IN (SELECT g FROM hot)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM pruned a JOIN pruned b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh2),
+         |dpairs AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM dpairs
+         |          UNION SELECT doc_b, doc_a FROM dpairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster
+         |FROM reach GROUP BY u ORDER BY 1""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |sh AS (SELECT doc_id, $shSql AS s FROM toks),

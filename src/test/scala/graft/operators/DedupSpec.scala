@@ -52,6 +52,13 @@ class DedupSpec extends SparkSpec {
     pairs(0).getAs[Int]("hamming") shouldBe 0
   }
 
+  test("dupClusters: chains collapse to min-id components") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L)
+  }
+
   test("embeddingNearDup finds identical vectors, skips distant ones") {
     val dim = 64
     val v = (0 until dim).map(i => ((i * 13 % 7) - 3).toFloat)
