@@ -249,7 +249,9 @@ object SparkEntry {
       """SELECT vec_id,
         | sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2,
         | list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))) AS l1,
-        | list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS linf
+        | list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS linf,
+        | embedding[1]::DOUBLE /
+        |   sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS unit0
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     // v8's embed stub is hash60-derived, so DuckDB rebuilds the exact
     // same vectors and the knn is hash-checked end to end.

@@ -251,6 +251,54 @@ case class LinfDistance(left: Expression, right: Expression) extends VectorBinar
     copy(left = l, right = r)
 }
 
+/** v / |v|₂ — ClickHouse `L2Normalize`. One pass computes the norm,
+  * a second divides — inside ONE expression, so the norm can't be
+  * re-inlined per element the way a `transform(v, x -> x / l2_norm(v))`
+  * formulation collapses to. Zero vector → zero vector (no NaNs). */
+case class L2Normalize(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "l2_normalize"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${other.catalogString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val f = isFloat
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x; i += 1
+    }
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = if (norm == 0.0) 0.0 else x / norm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** sqrt(sum(a^2)) — ClickHouse `L2Norm`. Unary, codegen'd. */
 case class L2Norm(child: Expression) extends UnaryExpression {
   override def prettyName: String = "l2_norm"

@@ -21,6 +21,7 @@ object vectors {
     "l1_distance" -> { es => L1Distance(es(0), es(1)) },
     "linf_distance" -> { es => LinfDistance(es(0), es(1)) },
     "l2_norm" -> { es => L2Norm(es.head) },
+    "l2_normalize" -> { es => L2Normalize(es.head) },
   )
 
   /** Idempotent; call before using the Column API in a session. Skips
@@ -43,4 +44,5 @@ object vectors {
   def l1Distance(a: Column, b: Column): Column = call_function("l1_distance", a, b)
   def linfDistance(a: Column, b: Column): Column = call_function("linf_distance", a, b)
   def l2Norm(a: Column): Column = call_function("l2_norm", a)
+  def l2Normalize(a: Column): Column = call_function("l2_normalize", a)
 }

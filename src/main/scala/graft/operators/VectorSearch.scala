@@ -170,7 +170,10 @@ object VectorSearch {
         col("emb_norm"))
       .orderBy(col("doc_id"))
 
-  /** v7: vector norms as first-class expressions (L1/L2/Linf vs zero). */
+  /** v7: vector norms + normalization as first-class expressions
+    * (L1/L2/Linf vs zero; `unit0` reads the first component of the
+    * L2-normalized vector so the normalize path is oracle-checked
+    * without shipping the whole unit vector through the compare). */
   def norms(s: SparkSession, d: String): DataFrame = {
     val zero = qcol(Seq.fill(Dim)(0.0))
     embeddings(s, d)
@@ -178,7 +181,8 @@ object VectorSearch {
         col("vec_id"),
         vectors.l2Norm(col("embedding")).as("l2"),
         vectors.l1Distance(col("embedding"), zero).as("l1"),
-        vectors.linfDistance(col("embedding"), zero).as("linf"))
+        vectors.linfDistance(col("embedding"), zero).as("linf"),
+        element_at(vectors.l2Normalize(col("embedding")), 1).as("unit0"))
       .orderBy(col("vec_id"))
   }
 

@@ -87,6 +87,15 @@ class VectorSearchSpec extends SparkSpec {
     scan.dataFilters shouldBe empty
   }
 
+  test("l2_normalize yields unit vectors; zero vector stays zero") {
+    graft.functions.vectors.register(spark)
+    val out = Seq(Seq(3.0, 4.0), Seq(0.0, 0.0)).toDF("v")
+      .select(graft.functions.vectors.l2Normalize(col("v")).as("u"))
+      .collect()
+    out(0).getSeq[Double](0) shouldBe Seq(0.6, 0.8)
+    out(1).getSeq[Double](0) shouldBe Seq(0.0, 0.0)
+  }
+
   test("vector distances fail loudly on dimension mismatch") {
     graft.functions.vectors.register(spark)
     val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
