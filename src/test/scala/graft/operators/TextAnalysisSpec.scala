@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the cat sat of the mat and it is that for a reason", "en"),
+    (1L, "der hund und die katze ist ein freund von dem haus", "de"),
+    (2L, "xyzzy qwerty plugh", "zz"), // no stopwords at all
+  ).toDF("doc_id", "text", "lang")
+
+  test("langId predicts the language whose stopwords dominate") {
+    val confusion = TextAnalysis.langId(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang"),
+        r.getAs[Long]("n")))
+    confusion should contain(("en", "en", 1L))
+    confusion should contain(("de", "de", 1L))
+    // zero stopword hits everywhere → en wins the >= tie-break chain
+    confusion should contain(("zz", "en", 1L))
+  }
+
+  test("quality: stopword-rich short text scores by the documented formula") {
+    val row = TextAnalysis.quality(docs).collect()
+      .find(_.getAs[Long]("doc_id") == 0L).get
+    val nTokens = row.getAs[Int]("n_tokens")
+    nTokens shouldBe 13
+    // recompute the documented formula from the row's own ratio:
+    // quality = min(1, 0.2 + 2*stop_ratio + min(n,100)/500)
+    val expect = math.min(1.0,
+      0.2 + 2.0 * row.getAs[Double]("stop_ratio") + math.min(nTokens, 100) / 500.0)
+    row.getAs[Double]("quality") shouldBe (math.rint(expect * 10000) / 10000)
+  }
+
+  test("tokenCounts: bpe pre-tokens split punctuation, ws tokens do not") {
+    val df = Seq((0L, "hello, world! a-b")).toDF("doc_id", "text")
+    val row = TextAnalysis.tokenCounts(df).head()
+    row.getAs[Int]("n_ws_tokens") shouldBe 4 // hello world a b
+    row.getAs[Int]("n_bpe_tokens") shouldBe 7 // hello , world ! a - b
+  }
+
+  test("fingerprint: same normal form ⇒ same fingerprint and n_same") {
+    val df = Seq(
+      (0L, "Hello,   World!"),
+      (1L, "hello world"),
+      (2L, "different entirely"),
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.fingerprint(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("fingerprint"), r.getAs[Long]("n_same"))).toMap
+    rows(0L)._1 shouldBe rows(1L)._1
+    rows(0L)._2 shouldBe 2L
+    rows(2L)._2 shouldBe 1L
+    rows(2L)._1 should not be rows(0L)._1
+  }
+}

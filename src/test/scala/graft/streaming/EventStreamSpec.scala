@@ -57,6 +57,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s1 append mode emits only watermark-finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("s1append")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(1), "click", 1.0), Event(2, ts(2), "click", 2.0))
+      q.processAllAvailable()
+      // watermark hasn't passed the [0,10) window yet — nothing emitted
+      spark.table("s1append").count() shouldBe 0
+      // an event far ahead pushes the watermark past minute 10 ...
+      input.addData(Event(3, ts(30), "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(31), "view", 1.0))
+      q.processAllAvailable()
+      // ... so the first window is finalized and emitted exactly once
+      val rows = spark.table("s1append").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      rows shouldBe Array(("click", 2L))
+    } finally q.stop()
+  }
+
   test("s3 streaming dedup drops in-watermark duplicate content") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
