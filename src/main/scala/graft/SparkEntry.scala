@@ -245,13 +245,18 @@ object SparkEntry {
         | sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS emb_norm
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+    // unit0's CASE guard matches L2Normalize's documented zero-vector
+    // behavior (zero in → zero out, no NULL/inf).
     "v7_norms" ->
       """SELECT vec_id,
         | sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2,
         | list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))) AS l1,
         | list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS linf,
-        | embedding[1]::DOUBLE /
-        |   sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS unit0
+        | CASE WHEN list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+        |      THEN 0.0
+        |      ELSE embedding[1]::DOUBLE /
+        |        sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        | END AS unit0
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     // v8's embed stub is hash60-derived, so DuckDB rebuilds the exact
     // same vectors and the knn is hash-checked end to end.

@@ -109,7 +109,9 @@ object Curation {
     docs
       .select(col("doc_id"),
         md5(scrubbed).as("scrubbed_md5"),
-        (length(col("text")) =!= length(scrubbed)).as("changed"))
+        // content compare, not length: a length-preserving redaction
+        // (7-char address → 7-char '<EMAIL>') must still flag
+        (col("text") =!= scrubbed).as("changed"))
       .orderBy(col("doc_id"))
   }
 
@@ -127,8 +129,7 @@ object Curation {
     * candidate join, used as a corpus-profiling operator. */
   def ngramStats(docs: DataFrame): DataFrame = {
     graft.functions.texthash.register(docs.sparkSession)
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.Spread.ifNarrow(docs)
       .select(col("doc_id"),
         explode(graft.functions.texthash.wordShingles(
           textops.tokens(col("text")))).as("g"))
@@ -173,8 +174,8 @@ object Curation {
       s"""SELECT doc_id,
          |  md5(regexp_replace(regexp_replace(text,
          |    '$EmailRe', '<EMAIL>', 'g'), '$LongNumRe', '<NUM>', 'g')) AS scrubbed_md5,
-         |  length(text) <> length(regexp_replace(regexp_replace(text,
-         |    '$EmailRe', '<EMAIL>', 'g'), '$LongNumRe', '<NUM>', 'g')) AS changed
+         |  text <> regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$LongNumRe', '<NUM>', 'g') AS changed
          |FROM documents ORDER BY doc_id""".stripMargin,
     "c5_ngram_stats" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

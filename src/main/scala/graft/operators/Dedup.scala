@@ -70,26 +70,25 @@ object Dedup {
   /** Spread → build → materialize. The sandwich of exchanges is doing
     * two specific jobs found by profiling, not cargo cult:
     *
-    *  - EX1 (after the cheap filter): Spark sizes scan partitions by
-    *    BYTES, so a small single-split file runs every downstream
-    *    per-row computation on ONE core. The ≥3-tokens filter is the
+    *  - EX1 (after the cheap filter): CONDITIONAL corpus spread
+    *    ([[graft.Spread.ifNarrow]]) — needed on a few-split input so
+    *    the per-row build doesn't run serially; an identity at 100 TB
+    *    where the scan is already wide. The ≥3-tokens filter is the
     *    only predicate allowed to reach the scan — any filter placed
     *    above the shingle build gets predicate-pushed below the
     *    repartition WITH the whole build expression substituted in
     *    (that was the round-2 serial-scan-stage profile).
-    *  - EX2 (after the build): a materialization boundary. Without it
-    *    CollapseProject merges the build into every consumer
-    *    projection — and when the consumer iterates it inside a
-    *    higher-order lambda (32 hash fns, 60 bits), the merged
-    *    expression re-evaluates PER ITERATION. Only the built arrays
-    *    cross EX2, and they cross once.
+    *  - EX2 (after the build): a materialization boundary, kept
+    *    unconditionally. Without it CollapseProject merges the build
+    *    into every consumer projection — and when the consumer
+    *    iterates it inside a higher-order lambda (32 hash fns, 60
+    *    bits), the merged expression re-evaluates PER ITERATION. Only
+    *    the built arrays cross EX2, and they cross once.
     */
   private def spreadBuildMaterialize(docs: DataFrame)(build: Column): DataFrame = {
     val np = docs.sparkSession.sparkContext.defaultParallelism
     graft.functions.texthash.register(docs.sparkSession)
-    docs
-      .filter(size(textops.tokens(col("text"))) >= 3)
-      .repartition(np)
+    graft.Spread.ifNarrow(docs.filter(size(textops.tokens(col("text"))) >= 3))
       .select(col("doc_id"), build)
       .repartition(np)
   }

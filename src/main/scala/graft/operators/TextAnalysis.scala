@@ -31,11 +31,10 @@ object TextAnalysis {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Spread the corpus across cores before the per-doc token work —
-    * scan partitions are sized by bytes, and a few-split input would
-    * otherwise run every tokenization serially (see Dedup's
-    * spreadBuildMaterialize for the profile behind this). */
-  private def spread(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    * conditional: a no-op when the scan is already wide (100 TB), a
+    * round-robin exchange on the sandbox's few-split corpus (see
+    * [[graft.Spread.ifNarrow]]). */
+  private def spread(docs: DataFrame): DataFrame = graft.Spread.ifNarrow(docs)
 
   private def countIn(t: Column, ws: Seq[String]): Column =
     size(filter(t, x => x.isInCollection(ws)))
@@ -128,13 +127,20 @@ object TextAnalysis {
 
   /** t4: content fingerprint — md5 of the whitespace-collapsed,
     * punctuation-stripped lowercase normal form, with the per-
-    * fingerprint group size alongside (the dedup-ready key). */
+    * fingerprint group size alongside (the dedup-ready key).
+    *
+    * Group size via `groupBy(fingerprint).count()` + an equi-join back,
+    * not `count(*) OVER (PARTITION BY fingerprint)`: the window would
+    * shuffle AND sort every row, while the aggregate is map-side
+    * combinable and the join back shuffles only (fingerprint, count)
+    * rows on one side — the same window→aggregate swap d3/d5 use for
+    * their skew caps. */
   def fingerprint(docs: DataFrame): DataFrame = {
     val fp = md5(textops.normalizeText(col("text")))
-    spread(docs).select(col("doc_id"), fp.as("fingerprint"))
-      .withColumn("n_same",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fingerprint"))))
+    val keyed = spread(docs).select(col("doc_id"), fp.as("fingerprint"))
+    val sizes = keyed.groupBy(col("fingerprint")).agg(count(lit(1)).as("n_same"))
+    keyed.join(sizes, Seq("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"), col("n_same"))
       .orderBy(col("doc_id"))
   }
 

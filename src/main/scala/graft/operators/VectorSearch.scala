@@ -203,12 +203,10 @@ object VectorSearch {
   }
 
   def embedUdfKnn(s: SparkSession, d: String, k: Int = 10): DataFrame = {
-    val docs = Tables.documents(s, d)
-      // the embed "model call" is the canonical compute-heavy map (64
-      // hashes per doc standing in for a forward pass): spread the scan
-      // across cores first — Spark sizes partitions by BYTES, and a
-      // few-split input would run the whole embedding pass serially
-      .repartition(s.sparkContext.defaultParallelism)
+    // the embed "model call" is the canonical compute-heavy map (64
+    // hashes per doc standing in for a forward pass): spread a narrow
+    // scan across cores first (no-op on an already-wide 100 TB input)
+    val docs = graft.Spread.ifNarrow(Tables.documents(s, d))
       .withColumn("doc_vec", embedText(col("text")))
     vectors.register(s)
     docs

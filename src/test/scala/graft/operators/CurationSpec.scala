@@ -16,14 +16,15 @@ class CurationSpec extends SparkSpec {
   test("hashSplit partitions every doc into exactly one split") {
     val out = Curation.hashSplit(docs).collect()
     out.map(_.getAs[Long]("n_docs")).sum shouldBe docs.count()
-    out.map(_.getAs[String]("split")).toSet subsetOf Set("train", "val", "test")
+    out.map(_.getAs[String]("split")).toSet subsetOf
+      Set("train", "val", "test") shouldBe true
   }
 
   test("stratifiedSample is deterministic and a subset") {
     val a = Curation.stratifiedSample(docs).collect().map(_.getLong(0)).toSeq
     val b = Curation.stratifiedSample(docs).collect().map(_.getLong(0)).toSeq
     a shouldBe b
-    a.toSet subsetOf Set(0L, 1L, 2L, 3L, 4L)
+    a.toSet subsetOf Set(0L, 1L, 2L, 3L, 4L) shouldBe true
   }
 
   test("groupCanonical keeps the longest doc per group, min-id ties") {
