@@ -4,17 +4,29 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Measurement discipline (round-1 verdict fixes):
+  * Measurement discipline (round-1 + round-5 verdict fixes):
   *  - `noop` write sink, not `.count()` — count() lets Catalyst drop
   *    top-level sorts/projections, so e.g. a full-sort query never
   *    sorted; noop materialises every output row through the full plan.
   *  - one untimed warmup pass over all queries first (JVM/JIT + codegen
   *    cache + parquet footer cache), so the first timed query doesn't
   *    eat cold-start.
+  *  - MEDIAN of [[Runs]] timed runs per query, with min/max spread
+  *    reported alongside. Five rounds of single-run numbers swung up to
+  *    3.5× on byte-identical plans (BENCH_r03 72.4s / r04 119.5s / r05
+  *    34.5s — JIT/GC/compilation races across 52 queries in one JVM);
+  *    a median over 3 runs plus the visible spread is the minimum
+  *    needed to adjudicate any per-query regression.
   *  - deterministic sorted query order, so round-over-round per-query
   *    numbers are comparable.
+  *
+  * `value` / `queries` are medians; `spread` carries {min,max} per
+  * query so a noisy reading is visible as a wide interval instead of
+  * masquerading as a regression.
   */
 object Bench {
+  val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,16 +43,34 @@ object Bench {
       }
     }
     names.foreach(runOne) // warmup, untimed
-    val results = names.map(n => n -> runOne(n))
-    val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + v }
+    // run-major order (all queries, Runs times) rather than repeating
+    // each query back-to-back: back-to-back repeats share a still-warm
+    // cache/JIT state the per-round driver run never sees, and a GC
+    // pause then hits all 3 samples of ONE query instead of one sample
+    // of three queries.
+    val samples: Seq[Seq[(String, Either[String, Double])]] =
+      (1 to Runs).map(_ => names.map(n => n -> runOne(n)))
+    val byName: Seq[(String, Seq[Either[String, Double]])] =
+      names.map(n => n -> samples.map(_.toMap.apply(n)))
+    def fmt(v: Double): String = f"$v%.4f"
+    val stats = byName.map { case (n, rs) =>
+      val ok = rs.collect { case Right(v) => v }.sorted
+      if (ok.isEmpty)
+        n -> Left(rs.collectFirst { case Left(e) => e }.getOrElse("unknown"))
+      else n -> Right((ok(ok.size / 2), ok.head, ok.last))
+    }
+    val qs = stats.collect { case (k, Right((med, _, _))) =>
+      "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
+    val spread = stats.collect { case (k, Right((_, lo, hi))) =>
+      "\"" + k + "\":{\"min\":" + fmt(lo) + ",\"max\":" + fmt(hi) + "}" }
       .mkString("{", ",", "}")
     // A failing query must be LOUD in the output — a silently shrinking
     // total would read as an improvement.
-    val errs = results.collect { case (k, Left(e)) =>
+    val errs = stats.collect { case (k, Left(e)) =>
       "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
     val errJson = errs.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errs.length},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    val total = stats.collect { case (_, Right((med, _, _))) => med }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
