@@ -52,25 +52,41 @@ object Bench {
       (1 to Runs).map(_ => names.map(n => n -> runOne(n)))
     val byName: Seq[(String, Seq[Either[String, Double]])] =
       names.map(n => n -> samples.map(_.toMap.apply(n)))
-    def fmt(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: f"" uses the JVM default locale, so a comma-decimal
+    // locale (de_DE) would emit 12,3456 and break the JSON.
+    def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    // (median, min, max, ok-sample-count). A query that failed in SOME
+    // runs must be LOUD too: its error still lands in `errors`/`failed`,
+    // and `n` < Runs marks the median as computed over fewer samples.
+    // Even-sized ok set (one run failed) → average the two middle
+    // elements; taking the upper one would bias high exactly when flaky.
     val stats = byName.map { case (n, rs) =>
       val ok = rs.collect { case Right(v) => v }.sorted
-      if (ok.isEmpty)
-        n -> Left(rs.collectFirst { case Left(e) => e }.getOrElse("unknown"))
-      else n -> Right((ok(ok.size / 2), ok.head, ok.last))
+      val err = rs.collectFirst { case Left(e) => e }
+      val med =
+        if (ok.isEmpty) None
+        else if (ok.size % 2 == 1) Some(ok(ok.size / 2))
+        else Some((ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0)
+      (n, med.map(m => (m, ok.head, ok.last, ok.size)), err)
     }
-    val qs = stats.collect { case (k, Right((med, _, _))) =>
+    val qs = stats.collect { case (k, Some((med, _, _, _)), _) =>
       "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
-    val spread = stats.collect { case (k, Right((_, lo, hi))) =>
-      "\"" + k + "\":{\"min\":" + fmt(lo) + ",\"max\":" + fmt(hi) + "}" }
+    val spread = stats.collect { case (k, Some((_, lo, hi, n)), _) =>
+      "\"" + k + "\":{\"min\":" + fmt(lo) + ",\"max\":" + fmt(hi) + ",\"n\":" + n + "}" }
       .mkString("{", ",", "}")
     // A failing query must be LOUD in the output — a silently shrinking
-    // total would read as an improvement.
-    val errs = stats.collect { case (k, Left(e)) =>
+    // total would read as an improvement. Includes partial failures.
+    val errs = stats.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
     val errJson = errs.mkString("{", ",", "}")
-    val total = stats.collect { case (_, Right((med, _, _))) => med }.sum
+    val total = stats.collect { case (_, Some((med, _, _, _)), _) => med }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // Compact twin WITHOUT the per-query spread, printed LAST: the
+    // driver's tail-window capture truncated the r6 line from the FRONT
+    // (only the trailing spread survived, parsed:null). The final line
+    // is the short one, so whatever tail budget exists keeps a complete
+    // parseable {total, failed, queries} record.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

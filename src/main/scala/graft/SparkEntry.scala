@@ -148,7 +148,9 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q12_anti_join" ->
       """SELECT c_mktsegment, count(1) AS n_customers FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -173,7 +175,7 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
     "q17_subquery" ->
       """SELECT p_partkey, p_retailprice FROM part
-        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.5
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.01
         |ORDER BY 1""".stripMargin,
     "q18_sort" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier

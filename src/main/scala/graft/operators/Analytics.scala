@@ -182,11 +182,17 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** q12: NOT EXISTS → left-anti join. */
+  /** q12: NOT EXISTS → left-anti join. Against URGENT orders only (not
+    * all orders): in the testdata every customer has some order, so the
+    * unrestricted anti-join returned 0 rows at every SF — a result an
+    * inverted predicate would also produce. Customers without an urgent
+    * order are a real, non-empty, discriminating set. */
   def q12AntiJoin(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d).select(col("o_custkey"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_custkey"))
     Tables.customer(s, d)
-      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
@@ -233,12 +239,16 @@ object Analytics {
     big.union(urgent).distinct().orderBy(col("o_custkey"))
   }
 
-  /** q17: scalar subquery — global avg broadcast back into the filter. */
+  /** q17: scalar subquery — global avg broadcast back into the filter.
+    * Threshold 1.01× (not 1.5×): testdata part prices are uniform on
+    * [900, 1000), so max/avg ≈ 1.05 and any higher multiplier selects
+    * ZERO rows at every SF — a vacuous pass. 1.01× keeps the result
+    * non-empty (9 / 810 / 8100 rows at sf0.001/0.01/0.1) and selective. */
   def q17Subquery(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d)
     val avgPrice = p.agg(avg(col("p_retailprice")).as("a"))
     p.crossJoin(broadcast(avgPrice))
-      .filter(col("p_retailprice") > col("a") * lit(1.5))
+      .filter(col("p_retailprice") > col("a") * lit(1.01))
       .select(col("p_partkey"), col("p_retailprice"))
       .orderBy(col("p_partkey"))
   }

@@ -157,6 +157,36 @@ object Ann {
   val NumCentroids = 32
   val NProbe = 2
 
+  /** Per-row nearest-centroid id as a fully CODEGEN'D expression: a
+    * `least(...)` fold over one `struct(dist², cid)` per centroid, each
+    * distance a native [[graft.functions.L2SquaredDistance]] with
+    * doGenCode. Lexicographic struct ordering = min distance, ties to
+    * min cid; dist² orders identically to the oracle's sqrt'd
+    * list_distance. This replaces the interpreted
+    * `array_min(transform(...aggregate(zip_with(...))))` fold (rounds
+    * 3–6): that shape dispatched ~2k closures per row — the exact
+    * pathology TextHashExpressions.scala:12-27 documents — where this
+    * one emits k straight-line distance loops into the enclosing
+    * WholeStageCodegen stage.
+    *
+    * coalesce: cid is never null at runtime (the codebook is non-empty)
+    * but least-over-nullable-children is statically nullable, and the
+    * probe join downstream would infer IsNotNull(cid) and
+    * predicate-push the WHOLE argmin fold into the scan-stage filter —
+    * evaluated per row, serially on few-split inputs, then again in the
+    * projection. Non-nullable key → the inferred filter constant-folds
+    * away. */
+  def nearestCentroid(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
+    require(cents.nonEmpty, "nearestCentroid: empty codebook")
+    val cand = cents.map { case (cid, cv) =>
+      struct(
+        vectors.l2SquaredDistance(v, typedlit(cv)).as("d"),
+        lit(cid).as("cid"))
+    }
+    val best = if (cand.size == 1) cand.head else least(cand: _*)
+    coalesce(best.getField("cid"), lit(-1L))
+  }
+
   /** a3: IVF-style coarse quantization. The codebook is the first
     * [[NumCentroids]] corpus ids divisible by [[CentroidStride]] — a
     * deterministic k-means stand-in (training would change the centroid
@@ -177,23 +207,7 @@ object Ann {
         r.getSeq[Float](1).map(_.toDouble).toSeq))
       .sortBy(_._1).toSeq
 
-    // per-row nearest-centroid id: array_min over (dist², cid) structs —
-    // lexicographic struct ordering = min dist, ties to min cid; dist²
-    // orders identically to the oracle's sqrt'd list_distance.
-    // coalesce: cid is never null at runtime (the codebook is non-empty)
-    // but array_min is statically nullable, and the probe join below
-    // would infer IsNotNull(cid) and predicate-push this WHOLE argmin
-    // fold into the scan-stage filter — evaluated per row, serially on
-    // few-split inputs, then again in the projection. Non-nullable key
-    // → the inferred filter constant-folds away.
-    val centsLit = typedlit(cents)
-    val assigned = embs.withColumn("cid",
-      coalesce(array_min(transform(centsLit, c =>
-        struct(
-          aggregate(zip_with(col("embedding"), c.getField("_2"),
-              (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x).as("d"),
-          c.getField("_1").as("cid")))).getField("cid"), lit(-1L)))
+    val assigned = embs.withColumn("cid", nearestCentroid(cents, col("embedding")))
 
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)

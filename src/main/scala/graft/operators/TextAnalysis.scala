@@ -139,7 +139,14 @@ object TextAnalysis {
     val fp = md5(textops.normalizeText(col("text")))
     val keyed = spread(docs).select(col("doc_id"), fp.as("fingerprint"))
     val sizes = keyed.groupBy(col("fingerprint")).agg(count(lit(1)).as("n_same"))
-    keyed.join(sizes, Seq("fingerprint"))
+      .withColumnRenamed("fingerprint", "fp_grp")
+    // NULL-SAFE key (<=>): a NULL text row has a NULL fingerprint; a
+    // plain equi-join would silently DROP those rows, while the
+    // oracle's `count(*) OVER (PARTITION BY fp)` keeps them as one
+    // NULL peer group (and Spark's groupBy groups NULL keys the same
+    // way). <=> makes both engines agree on nullable text instead of
+    // relying on the current corpus being non-null.
+    keyed.join(sizes, keyed("fingerprint") <=> sizes("fp_grp"))
       .select(col("doc_id"), col("fingerprint"), col("n_same"))
       .orderBy(col("doc_id"))
   }

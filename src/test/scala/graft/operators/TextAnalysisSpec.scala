@@ -54,4 +54,23 @@ class TextAnalysisSpec extends SparkSpec {
     rows(2L)._2 shouldBe 1L
     rows(2L)._1 should not be rows(0L)._1
   }
+
+  test("fingerprint: NULL text rows are kept as one NULL peer group (oracle semantics)") {
+    // The oracle's count(*) OVER (PARTITION BY fp) keeps NULL-fp rows
+    // as a single peer group; a plain equi-join back would drop them.
+    val df = Seq(
+      (0L, Some("same text")),
+      (1L, Some("same text")),
+      (2L, None: Option[String]),
+      (3L, None: Option[String]),
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.fingerprint(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("fingerprint"), r.getAs[Long]("n_same"))).toMap
+    rows.keySet shouldBe Set(0L, 1L, 2L, 3L) // no dropped rows
+    rows(2L)._1 shouldBe null
+    rows(3L)._1 shouldBe null
+    rows(2L)._2 shouldBe 2L // both NULL-text rows count as one group
+    rows(0L)._2 shouldBe 2L
+  }
 }
