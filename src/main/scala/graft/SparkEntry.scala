@@ -68,6 +68,7 @@ object SparkEntry {
     "m3_frame_sample" -> (Multimodal.m3Query _),
     "a1_batch_knn" -> (Ann.a1Query _),
     "a2_lsh_ann" -> (Ann.a2Query _),
+    "a2_indexed" -> ((s: SparkSession, d: String) => Ann.indexedLshKnn(s, d)),
     "a3_ivf_ann" -> (Ann.a3Query _),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),

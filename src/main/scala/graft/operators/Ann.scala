@@ -146,6 +146,66 @@ object Ann {
     lshKnn(Tables.embeddings(s, d))(s)
   }
 
+  // ------------------------------------------- a2 persisted index path
+
+  /** Index location for a corpus dir: tmpdir-scoped, keyed by the
+    * sanitized corpus path + plane count, so distinct corpora (and any
+    * future plane-set change) get distinct indexes. */
+  def lshIndexPath(d: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft-lsh-index/" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_p" + NumPlanes).getPath
+
+  /** One-time index build: the corpus written partitioned BY BUCKET —
+    * one directory per `bkt` value (≤ 2^P dirs), rows untouched. This
+    * is the physical layout the reference's index-once-query-many
+    * usage implies (search.py:20-35 issues repeated queries against a
+    * prebuilt index): at 100 TB the corpus is written once and every
+    * later probe prunes to its probe dirs at PLANNING time instead of
+    * re-scanning and re-bucketing all rows per query (a2's cost). */
+  def buildLshIndex(embs: DataFrame, path: String): Unit =
+    embs.withColumn("bkt", bucketCol(col("embedding")))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("bkt").parquet(path)
+
+  /** Build the index iff absent (`_SUCCESS` marks a completed write —
+    * a torn previous write is rebuilt). Returns the index path. */
+  def ensureLshIndex(s: SparkSession, d: String): String = {
+    val path = lshIndexPath(d)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      buildLshIndex(Tables.embeddings(s, d), path)
+    path
+  }
+
+  /** a2_indexed: the SAME multi-probe search as [[lshKnn]], but over
+    * the persisted index. The probe-bucket set is a driver-side
+    * constant, so the `isin` lands in the scan's PartitionFilters
+    * (verified in AnnSpec): only the ~nq·(P+1) probed directories are
+    * read — ~1/2^P of the corpus per probe — and no bucket is
+    * recomputed. The broadcast equi-join then splits the pruned rows
+    * among the queries probing them. */
+  def indexedLshKnn(s: SparkSession, d: String, k: Int = K): DataFrame = {
+    import s.implicits._
+    vectors.register(s)
+    val idx = s.read.parquet(ensureLshIndex(s, d))
+    val queries = querySet.flatMap { case (i, v) =>
+      probeBuckets(bucketOf(v)).map(pb => (i, pb, v))
+    }.toDF("query_id", "qbucket", "qv")
+    val allProbes = querySet.flatMap { case (_, v) =>
+      probeBuckets(bucketOf(v))
+    }.distinct
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
+    idx.filter(col("bkt").isin(allProbes: _*))
+      .join(broadcast(queries), col("bkt") === col("qbucket"))
+      .withColumn("score", vectors.cosineDistance(col("embedding"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("query_id"), col("score"), col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- a3
 
   val CentroidStride = 50
@@ -187,18 +247,10 @@ object Ann {
     coalesce(best.getField("cid"), lit(-1L))
   }
 
-  /** a3: IVF-style coarse quantization. The codebook is the first
-    * [[NumCentroids]] corpus ids divisible by [[CentroidStride]] — a
-    * deterministic k-means stand-in (training would change the centroid
-    * VALUES, not the plan). Only this bounded codebook is collected,
-    * and it enters the plan as ONE literal array-of-structs column;
-    * cell assignment is a per-row argmin fold over that literal — a
-    * pure map over the corpus scan: no shuffle, no join, constant work
-    * per row, constant plan size. Queries probe their NProbe nearest
-    * cells; exact distance only inside probed cells. */
-  def ivfKnn(embs: DataFrame, k: Int = K)(implicit s: SparkSession): DataFrame = {
-    import s.implicits._
-    val cents: Seq[(Long, Seq[Double])] = embs
+  /** Codebook seed: the first [[NumCentroids]] corpus ids divisible by
+    * [[CentroidStride]] — deterministic, one constant-size collect. */
+  def seedCodebook(embs: DataFrame): Seq[(Long, Seq[Double])] =
+    embs
       .filter(col("vec_id") % CentroidStride === 0 &&
         col("vec_id") < CentroidStride.toLong * NumCentroids)
       .select(col("vec_id"), col("embedding"))
@@ -207,6 +259,64 @@ object Ann {
         r.getSeq[Float](1).map(_.toDouble).toSeq))
       .sortBy(_._1).toSeq
 
+  val KMeansIters = 5
+
+  /** Bounded k-means (Lloyd) refinement of a seed codebook. Each
+    * iteration is ONE pass over the corpus: the codegen'd
+    * [[nearestCentroid]] assignment (pure map, no shuffle), then a
+    * per-(cell, dim) mean whose partial aggregation happens map-side —
+    * shuffle volume is partitions×k×dim partial sums, never corpus
+    * rows — and one CONSTANT-SIZE collect of k×dim cell means. Empty
+    * cells keep their previous centroid, so the codebook size is k at
+    * every iteration regardless of assignment skew. Total driver state:
+    * k×dim doubles per iteration — scale-independent. */
+  def trainCodebook(embs: DataFrame, seed: Seq[(Long, Seq[Double])],
+                    iters: Int = KMeansIters): Seq[(Long, Seq[Double])] = {
+    var cents = seed
+    for (_ <- 1 to iters) {
+      val means: Map[Long, Seq[Double]] = embs
+        .select(nearestCentroid(cents, col("embedding")).as("cid"),
+          posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
+      cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
+  /** Trained codebook per corpus dir — train once, query many (the
+    * reference's index usage). Mutable on purpose: [[oracles]] embeds
+    * the trained centroid VALUES of the last-trained corpus as SQL
+    * literals (Verify dumps oracle_sql.json AFTER running the queries,
+    * so the cache is populated by dump time); re-deriving float
+    * k-means bit-exactly inside DuckDB SQL would be parity-fragile —
+    * `avg` summation order differs across engines. */
+  private val codebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+  @volatile private var lastCodebook: Seq[(Long, Seq[Double])] = Nil
+
+  def codebookFor(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+    val cb = codebooks.computeIfAbsent(d, _ => {
+      val embs = Tables.embeddings(s, d)
+      trainCodebook(embs, seedCodebook(embs))
+    })
+    lastCodebook = cb
+    cb
+  }
+
+  /** a3: IVF coarse quantization over a trained codebook. Only the
+    * bounded codebook is driver-side; it enters the plan as k literal
+    * vectors and cell assignment is the codegen'd [[nearestCentroid]]
+    * fold — a pure map over the corpus scan: no shuffle, no join,
+    * constant work per row, constant plan size. Queries probe their
+    * NProbe nearest cells; exact distance only inside probed cells. */
+  def ivfKnn(embs: DataFrame, cents: Seq[(Long, Seq[Double])], k: Int)
+            (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
     val assigned = embs.withColumn("cid", nearestCentroid(cents, col("embedding")))
 
     def l2(a: Seq[Double], b: Seq[Double]): Double =
@@ -230,7 +340,7 @@ object Ann {
 
   def a3Query(s: SparkSession, d: String): DataFrame = {
     vectors.register(s)
-    ivfKnn(Tables.embeddings(s, d))(s)
+    ivfKnn(Tables.embeddings(s, d), codebookFor(s, d), K)(s)
   }
 
   // ------------------------------------------------------------ oracles
@@ -245,7 +355,40 @@ object Ann {
     * cases. The query/plane vectors are exact binary fractions (k/64)
     * precisely to keep dot products representable and away from
     * boundaries. */
-  val oracles: Map[String, String] = Map(
+  private def a2Sql: String =
+    s"""WITH queries(query_id, qbucket, qv) AS (VALUES ${
+      sqlValues(querySet.flatMap { case (i, v) =>
+        probeBuckets(bucketOf(v)).map(pb =>
+          s"($i, $pb, ${VectorSearch.sqlArray(v)}::DOUBLE[])") })}),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |             ${bucketSql("embedding::DOUBLE[]")} AS bkt
+       |      FROM embeddings)
+       |SELECT query_id, vec_id, 1.0 - list_cosine_similarity(e, qv) AS score
+       |FROM c JOIN queries ON bkt = qbucket
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
+       |ORDER BY query_id, score, vec_id""".stripMargin
+
+  /** The a3 centroid source, as SQL. With a trained codebook cached
+    * (the normal case: Verify runs a3Query before dumping oracle_sql),
+    * the trained values are embedded as literals — `Double.toString`
+    * is shortest-round-trip, so DuckDB reparses the identical doubles.
+    * Fallback (oracle dumped with no query run): the untrained seed,
+    * derived in SQL exactly as [[seedCodebook]] derives it. */
+  private def centsSql: String = {
+    val cb = lastCodebook
+    if (cb.nonEmpty)
+      "cents(ccid, cv) AS (VALUES " + sqlValues(cb.map { case (cid, cv) =>
+        s"($cid, ${VectorSearch.sqlArray(cv)}::DOUBLE[])" }) + ")"
+    else
+      s"""cents AS (
+         |  SELECT vec_id AS ccid, embedding::DOUBLE[] AS cv FROM embeddings
+         |  WHERE vec_id % $CentroidStride = 0
+         |    AND vec_id < ${CentroidStride.toLong * NumCentroids})""".stripMargin
+  }
+
+  /** `def`, not `val`: a3's SQL depends on the codebook trained by the
+    * queries that ran earlier in the same JVM (see [[codebookFor]]). */
+  def oracles: Map[String, String] = Map(
     "a1_batch_knn" ->
       s"""WITH queries(query_id, qv) AS (VALUES $queriesValuesSql)
          |SELECT query_id, vec_id,
@@ -253,23 +396,12 @@ object Ann {
          |FROM embeddings CROSS JOIN queries
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
          |ORDER BY query_id, score, vec_id""".stripMargin,
-    "a2_lsh_ann" ->
-      s"""WITH queries(query_id, qbucket, qv) AS (VALUES ${
-        sqlValues(querySet.flatMap { case (i, v) =>
-          probeBuckets(bucketOf(v)).map(pb =>
-            s"($i, $pb, ${VectorSearch.sqlArray(v)}::DOUBLE[])") })}),
-         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-         |             ${bucketSql("embedding::DOUBLE[]")} AS bkt
-         |      FROM embeddings)
-         |SELECT query_id, vec_id, 1.0 - list_cosine_similarity(e, qv) AS score
-         |FROM c JOIN queries ON bkt = qbucket
-         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
-         |ORDER BY query_id, score, vec_id""".stripMargin,
+    "a2_lsh_ann" -> a2Sql,
+    // a2_indexed is a physical-layout variant (persisted, partition-
+    // pruned index); its RESULT contract is identical to a2's.
+    "a2_indexed" -> a2Sql,
     "a3_ivf_ann" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS ccid, embedding::DOUBLE[] AS cv FROM embeddings
-         |  WHERE vec_id % $CentroidStride = 0
-         |    AND vec_id < ${CentroidStride.toLong * NumCentroids}),
+      s"""WITH $centsSql,
          |assigned AS (
          |  SELECT vec_id, e, ccid AS cid FROM (
          |    SELECT v.vec_id, v.embedding::DOUBLE[] AS e, c.ccid,

@@ -68,11 +68,49 @@ class AnnSpec extends SparkSpec {
 
   test("ivfKnn: bounded codebook, k rows per query, self-match first") {
     vectors.register(spark)
-    val out = Ann.ivfKnn(corpus(400))(spark).collect()
+    val embs = corpus(400)
+    val cents = Ann.trainCodebook(embs, Ann.seedCodebook(embs))
+    val out = Ann.ivfKnn(embs, cents, Ann.K)(spark).collect()
     out.groupBy(_.getAs[Int]("query_id")).foreach { case (q, rows) =>
       rows.length should be <= Ann.K
       val scores = rows.map(_.getAs[Double]("score")).toSeq
       scores shouldBe scores.sorted
     }
+  }
+
+  test("trainCodebook: k entries survive training, values finite, assignment cost unchanged") {
+    vectors.register(spark)
+    val embs = corpus(400)
+    val seed = Ann.seedCodebook(embs)
+    val trained = Ann.trainCodebook(embs, seed)
+    trained.map(_._1) shouldBe seed.map(_._1) // same cell ids, same count
+    trained.foreach { case (_, cv) =>
+      cv.length shouldBe dim
+      all(cv.map(_.isFinite)) shouldBe true
+    }
+    // training moved at least one centroid off its seed value
+    trained should not equal seed
+  }
+
+  test("indexedLshKnn: matches lshKnn and prunes partitions at planning time") {
+    vectors.register(spark)
+    implicit val s = spark
+    val embs = corpus(200).withColumn("label", (col("vec_id") % 7).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-annspec-").toString
+    embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val indexed = Ann.indexedLshKnn(spark, dir)
+    // the probe-bucket predicate must prune at PLANNING time: the scan
+    // over the persisted index carries it as a PartitionFilter, not a
+    // row filter after reading everything
+    val plan = indexed.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan.split("PartitionFilters").exists(_.contains("bkt")) shouldBe true
+
+    val got = indexed.collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    val want = Ann.lshKnn(embs).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    got shouldBe want
   }
 }
