@@ -53,6 +53,7 @@ object SparkEntry {
     "v6_ingest_combine" -> (VectorSearch.v6Query _),
     "v7_norms" -> (VectorSearch.norms _),
     "v8_embed_udf" -> ((s: SparkSession, d: String) => VectorSearch.embedUdfKnn(s, d)),
+    "v9_cross_modal" -> ((s: SparkSession, d: String) => VectorSearch.crossModalKnn(s, d)),
     "d1_exact_dedup" -> (Dedup.d1Query _),
     "d2_ngram_jaccard" -> (Dedup.d2Query _),
     "d3_minhash_lsh" -> (Dedup.d3Query _),
@@ -240,14 +241,22 @@ object SparkEntry {
     // exif_source/exif_lang are read back OUT of the parsed
     // map<string,string> on the Spark side; the oracle checks they
     // round-tripped the JSON identical to the original fields.
+    // text_emb_norm goes through the same hash60-derived text-embedding
+    // stub as v8, so BOTH modality columns of the wide row are
+    // hash-checked: emb_norm covers image_embedding, text_emb_norm
+    // covers text_embedding.
     "v6_ingest_combine" ->
-      """SELECT doc_id,
-        | replace(replace(text, '’', ' '), '‘', ' ') AS caption,
-        | lang, source, n_chars, label,
-        | source AS exif_source, lang AS exif_lang,
-        | sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS emb_norm
-        |FROM documents JOIN embeddings ON doc_id = vec_id
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         | replace(replace(text, '’', ' '), '‘', ' ') AS caption,
+         | lang, source, n_chars, label,
+         | source AS exif_source, lang AS exif_lang,
+         | sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS emb_norm,
+         | sqrt(list_inner_product(te, te)) AS text_emb_norm
+         |FROM (SELECT *,
+         |        list_transform(range(0, ${VectorSearch.Dim}),
+         |          i -> (${graft.functions.textops.hash60Sql("text || ':' || i::VARCHAR")} % 1000)::DOUBLE / 500.0 - 1.0) AS te
+         |      FROM documents JOIN embeddings ON doc_id = vec_id)
+         |ORDER BY doc_id""".stripMargin,
     // unit0's CASE guard matches L2Normalize's documented zero-vector
     // behavior (zero in → zero out, no NULL/inf).
     "v7_norms" ->
@@ -270,6 +279,16 @@ object SparkEntry {
          |     i -> (${graft.functions.textops.hash60Sql("text || ':' || i::VARCHAR")} % 1000)::DOUBLE / 500.0 - 1.0),
          |   ${vec(4)}::DOUBLE[]) AS score
          |FROM documents ORDER BY score, doc_id LIMIT 10""".stripMargin,
+    // v9's query literal stands for an image-side encoding; the text
+    // embedding it searches is the v8 stub, rebuilt exactly in SQL.
+    "v9_cross_modal" ->
+      s"""SELECT doc_id, lang,
+         | 1.0 - list_cosine_similarity(
+         |   list_transform(range(0, ${VectorSearch.Dim}),
+         |     i -> (${graft.functions.textops.hash60Sql("text || ':' || i::VARCHAR")} % 1000)::DOUBLE / 500.0 - 1.0),
+         |   ${vec(6)}::DOUBLE[]) AS score
+         |FROM documents JOIN embeddings ON doc_id = vec_id
+         |ORDER BY score, doc_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles ++ Curation.oracles
 }

@@ -102,7 +102,14 @@ object VectorSearch {
   /** v6: process.py equivalent — align metadata with embeddings by id,
     * clean text (curly quotes → space, `process.py:78`), parse exif
     * JSON into a `map<string,string>` column (`process.py:76`), and
-    * carry typed metadata + the map + the vector into one wide row.
+    * carry typed metadata + the map + BOTH modality vectors into one
+    * wide row, like the reference's row schema (`process.py:46-47`
+    * writes `text_embedding` AND `image_embedding` side by side):
+    *  - `image_embedding` — the corpus vector (the reference's
+    *    image-side CLIP embedding);
+    *  - `text_embedding` — embedded from the caption text via
+    *    [[embedText]] (the reference's text-side model call; stubbed
+    *    deterministic, so it stays oracle-exact).
     * The testdata has no raw exif column, so a deterministic exif JSON
     * string is synthesized from the row first; what's exercised — JSON
     * string in, MapType out via `from_json`, map access downstream —
@@ -126,7 +133,8 @@ object VectorSearch {
           .as("caption"),
         col("lang"), col("source"), col("n_chars"), col("label"),
         col("exif"),
-        col("embedding"),
+        col("embedding").as("image_embedding"),
+        embedText(col("text")).as("text_embedding"),
         vectors.l2Norm(col("embedding")).as("emb_norm"))
   }
 
@@ -167,8 +175,32 @@ object VectorSearch {
         col("n_chars"), col("label"),
         element_at(col("exif"), "source").as("exif_source"),
         element_at(col("exif"), "lang").as("exif_lang"),
-        col("emb_norm"))
+        col("emb_norm"),
+        vectors.l2Norm(col("text_embedding")).as("text_emb_norm"))
       .orderBy(col("doc_id"))
+
+  /** Generic knn over ANY embedding column — the column is a
+    * parameter, exactly like the reference passes the target column
+    * per search direction (`search.py:43` text query →
+    * `image_embedding`; `search.py:54` image query →
+    * `text_embedding`). Distributed shape: codegen'd distance in the
+    * scan projection + `orderBy.limit(k)` = TakeOrderedAndProject
+    * (per-partition k-heaps, driver merges P×k). */
+  def knnOver(df: DataFrame, embCol: Column, q: Seq[Double],
+              idCol: Column, keep: Seq[Column], k: Int): DataFrame =
+    df.withColumn("score", vectors.cosineDistance(embCol, qcol(q)))
+      .select(idCol +: keep :+ col("score"): _*)
+      .orderBy(col("score"), idCol)
+      .limit(k)
+
+  /** v9: CROSS-MODAL search over the dual-embedding wide row: an
+    * image-derived query vector (a driver-side literal, standing for a
+    * client-side CLIP image encoding) searched against the TEXT side —
+    * the `search.py:54` direction. v1–v5 are the opposite direction
+    * (text query → image/corpus embedding). */
+  def crossModalKnn(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    knnOver(ingestCombine(s, d), col("text_embedding"), qvec(6),
+      col("doc_id"), Seq(col("lang")), k)
 
   /** v7: vector norms + normalization as first-class expressions
     * (L1/L2/Linf vs zero; `unit0` reads the first component of the

@@ -45,6 +45,33 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("ingestCombine carries BOTH modality embeddings; cross-modal knn searches the text side") {
+    val out = VectorSearch.ingestCombine(spark, graft.SparkSpec.TinySf)
+    // dual-embedding row, like the reference's process.py:46-47 schema
+    out.columns should contain allOf ("image_embedding", "text_embedding")
+    val row = out.select(col("image_embedding"), col("text_embedding")).head()
+    row.getSeq[Float](0).length shouldBe VectorSearch.Dim
+    row.getSeq[Double](1).length shouldBe VectorSearch.Dim
+
+    val hits = VectorSearch.crossModalKnn(spark, graft.SparkSpec.TinySf, k = 5).collect()
+    hits.length shouldBe 5
+    val scores = hits.map(_.getAs[Double]("score")).toSeq
+    scores shouldBe scores.sorted
+    // cross-modal really reads the TEXT side: scores match a hand-built
+    // cosine against embedText, not against image_embedding
+    val byDoc = out.select(col("doc_id"), col("text_embedding")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Double](1)).toMap
+    val q = VectorSearch.qvec(6)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      1.0 - dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    hits.foreach { h =>
+      val want = cos(byDoc(h.getAs[Long]("doc_id")), q)
+      math.abs(h.getAs[Double]("score") - want) should be < 1e-12
+    }
+  }
+
   test("ingestWriteBucketed: re-join on the bucket key plans without a shuffle") {
     val df = VectorSearch.ingestCombine(spark, graft.SparkSpec.TinySf)
       .select(col("doc_id"), col("caption"))
