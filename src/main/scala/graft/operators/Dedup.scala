@@ -350,11 +350,10 @@ object Dedup {
     * are short chains, and the loop stops the first round nothing
     * changes (checked with one scalar count per round — no data is
     * collected). `localCheckpoint` cuts the lineage each round, the
-    * standard Spark idiom for iterative graph algorithms; at a 100 TB
-    * pair graph with long chains you'd switch to the O(log n)
-    * large-star/small-star formulation (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", 2014) — same loop shape,
-    * different propagation rule. */
+    * standard Spark idiom for iterative graph algorithms. This is the
+    * SIMPLE variant, kept for its readability on shallow graphs; d6
+    * runs [[dupClustersStar]], the O(log n) large-star/small-star
+    * formulation that also survives adversarial chain graphs. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -380,8 +379,91 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Lineage cut between iterations: a RELIABLE checkpoint when the
+    * session has a checkpoint dir configured (the 100 TB setting — a
+    * lost executor replays from the checkpoint file, not from the full
+    * iterative lineage), else `localCheckpoint` (the local default). */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * 2014): O(log n) rounds on ANY graph shape — including the
+    * adversarial long chains where [[dupClusters]]' min-label
+    * propagation needs O(diameter) rounds.
+    *
+    * Both half-steps share one shape — per-node min over the closed
+    * neighborhood (a map-side-combinable groupBy), joined back to the
+    * adjacency — and differ only in which neighbors they re-point:
+    *  - large-star points each node's LARGER neighbors at the
+    *    neighborhood min (tails collapse onto low ids);
+    *  - small-star points the smaller-or-equal neighbors and the node
+    *    itself there (stars flatten).
+    * Every emitted edge (x, m) already has x > m, so the edge set
+    * stays canonical (hi, lo) with no self-loops, and one `distinct`
+    * bounds it at the node count. Convergence = edge-set stability,
+    * checked with one scalar (count, hash-sum) aggregate per round —
+    * nothing corpus-sized is ever collected.
+    *
+    * Returns (labels, rounds): every node of the pair graph labeled
+    * with its component's min id, and the number of
+    * large+small rounds used. */
+  def dupClustersStar(pairs: DataFrame, maxIters: Int = 60): (DataFrame, Int) = {
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+
+    // closed-neighborhood min per node, joined back onto the adjacency
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val adj = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val withM = adj.join(mins, "u")
+      val pointed =
+        if (large) withM.filter(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+        else withM.filter(col("v") <= col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .union(mins.select(col("u").as("a"), col("m").as("b")))
+      pointed.filter(col("a") =!= col("b")).distinct()
+    }
+
+    var edges = cut(
+      pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    // decimal(38,0) sum: a Long sum of 2^63-scale hashes overflows
+    // under ANSI mode; decimal headroom covers any realistic edge count
+    def signature(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var sig = signature(edges)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIters) {
+      val next = cut(star(star(edges, large = true), large = false))
+      val nsig = signature(next)
+      stable = nsig == sig
+      edges = next
+      sig = nsig
+      rounds += 1
+    }
+    // at convergence each component is a star (x, m) centered at its
+    // min id: non-centers appear exactly once as `a`, centers never do
+    val labels = nodes
+      .join(edges.select(col("a").as("id"), col("b").as("lbl")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("lbl"), col("id")).as("cluster"))
+      .orderBy(col("doc_id"))
+    (labels, rounds)
+  }
+
   def d6Query(s: SparkSession, d: String): DataFrame =
-    dupClusters(ngramJaccard(Tables.documents(s, d)))
+    dupClustersStar(ngramJaccard(Tables.documents(s, d)))._1
 
   // ------------------------------------------------------------ oracles
 

@@ -59,6 +59,41 @@ class DedupSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L)
   }
 
+  test("dupClustersStar: 100-node path graph converges in O(log n) rounds") {
+    // the adversarial shape for min-label propagation (needs ~100
+    // rounds); large-star/small-star must do it in ≤ ~log2(100)+1
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.dupClustersStar(pairs)
+    rounds should be <= 8
+    val out = labels.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    out.keySet shouldBe (0L until 100L).toSet
+    all(out.values) shouldBe 0L
+  }
+
+  test("dupClustersStar matches dupClusters on a multi-component graph") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L), (9L, 3L), (12L, 12L))
+      .toDF("doc_a", "doc_b")
+    val star = Dedup.dupClustersStar(pairs)._1.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    star shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+      3L -> 3L, 7L -> 3L, 9L -> 3L, 12L -> 12L)
+  }
+
+  test("dupClustersStar uses reliable checkpoints when a checkpoint dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = (0L until 31L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val out = Dedup.dupClustersStar(pairs)._1.collect()
+        .map(r => r.getAs[Long]("cluster")).distinct
+      out shouldBe Array(0L)
+      // the reliable path actually wrote checkpoint files
+      val wrote = new java.io.File(dir).listFiles()
+      wrote should not be empty
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("embeddingNearDup finds identical vectors, skips distant ones") {
     val dim = 64
     val v = (0 until dim).map(i => ((i * 13 % 7) - 3).toFloat)
