@@ -26,6 +26,19 @@ object GraftSession {
   val ExcludedRules: String =
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
+  /** Structured Streaming state-store provider for the 100 TB setting:
+    * RocksDB keeps keyed state (windows, sessions, dedup hashes,
+    * join buffers) on local disk with an in-memory cache instead of
+    * fully on-heap — state size stops being bounded by executor heap,
+    * and changelog checkpointing ships deltas instead of full
+    * snapshots. Runtime-settable: applies to queries STARTED after the
+    * conf is set (each query pins its provider at start). */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def useRocksDBStateStore(s: SparkSession): Unit =
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
+
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")

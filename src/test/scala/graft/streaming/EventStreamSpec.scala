@@ -3,12 +3,23 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
 
 import graft.SparkSpec
 import graft.streaming.EventStream.{Event, Session}
 
-class EventStreamSpec extends SparkSpec {
-  import spark.implicits._
+/** s1–s4 behaviors, parameterized by the state-store provider: the
+  * whole suite runs once on the default HDFS-backed store
+  * ([[EventStreamSpec]]) and once on RocksDB
+  * ([[EventStreamRocksDBSpec]]) — same assertions, so a provider swap
+  * that changes semantics (timeout handling, watermark eviction,
+  * dedup guarantees) fails loudly. Query/table names carry the store
+  * suffix so the two suites' memory sinks never collide. */
+abstract class EventStreamSuiteBase extends SparkSpec {
+
+  /** Memory-sink name suffix + identity of the store under test. */
+  protected def store: String
+  private def qn(base: String): String = s"${base}_$store"
 
   /** Minutes offset from a base well past epoch 0 — an event AT the
     * initial watermark (epoch 0) is dropped as late, which is exactly
@@ -17,7 +28,9 @@ class EventStreamSpec extends SparkSpec {
   private def ts(minutes: Long): Timestamp =
     new Timestamp((BaseMin + minutes) * 60000L)
 
-  test("s1 batch mode: same plan aggregates a batch DataFrame") {
+  import spark.implicits._
+
+  test(s"[$store] s1 batch mode: same plan aggregates a batch DataFrame") {
     val df = Seq(
       Event(1, ts(1), "click", 1.0),
       Event(2, ts(2), "click", 2.0),
@@ -31,11 +44,11 @@ class EventStreamSpec extends SparkSpec {
     out shouldBe Array((0L, "click", 2L, 3.0), (10L, "view", 1L, 5.0))
   }
 
-  test("s1 streaming: windowed counts over a MemoryStream") {
+  test(s"[$store] s1 streaming: windowed counts over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
     val q = EventStream.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
-      .writeStream.format("memory").queryName("s1out")
+      .writeStream.format("memory").queryName(qn("s1out"))
       .outputMode("complete").start()
     try {
       input.addData(
@@ -43,65 +56,65 @@ class EventStreamSpec extends SparkSpec {
         Event(2, ts(2), "click", 2.0),
         Event(1, ts(11), "view", 5.0))
       q.processAllAvailable()
-      val rows = spark.table("s1out").collect()
+      val rows = spark.table(qn("s1out")).collect()
         .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n")))
         .toSet
       rows shouldBe Set(("click", 2L), ("view", 1L))
       // incremental: a second micro-batch extends the same window state
       input.addData(Event(3, ts(3), "click", 7.0))
       q.processAllAvailable()
-      val rows2 = spark.table("s1out").collect()
+      val rows2 = spark.table(qn("s1out")).collect()
         .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n")))
         .toSet
       rows2 shouldBe Set(("click", 3L), ("view", 1L))
     } finally q.stop()
   }
 
-  test("s1 append mode emits only watermark-finalized windows") {
+  test(s"[$store] s1 append mode emits only watermark-finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
     val q = EventStream.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
-      .writeStream.format("memory").queryName("s1append")
+      .writeStream.format("memory").queryName(qn("s1append"))
       .outputMode("append").start()
     try {
       input.addData(Event(1, ts(1), "click", 1.0), Event(2, ts(2), "click", 2.0))
       q.processAllAvailable()
       // watermark hasn't passed the [0,10) window yet — nothing emitted
-      spark.table("s1append").count() shouldBe 0
+      spark.table(qn("s1append")).count() shouldBe 0
       // an event far ahead pushes the watermark past minute 10 ...
       input.addData(Event(3, ts(30), "view", 1.0))
       q.processAllAvailable()
       input.addData(Event(3, ts(31), "view", 1.0))
       q.processAllAvailable()
       // ... so the first window is finalized and emitted exactly once
-      val rows = spark.table("s1append").collect()
+      val rows = spark.table(qn("s1append")).collect()
         .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n")))
       rows shouldBe Array(("click", 2L))
     } finally q.stop()
   }
 
-  test("s3 streaming dedup drops in-watermark duplicate content") {
+  test(s"[$store] s3 streaming dedup drops in-watermark duplicate content") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
     val q = EventStream.dedupStream(
         input.toDF().toDF("doc_id", "ts", "text"), watermark = "10 minutes")
-      .writeStream.format("memory").queryName("s3out")
+      .writeStream.format("memory").queryName(qn("s3out"))
       .outputMode("append").start()
     try {
       input.addData((0L, ts(0), "alpha"), (1L, ts(1), "beta"), (2L, ts(2), "alpha"))
       q.processAllAvailable()
       // same-batch duplicate "alpha" collapsed
-      spark.table("s3out").count() shouldBe 2
+      spark.table(qn("s3out")).count() shouldBe 2
       // cross-batch duplicate within the watermark also collapsed
       input.addData((3L, ts(3), "beta"), (4L, ts(4), "gamma"))
       q.processAllAvailable()
-      val texts = spark.table("s3out").collect()
+      val texts = spark.table(qn("s3out")).collect()
         .map(_.getAs[String]("text")).sorted
       texts shouldBe Array("alpha", "beta", "gamma")
     } finally q.stop()
   }
 
-  test("s4 stream-stream alignment joins doc/embedding halves within the delay") {
+  test(s"[$store] s4 stream-stream alignment joins doc/embedding halves within the delay") {
     implicit val sqlCtx = spark.sqlContext
     val docsIn = MemoryStream[(Long, Timestamp, String)]
     val embsIn = MemoryStream[(Long, Timestamp, Seq[Float])]
@@ -109,36 +122,36 @@ class EventStreamSpec extends SparkSpec {
         docsIn.toDF().toDF("doc_id", "ts", "text"),
         embsIn.toDF().toDF("vec_id", "ets", "embedding"),
         maxDelay = "30 minutes")
-      .writeStream.format("memory").queryName("s4out")
+      .writeStream.format("memory").queryName(qn("s4out"))
       .outputMode("append").start()
     try {
       docsIn.addData((1L, ts(0), "doc one"), (2L, ts(5), "doc two"))
       embsIn.addData((1L, ts(10), Seq(1f, 2f))) // 10 min after doc 1: joins
       q.processAllAvailable()
-      spark.table("s4out").collect().map(_.getAs[Long]("doc_id")) shouldBe Array(1L)
+      spark.table(qn("s4out")).collect().map(_.getAs[Long]("doc_id")) shouldBe Array(1L)
       embsIn.addData((2L, ts(120), Seq(3f, 4f))) // 115 min after doc 2: outside bound
       q.processAllAvailable()
-      spark.table("s4out").collect().map(_.getAs[Long]("doc_id")) shouldBe Array(1L)
+      spark.table(qn("s4out")).collect().map(_.getAs[Long]("doc_id")) shouldBe Array(1L)
     } finally q.stop()
   }
 
-  test("s2 streaming sessionization: gap-close and watermark-timeout-close") {
+  test(s"[$store] s2 streaming sessionization: gap-close and watermark-timeout-close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
     val q = EventStream.sessionize(input.toDS(),
         gapMs = 30 * 60000L, watermark = "10 minutes")
-      .writeStream.format("memory").queryName("s2out")
+      .writeStream.format("memory").queryName(qn("s2out"))
       .outputMode("append").start()
     try {
       // session A: user 1, two events 10 min apart (same session)
       input.addData(Event(1, ts(0), "click", 1.0), Event(1, ts(10), "click", 2.0))
       q.processAllAvailable()
-      spark.table("s2out").count() shouldBe 0 // still open
+      spark.table(qn("s2out")).count() shouldBe 0 // still open
 
       // 110-min gap → session A closes in-batch, session B opens
       input.addData(Event(1, ts(120), "click", 3.0))
       q.processAllAvailable()
-      val afterGap = spark.table("s2out").as[Session].collect()
+      val afterGap = spark.table(qn("s2out")).as[Session].collect()
       afterGap.length shouldBe 1
       afterGap(0).user_id shouldBe 1L
       afterGap(0).n_events shouldBe 2
@@ -152,7 +165,7 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(Event(2, ts(601), "click", 1.0))
       q.processAllAvailable()
-      val all = spark.table("s2out").as[Session].collect()
+      val all = spark.table(qn("s2out")).as[Session].collect()
       val user1 = all.filter(_.user_id == 1L).sortBy(_.start.getTime)
       user1.length shouldBe 2
       user1(1).n_events shouldBe 1
@@ -160,4 +173,44 @@ class EventStreamSpec extends SparkSpec {
       user1(1).sum_value shouldBe 3.0
     } finally q.stop()
   }
+}
+
+/** Default provider (HDFS-backed in-memory state store). */
+class EventStreamSpec extends EventStreamSuiteBase {
+  protected def store: String = "hdfs"
+}
+
+/** The same behaviors on the RocksDB state store — the provider the
+  * 100 TB deployment runs (state off-heap, changelog checkpoints). */
+class EventStreamRocksDBSpec extends EventStreamSuiteBase with BeforeAndAfterAll {
+  protected def store: String = "rocksdb"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.GraftSession.useRocksDBStateStore(spark)
+  }
+  override def afterAll(): Unit = {
+    try spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    finally super.afterAll()
+  }
+
+  test("rocksdb provider actually drives the state store (progress metrics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("rocksdb_probe")
+      .outputMode("complete").start()
+    try {
+      input.addData(Event(1, new Timestamp(BaseMs), "click", 1.0))
+      q.processAllAvailable()
+      val metrics = q.lastProgress.stateOperators.headOption
+        .map(_.customMetrics.keySet())
+        .map(ks => { val it = ks.iterator(); Iterator.continually(it)
+          .takeWhile(_.hasNext).map(_.next()).toSet })
+        .getOrElse(Set.empty[String])
+      metrics.exists(_.toLowerCase.contains("rocksdb")) shouldBe true
+    } finally q.stop()
+  }
+  private val BaseMs = 24L * 60 * 365 * 60000L
 }
