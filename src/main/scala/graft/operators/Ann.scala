@@ -169,12 +169,31 @@ object Ann {
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("bkt").parquet(path)
 
-  /** Build the index iff absent (`_SUCCESS` marks a completed write —
-    * a torn previous write is rebuilt). Returns the index path. */
+  /** Fingerprint of the corpus parquet on disk (file names, lengths,
+    * mtimes): cheap, no data read, and catches a regenerated corpus. */
+  private def corpusFingerprint(d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    val files =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+  }
+
+  /** Build the index iff absent OR stale (`_SUCCESS` marks a completed
+    * write; `_GRAFT_SRC` records the source-corpus fingerprint — an
+    * index left from a previous run of a since-regenerated corpus
+    * would otherwise silently serve wrong rows). Returns the path. */
   def ensureLshIndex(s: SparkSession, d: String): String = {
     val path = lshIndexPath(d)
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val src = new java.io.File(path, "_GRAFT_SRC").toPath
+    val fp = corpusFingerprint(d)
+    val fresh = new java.io.File(path, "_SUCCESS").exists() &&
+      java.nio.file.Files.exists(src) &&
+      new String(java.nio.file.Files.readAllBytes(src), "UTF-8") == fp
+    if (!fresh) {
       buildLshIndex(Tables.embeddings(s, d), path)
+      java.nio.file.Files.write(src, fp.getBytes("UTF-8"))
+      ()
+    }
     path
   }
 

@@ -112,5 +112,14 @@ class AnnSpec extends SparkSpec {
     val want = Ann.lshKnn(embs).collect()
       .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
     got shouldBe want
+
+    // regenerating the corpus must invalidate the persisted index: a
+    // shifted-id rewrite changes every vec_id; a stale index would
+    // still serve the old ones
+    val shifted = embs.withColumn("vec_id", col("vec_id") + lit(100000L))
+    shifted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val after = Ann.indexedLshKnn(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id"))
+    all(after) should be >= 100000L
   }
 }
