@@ -71,6 +71,7 @@ object SparkEntry {
     "a2_lsh_ann" -> (Ann.a2Query _),
     "a2_indexed" -> ((s: SparkSession, d: String) => Ann.indexedLshKnn(s, d)),
     "a3_ivf_ann" -> (Ann.a3Query _),
+    "a3_indexed" -> ((s: SparkSession, d: String) => Ann.indexedIvfKnn(s, d)),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),
     "c3_group_canonical" -> (Curation.c3Query _),

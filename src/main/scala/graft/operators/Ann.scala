@@ -362,6 +362,75 @@ object Ann {
     ivfKnn(Tables.embeddings(s, d), codebookFor(s, d), K)(s)
   }
 
+  // ------------------------------------------- a3 persisted index path
+
+  def ivfIndexPath(d: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_k" + NumCentroids).getPath
+
+  /** a3's persisted twin of [[ensureLshIndex]]: the corpus written
+    * partitioned BY CELL ID under the trained codebook. The index
+    * fingerprint includes the codebook values: the local k-means is
+    * only per-JVM-deterministic (`avg` partial-sum order), so an index
+    * written by a previous process against an ulp-different codebook
+    * is rebuilt rather than probed inconsistently. (At 100 TB the
+    * codebook itself would be persisted next to the index and loaded,
+    * not retrained — the rebuild-on-mismatch guard makes the local
+    * cache honest either way.) */
+  def ensureIvfIndex(s: SparkSession, d: String): String = {
+    val path = ivfIndexPath(d)
+    val cb = codebookFor(s, d)
+    val fp = corpusFingerprint(d) + "|cb:" + cb.hashCode
+    val src = new java.io.File(path, "_GRAFT_SRC").toPath
+    val fresh = new java.io.File(path, "_SUCCESS").exists() &&
+      java.nio.file.Files.exists(src) &&
+      new String(java.nio.file.Files.readAllBytes(src), "UTF-8") == fp
+    if (!fresh) {
+      Tables.embeddings(s, d)
+        .withColumn("cid", nearestCentroid(cb, col("embedding")))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cid").parquet(path)
+      java.nio.file.Files.write(src, fp.getBytes("UTF-8"))
+      ()
+    }
+    path
+  }
+
+  /** a3_indexed: IVF probe over the persisted cell-partitioned index.
+    * The probed cell set (NProbe nearest per query, driver-side argmin
+    * over the constant codebook) is a static `isin`, so the scan reads
+    * ONLY the probed cell directories (PartitionFilters — verified in
+    * AnnSpec); no assignment is recomputed at query time. Same result
+    * contract as a3_ivf_ann. */
+  def indexedIvfKnn(s: SparkSession, d: String, k: Int = K): DataFrame = {
+    import s.implicits._
+    vectors.register(s)
+    val cb = codebookFor(s, d)
+    val idx = s.read.parquet(ensureIvfIndex(s, d))
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val probePairs: Seq[(Int, Long, Seq[Double])] =
+      querySet.flatMap { case (i, qv) =>
+        cb.map { case (cid, cv) => (cid, l2(qv, cv)) }
+          .sortBy { case (cid, dd) => (dd, cid) }
+          .take(NProbe)
+          .map { case (cid, _) => (i, cid, qv) }
+      }
+    val probes = probePairs.toDF("query_id", "pcid", "qv")
+    val probedCells = probePairs.map(_._2).distinct
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
+    idx.filter(col("cid").isin(probedCells: _*))
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .withColumn("score", vectors.l2Distance(col("embedding"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("query_id"), col("score"), col("vec_id"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   /** Parity assumption, shared by every float-scoring oracle here and
@@ -416,11 +485,16 @@ object Ann {
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
          |ORDER BY query_id, score, vec_id""".stripMargin,
     "a2_lsh_ann" -> a2Sql,
-    // a2_indexed is a physical-layout variant (persisted, partition-
-    // pruned index); its RESULT contract is identical to a2's.
+    // *_indexed are physical-layout variants (persisted, partition-
+    // pruned indexes); their RESULT contracts are identical to the
+    // scan-side originals.
     "a2_indexed" -> a2Sql,
-    "a3_ivf_ann" ->
-      s"""WITH $centsSql,
+    "a3_indexed" -> a3Sql,
+    "a3_ivf_ann" -> a3Sql,
+  )
+
+  private def a3Sql: String =
+    s"""WITH $centsSql,
          |assigned AS (
          |  SELECT vec_id, e, ccid AS cid FROM (
          |    SELECT v.vec_id, v.embedding::DOUBLE[] AS e, c.ccid,
@@ -436,6 +510,5 @@ object Ann {
          |SELECT query_id, vec_id, list_distance(e, qv) AS score
          |FROM assigned JOIN qprobe USING (cid)
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
-         |ORDER BY query_id, score, vec_id""".stripMargin,
-  )
+         |ORDER BY query_id, score, vec_id""".stripMargin
 }

@@ -122,4 +122,24 @@ class AnnSpec extends SparkSpec {
       .map(_.getAs[Long]("vec_id"))
     all(after) should be >= 100000L
   }
+
+  test("indexedIvfKnn: matches ivfKnn and prunes cell partitions at planning time") {
+    vectors.register(spark)
+    implicit val s = spark
+    val embs = corpus(400).withColumn("label", (col("vec_id") % 7).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfspec-").toString
+    embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val indexed = Ann.indexedIvfKnn(spark, dir)
+    val plan = indexed.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan.split("PartitionFilters").exists(_.contains("cid")) shouldBe true
+
+    val got = indexed.collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    val want = Ann.ivfKnn(graft.Tables.embeddings(spark, dir),
+        Ann.codebookFor(spark, dir), Ann.K)(spark).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    got shouldBe want
+  }
 }
