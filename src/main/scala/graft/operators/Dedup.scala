@@ -434,23 +434,28 @@ object Dedup {
         greatest(col("doc_a"), col("doc_b")).as("a"),
         least(col("doc_a"), col("doc_b")).as("b"))
         .filter(col("a") =!= col("b")).distinct())
-    // decimal(38,0) sum: a Long sum of 2^63-scale hashes overflows
-    // under ANSI mode; decimal headroom covers any realistic edge count
-    def signature(e: DataFrame): (Long, String) = {
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), String.valueOf(r.get(1)))
+    // Converged iff the edge set is a union of DISJOINT stars: no head
+    // node has two parents (a twice) and no node sits on both sides (a
+    // center that is itself a leaf elsewhere still merges next round).
+    // Disjoint-star sets are exactly the alternation's fixed points
+    // (Kiveris 2014 §3), so this detects convergence on the round that
+    // PRODUCES the final set — no extra did-anything-change confirm
+    // round, and no checksum-collision caveat. One scalar job on ≤
+    // node-count rows.
+    def converged(e: DataFrame): Boolean = {
+      val roles = e.select(col("a"), lit(1).as("isA"))
+        .union(e.select(col("b").as("a"), lit(0).as("isA")))
+      roles.groupBy(col("a"))
+        .agg(sum(col("isA")).as("na"), min(col("isA")).as("mn"))
+        .filter(col("na") > 1 || (col("na") >= 1 && col("mn") === 0))
+        .limit(1).count() == 0L
     }
-    var sig = signature(edges)
     var rounds = 0
-    var stable = false
+    var stable = converged(edges)
     while (!stable && rounds < maxIters) {
-      val next = cut(star(star(edges, large = true), large = false))
-      val nsig = signature(next)
-      stable = nsig == sig
-      edges = next
-      sig = nsig
+      edges = cut(star(star(edges, large = true), large = false))
       rounds += 1
+      stable = converged(edges)
     }
     // at convergence each component is a star (x, m) centered at its
     // min id: non-centers appear exactly once as `a`, centers never do
