@@ -45,6 +45,9 @@ object SparkEntry {
     "q21_json_extract" -> (Analytics.q21JsonExtract _),
     "q22_grouping_sets" -> (Analytics.q22GroupingSets _),
     "q23_percentile" -> (Analytics.q23Percentile _),
+    "q24_ntile" -> (Analytics.q24Ntile _),
+    "q25_stats" -> (Analytics.q25Stats _),
+    "q26_array_agg" -> (Analytics.q26ArrayAgg _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.knnL2(s, d)),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.knnCosine(s, d)),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.knnDot(s, d)),
@@ -217,6 +220,24 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.95), 4) AS p95,
         | TRUE AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_ntile" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal,
+        | CAST(ntile(4) OVER (PARTITION BY s_nationkey
+        |                     ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS quartile
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q25_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        | count(1) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_array_agg" ->
+      """SELECT s_nationkey,
+        | array_to_string(list_sort(list(DISTINCT s_suppkey)), ',') AS supp_ids,
+        | count(1) AS n_supps
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
     "v1_knn_l2" ->
       s"""SELECT vec_id, label,
          | list_distance(embedding::DOUBLE[], ${vec(0)}::DOUBLE[]) AS score

@@ -321,4 +321,51 @@ object Analytics {
         round(col("p95"), 4).as("p95"),
         (abs(col("ap50") - col("p50")) / col("p50") <= 0.02).as("approx_ok"))
       .orderBy(col("l_returnflag"))
+
+  /** q24: distribution bucketing — `ntile(4)` per nation over supplier
+    * balances (the reference engine's quantile-bucket idiom). Fully
+    * deterministic: the window orders on (acctbal DESC, suppkey), so
+    * ties can't flip buckets between engines. Scale shape: one shuffle
+    * on the partition key; each nation's suppliers rank independently
+    * across executors. */
+  def q24Ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q25: statistical aggregates — sample stddev/variance, Pearson
+    * correlation and sample covariance of quantity vs extended price
+    * per return flag (ClickHouse's stddevSamp/corr/covarSamp surface).
+    * All four are one-pass partial-aggregable (sum/sum²/sum-of-cross
+    * moments) — map-side combine, constant shuffle volume per group.
+    * Rounded to 4 decimals on both sides: the moment sums are
+    * float-order-dependent across partitions, same policy as q1. */
+  def q25Stats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** q26: array aggregation — the reference engine's groupArray →
+    * arrayStringConcat idiom: collect the distinct member set per
+    * group, sort, join to a canonical string (string form because a
+    * raw array column has no canonical cross-engine hash, same policy
+    * as v6's map). collect_set partial-aggregates map-side; the sort
+    * happens once per group on the merged set. */
+  def q26ArrayAgg(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        array_join(sort_array(collect_set(col("s_suppkey"))), ",").as("supp_ids"),
+        count(lit(1)).as("n_supps"))
+      .orderBy(col("s_nationkey"))
 }
