@@ -48,6 +48,8 @@ object SparkEntry {
     "q24_ntile" -> (Analytics.q24Ntile _),
     "q25_stats" -> (Analytics.q25Stats _),
     "q26_array_agg" -> (Analytics.q26ArrayAgg _),
+    "q27_funnel" -> (Analytics.q27Funnel _),
+    "q28_retention" -> (Analytics.q28Retention _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.knnL2(s, d)),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.knnCosine(s, d)),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.knnDot(s, d)),
@@ -238,6 +240,38 @@ object SparkEntry {
         | array_to_string(list_sort(list(DISTINCT s_suppkey)), ',') AS supp_ids,
         | count(1) AS n_supps
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_funnel" ->
+      """WITH v AS (SELECT user_id, ts AS tv FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS tc FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS tp FROM events WHERE event_type = 'purchase'),
+        |l2 AS (SELECT v.user_id, v.tv, min(c.tc) AS tc
+        |       FROM v JOIN c ON v.user_id = c.user_id
+        |        AND c.tc > v.tv AND c.tc <= v.tv + INTERVAL 24 HOUR
+        |       GROUP BY 1, 2),
+        |l3 AS (SELECT DISTINCT l2.user_id
+        |       FROM l2 JOIN p ON l2.user_id = p.user_id
+        |        AND p.tp > l2.tc AND p.tp <= l2.tv + INTERVAL 24 HOUR),
+        |lvl AS (SELECT u.user_id,
+        |         greatest(
+        |           CASE WHEN v1.user_id IS NOT NULL THEN 1 ELSE 0 END,
+        |           CASE WHEN h2.user_id IS NOT NULL THEN 2 ELSE 0 END,
+        |           CASE WHEN l3.user_id IS NOT NULL THEN 3 ELSE 0 END) AS funnel_level
+        |       FROM (SELECT DISTINCT user_id FROM events) u
+        |       LEFT JOIN (SELECT DISTINCT user_id FROM v) v1 ON u.user_id = v1.user_id
+        |       LEFT JOIN (SELECT DISTINCT user_id FROM l2) h2 ON u.user_id = h2.user_id
+        |       LEFT JOIN l3 ON u.user_id = l3.user_id)
+        |SELECT funnel_level, count(1) AS n_users
+        |FROM lvl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_retention" ->
+      """SELECT sum(f1) AS n_cohort, sum(f1 * f2) AS n_week2, sum(f1 * f3) AS n_week3
+        |FROM (SELECT user_id,
+        |        max(CASE WHEN event_type = 'signup'
+        |                  AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END) AS f1,
+        |        max(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |                  AND ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS f2,
+        |        max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |                  AND ts < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS f3
+        |      FROM events GROUP BY 1)""".stripMargin,
     "v1_knn_l2" ->
       s"""SELECT vec_id, label,
          | list_distance(embedding::DOUBLE[], ${vec(0)}::DOUBLE[]) AS score

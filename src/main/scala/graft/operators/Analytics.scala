@@ -368,4 +368,66 @@ object Analytics {
         array_join(sort_array(collect_set(col("s_suppkey"))), ",").as("supp_ids"),
         count(lit(1)).as("n_supps"))
       .orderBy(col("s_nationkey"))
+
+  /** q27: event funnel (the reference engine's windowFunnel idiom) —
+    * per user, the deepest view → click → purchase chain in strict
+    * time order completing within [[FunnelWindow]] of the chain's
+    * first event, then users counted per level reached. Relational
+    * shape: level-2 pairs keep only min(click-ts) per (user, view-ts)
+    * — safe by a greedy exchange argument (an earlier click only
+    * weakens the constraints on the purchase) — so the level-3 join
+    * fans out per VIEW, not per (view × click). All joins are on
+    * user_id: one shuffle key; per-user work is bounded by events per
+    * user, never corpus². */
+  val FunnelWindow = "24 hours"
+
+  def q27Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def typed(t: String, as: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"), col("ts").as(as))
+    val v = typed("view", "tv")
+    val c = typed("click", "tc")
+    val p = typed("purchase", "tp")
+    val win = s"INTERVAL $FunnelWindow"
+    val l2 = v.join(c, Seq("user_id"))
+      .filter(col("tc") > col("tv") && col("tc") <= col("tv") + expr(win))
+      .groupBy(col("user_id"), col("tv")).agg(min(col("tc")).as("tc"))
+    val l3 = l2.join(p, Seq("user_id"))
+      .filter(col("tp") > col("tc") && col("tp") <= col("tv") + expr(win))
+      .select(col("user_id")).distinct().withColumn("l3", lit(3))
+    val users = ev.select(col("user_id")).distinct()
+    val hasV = v.select(col("user_id")).distinct().withColumn("l1", lit(1))
+    val has2 = l2.select(col("user_id")).distinct().withColumn("l2", lit(2))
+    users
+      .join(hasV, Seq("user_id"), "left")
+      .join(has2, Seq("user_id"), "left")
+      .join(l3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        greatest(coalesce(col("l1"), lit(0)), coalesce(col("l2"), lit(0)),
+          coalesce(col("l3"), lit(0))).as("funnel_level"))
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_level"))
+  }
+
+  /** q28: cohort retention (the reference engine's retention idiom) —
+    * the cohort is users who SIGNED UP in week 1; retained-week-N =
+    * cohort members with ANY activity in week N. One conditional-flag
+    * aggregation per user (map-side combinable), one global sum —
+    * two shuffles total, both on small keyed flags. */
+  def q28Retention(s: SparkSession, d: String): DataFrame = {
+    def tsLit(v: String) = to_timestamp(lit(v))
+    val ev = Tables.events(s, d)
+    val flags = ev.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "signup" &&
+        col("ts") < tsLit("2024-01-08 00:00:00"), 1).otherwise(0)).as("f1"),
+      max(when(col("ts") >= tsLit("2024-01-08 00:00:00") &&
+        col("ts") < tsLit("2024-01-15 00:00:00"), 1).otherwise(0)).as("f2"),
+      max(when(col("ts") >= tsLit("2024-01-15 00:00:00") &&
+        col("ts") < tsLit("2024-01-22 00:00:00"), 1).otherwise(0)).as("f3"))
+    flags.agg(
+      sum(col("f1")).as("n_cohort"),
+      sum(col("f1") * col("f2")).as("n_week2"),
+      sum(col("f1") * col("f3")).as("n_week3"))
+  }
 }
