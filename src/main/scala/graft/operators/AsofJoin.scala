@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of join — the reference engine family's ASOF JOIN (match every
+  * left row with the single most recent right row of the same key at
+  * or before the left timestamp).
+  *
+  * Spark has no native asof operator, and the naive form — equi-join
+  * on the key plus a time-range filter, then per-left-row argmax — is
+  * per-key QUADRATIC (every left row joins every earlier right row
+  * before the rank prunes). The scale-correct distributed shape is
+  * union + window:
+  *
+  *   1. tag both sides, union them on a common schema;
+  *   2. ONE shuffle on the key, ONE sort by (ts, side, tie);
+  *   3. every left row reads the running `last(right payload,
+  *      ignoreNulls)` over rows unbounded-preceding..current — O(1)
+  *      running state per row, no buffering, no fan-out.
+  *
+  * Total cost = one exchange + one sort, the same as a groupBy on the
+  * key, independent of how many right rows precede each left row.
+  *
+  * Semantics (pinned, deterministic): rightTs == leftTs MATCHES
+  * (at-or-before); equal right timestamps resolve to the greatest
+  * `tieBreak` value; left rows with no preceding right row keep NULL
+  * payload (left-outer).
+  */
+object AsofJoin {
+
+  /** @param rightPayload right columns carried onto matched left rows
+    *                     (must not clash with left column names)
+    * @param tieBreak     right column ordering equal-timestamp rights;
+    *                     the greatest value wins */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String], tieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r = right.select(
+      col(key).as("__key"),
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      col(tieBreak).cast("string").as("__tie"),
+      struct(rightPayload.map(col): _*).as("__pay"))
+    val payType = r.schema("__pay").dataType
+    val l = left.select(
+      col(key).as("__key"),
+      col(leftTs).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast("string").as("__tie"),
+      lit(null).cast(payType).as("__pay"),
+      struct(leftCols.map(col): _*).as("__row"))
+    val rowType = l.schema("__row").dataType
+    val u = l.unionByName(r.withColumn("__row", lit(null).cast(rowType)))
+    // rights sort before lefts at equal ts (at-or-before includes
+    // equality); equal-ts rights order by tie so `last` = greatest
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__row.$c").as(c)) ++
+        rightPayload.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** q29: purchase-to-view attribution — every purchase event matched
+    * with the same user's most recent view at or before it (the
+    * classic last-touch attribution asof). Non-matching purchases
+    * (view came later or never) keep NULL view columns. */
+  def q29Query(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event_id"),
+        col("ts").as("view_ts"))
+    asofJoin(purchases, views, key = "user_id",
+      leftTs = "ts", rightTs = "view_ts",
+      rightPayload = Seq("view_event_id", "view_ts"),
+      tieBreak = "view_event_id")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    // explicit argmax form, NOT DuckDB's ASOF keyword: it pins the
+    // exact tie semantics (greatest view_ts, then greatest
+    // view_event_id) that the union+window implementation guarantees
+    "q29_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_event_id, ts AS view_ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT user_id, event_id, ts, value, view_event_id, view_ts FROM (
+        |  SELECT p.*, v.view_event_id, v.view_ts,
+        |         row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |                            ORDER BY v.view_ts DESC, v.view_event_id DESC) AS rn
+        |  FROM p LEFT JOIN v
+        |    ON p.user_id = v.user_id AND v.view_ts <= p.ts)
+        |WHERE rn = 1 ORDER BY user_id, event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Long) = new Timestamp(m * 60000L)
+
+  test("asofJoin: most recent at-or-before match, per key") {
+    val left = Seq(
+      (1L, ts(10), "p1"),
+      (1L, ts(20), "p2"),
+      (2L, ts(10), "p3"),
+    ).toDF("k", "lts", "lname")
+    val right = Seq(
+      (1L, ts(5), "v1"),
+      (1L, ts(15), "v2"),
+      (2L, ts(11), "v3"), // AFTER the only left row of key 2
+    ).toDF("k", "rts", "rname")
+    val out = AsofJoin.asofJoin(left, right, "k", "lts", "rts",
+        Seq("rname", "rts"), tieBreak = "rname")
+      .collect().map(r => r.getAs[String]("lname") -> r.getAs[String]("rname")).toMap
+    out shouldBe Map("p1" -> "v1", "p2" -> "v2", "p3" -> null)
+  }
+
+  test("asofJoin: equal timestamps match (at-or-before) and tie-break to greatest") {
+    val left = Seq((1L, ts(10), "p")).toDF("k", "lts", "lname")
+    val right = Seq(
+      (1L, ts(10), "a"),
+      (1L, ts(10), "b"), // same ts: greatest tieBreak wins
+      (1L, ts(3), "z"),
+    ).toDF("k", "rts", "rname")
+    val out = AsofJoin.asofJoin(left, right, "k", "lts", "rts",
+        Seq("rname"), tieBreak = "rname")
+      .collect().map(_.getAs[String]("rname"))
+    out shouldBe Array("b")
+  }
+
+  test("asofJoin plans one exchange on the key, no join operator") {
+    val left = Seq((1L, ts(10), "p")).toDF("k", "lts", "lname")
+    val right = Seq((1L, ts(5), "v")).toDF("k", "rts", "rname")
+    val plan = AsofJoin.asofJoin(left, right, "k", "lts", "rts",
+      Seq("rname"), tieBreak = "rname").queryExecution.executedPlan.toString
+    // the scale contract: union + window, never a per-key-quadratic join
+    plan.toLowerCase should not include "join"
+    plan should include("Window")
+  }
+}
