@@ -268,9 +268,11 @@ object SparkEntry {
         |FROM (SELECT user_id,
         |        max(CASE WHEN event_type = 'signup'
         |                  AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END) AS f1,
-        |        max(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |        max(CASE WHEN event_type = 'purchase'
+        |                  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
         |                  AND ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS f2,
-        |        max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |        max(CASE WHEN event_type = 'purchase'
+        |                  AND ts >= TIMESTAMP '2024-01-15 00:00:00'
         |                  AND ts < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS f3
         |      FROM events GROUP BY 1)""".stripMargin,
     "v1_knn_l2" ->

@@ -412,18 +412,24 @@ object Analytics {
 
   /** q28: cohort retention (the reference engine's retention idiom) —
     * the cohort is users who SIGNED UP in week 1; retained-week-N =
-    * cohort members with ANY activity in week N. One conditional-flag
-    * aggregation per user (map-side combinable), one global sum —
-    * two shuffles total, both on small keyed flags. */
+    * cohort members who PURCHASED in week N (purchase, not
+    * any-activity: the synthetic users emit ~2 events/day, so
+    * any-activity retention saturates at 100% and the week conditions
+    * would go untested — the discriminating-result lesson of
+    * q12/q17). One conditional-flag aggregation per user (map-side
+    * combinable), one global sum — two shuffles total, both on small
+    * keyed flags. */
   def q28Retention(s: SparkSession, d: String): DataFrame = {
     def tsLit(v: String) = to_timestamp(lit(v))
     val ev = Tables.events(s, d)
     val flags = ev.groupBy(col("user_id")).agg(
       max(when(col("event_type") === "signup" &&
         col("ts") < tsLit("2024-01-08 00:00:00"), 1).otherwise(0)).as("f1"),
-      max(when(col("ts") >= tsLit("2024-01-08 00:00:00") &&
+      max(when(col("event_type") === "purchase" &&
+        col("ts") >= tsLit("2024-01-08 00:00:00") &&
         col("ts") < tsLit("2024-01-15 00:00:00"), 1).otherwise(0)).as("f2"),
-      max(when(col("ts") >= tsLit("2024-01-15 00:00:00") &&
+      max(when(col("event_type") === "purchase" &&
+        col("ts") >= tsLit("2024-01-15 00:00:00") &&
         col("ts") < tsLit("2024-01-22 00:00:00"), 1).otherwise(0)).as("f3"))
     flags.agg(
       sum(col("f1")).as("n_cohort"),
