@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, Curation, Dedup, Multimodal, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, Curation, Dedup, Multimodal, RangeJoin, TextAnalysis, VectorSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -51,6 +51,7 @@ object SparkEntry {
     "q27_funnel" -> (Analytics.q27Funnel _),
     "q28_retention" -> (Analytics.q28Retention _),
     "q29_asof_join" -> (AsofJoin.q29Query _),
+    "q30_range_join" -> (RangeJoin.q30Query _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.knnL2(s, d)),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.knnCosine(s, d)),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.knnDot(s, d)),
@@ -349,5 +350,5 @@ object SparkEntry {
          |FROM documents JOIN embeddings ON doc_id = vec_id
          |ORDER BY score, doc_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-    Ann.oracles ++ Curation.oracles ++ AsofJoin.oracles
+    Ann.oracles ++ Curation.oracles ++ AsofJoin.oracles ++ RangeJoin.oracles
 }
