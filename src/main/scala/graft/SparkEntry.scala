@@ -52,6 +52,7 @@ object SparkEntry {
     "q28_retention" -> (Analytics.q28Retention _),
     "q29_asof_join" -> (AsofJoin.q29Query _),
     "q30_range_join" -> (RangeJoin.q30Query _),
+    "q31_hll_merge" -> (Analytics.q31HllMerge _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.knnL2(s, d)),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.knnCosine(s, d)),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.knnDot(s, d)),
@@ -276,6 +277,14 @@ object SparkEntry {
         |                  AND ts >= TIMESTAMP '2024-01-15 00:00:00'
         |                  AND ts < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS f3
         |      FROM events GROUP BY 1)""".stripMargin,
+    // q31: like q9/q23, the checkable cross-engine contract of a
+    // sketch is its ACCURACY — the oracle recomputes the exact global
+    // distinct and expects the merged-sketch estimate within 5%.
+    "q31_hll_merge" ->
+      """SELECT count(DISTINCT l_returnflag) AS n_groups,
+        | count(DISTINCT l_partkey) AS n_exact,
+        | TRUE AS merged_ok
+        |FROM lineitem""".stripMargin,
     "v1_knn_l2" ->
       s"""SELECT vec_id, label,
          | list_distance(embedding::DOUBLE[], ${vec(0)}::DOUBLE[]) AS score

@@ -436,4 +436,29 @@ object Analytics {
       sum(col("f1") * col("f2")).as("n_week2"),
       sum(col("f1") * col("f3")).as("n_week3"))
   }
+
+  /** q31: MERGEABLE distinct-count sketches — the 100 TB aggregation
+    * pattern q9's one-shot `approx_count_distinct` can't express:
+    * build one HLL sketch PER GROUP (here per return flag; at scale,
+    * per day/partition as data lands), then answer the global question
+    * by UNIONING the stored sketches — no rescan of the raw data. The
+    * oracle checks the mergeable contract: the estimate from merged
+    * per-group sketches must land within 5% of the exact global
+    * distinct count (same accuracy-contract style as q9/q23; the
+    * sketch bytes themselves are engine-specific). */
+  def q31HllMerge(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val perGroup = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = perGroup.agg(
+      count(lit(1)).as("n_groups"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = li.agg(count_distinct(col("l_partkey")).as("n_exact"))
+    merged.crossJoin(exact)
+      .select(
+        col("n_groups"),
+        col("n_exact"),
+        (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05)
+          .as("merged_ok"))
+  }
 }

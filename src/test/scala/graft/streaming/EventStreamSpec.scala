@@ -135,6 +135,47 @@ abstract class EventStreamSuiteBase extends SparkSpec {
     } finally q.stop()
   }
 
+  test(s"[$store] s1 recovery: restart from checkpoint resumes exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ck-$store-").toString
+    val sink = java.nio.file.Files.createTempDirectory(s"graft-sk-$store-").toString
+    def start() = EventStream.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try {
+      input.addData(Event(1, ts(1), "click", 1.0), Event(2, ts(2), "click", 2.0))
+      q1.processAllAvailable()
+      // two more batches: watermark passes [0,10) and the window lands
+      // in the sink BEFORE the crash point
+      input.addData(Event(3, ts(30), "view", 1.0))
+      q1.processAllAvailable()
+      input.addData(Event(3, ts(31), "view", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart against the SAME checkpoint: offsets + window state come
+    // back; new data finalizes the pre-restart [30,40) view window
+    val q2 = start()
+    try {
+      input.addData(Event(4, ts(60), "click", 9.0))
+      q2.processAllAvailable()
+      input.addData(Event(4, ts(61), "click", 9.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(sink).collect()
+      .map(r => (r.getAs[Timestamp]("window_start").getTime / 60000L - BaseMin,
+        r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      .sorted
+    // exactly-once: the pre-restart window appears ONCE (not re-emitted
+    // after recovery), and state that straddled the restart ([30,40)
+    // with both view events) finalizes with the full count
+    rows shouldBe Array((0L, "click", 2L), (30L, "view", 2L))
+  }
+
   test(s"[$store] s2 streaming sessionization: gap-close and watermark-timeout-close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
