@@ -40,18 +40,23 @@ object AsofJoin {
                leftTs: String, rightTs: String,
                rightPayload: Seq[String], tieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the tie column keeps its NATIVE type: a string cast would order
+    // numeric ties lexicographically ("9" > "10") and silently diverge
+    // from any numeric-ordered oracle the day two right rows share a
+    // timestamp
+    val tieType = right.schema(tieBreak).dataType
     val r = right.select(
       col(key).as("__key"),
       col(rightTs).as("__ts"),
       lit(0).as("__side"),
-      col(tieBreak).cast("string").as("__tie"),
+      col(tieBreak).as("__tie"),
       struct(rightPayload.map(col): _*).as("__pay"))
     val payType = r.schema("__pay").dataType
     val l = left.select(
       col(key).as("__key"),
       col(leftTs).as("__ts"),
       lit(1).as("__side"),
-      lit(null).cast("string").as("__tie"),
+      lit(null).cast(tieType).as("__tie"),
       lit(null).cast(payType).as("__pay"),
       struct(leftCols.map(col): _*).as("__row"))
     val rowType = l.schema("__row").dataType

@@ -29,16 +29,18 @@ object RangeJoin {
                   leftTs: String, rightTs: String,
                   rightPayload: Seq[String], bandSec: Long): DataFrame = {
     val bandUs = bandSec * 1000000L
+    // floor, not cast-truncation: truncation rounds toward zero, which
+    // misbuckets negative (pre-1970) timestamps by one
+    def bkt(us: org.apache.spark.sql.Column) =
+      floor(us / bandUs).cast("long")
     val l = left
       .withColumn("__lus", unix_micros(col(leftTs)))
       .withColumn("__bkt", explode(array(
-        (col("__lus") / bandUs).cast("long") - 1,
-        (col("__lus") / bandUs).cast("long"),
-        (col("__lus") / bandUs).cast("long") + 1)))
+        bkt(col("__lus")) - 1, bkt(col("__lus")), bkt(col("__lus")) + 1)))
     val r = right.select(
       col(key).as("__rkey"),
       unix_micros(col(rightTs)).as("__rus"),
-      (unix_micros(col(rightTs)) / bandUs).cast("long").as("__rbkt"),
+      bkt(unix_micros(col(rightTs))).as("__rbkt"),
       struct(rightPayload.map(col): _*).as("__pay"))
     l.join(r, col(key) === col("__rkey") && col("__bkt") === col("__rbkt"))
       .filter(abs(col("__rus") - col("__lus")) <= bandUs)

@@ -41,6 +41,18 @@ class AsofJoinSpec extends SparkSpec {
     out shouldBe Array("b")
   }
 
+  test("asofJoin: numeric tie-break orders numerically, not lexicographically") {
+    val left = Seq((1L, ts(10), "p")).toDF("k", "lts", "lname")
+    val right = Seq(
+      (1L, ts(10), 9L),  // "9" > "10" as strings — numeric must pick 10
+      (1L, ts(10), 10L),
+    ).toDF("k", "rts", "rid")
+    val out = AsofJoin.asofJoin(left, right, "k", "lts", "rts",
+        Seq("rid"), tieBreak = "rid")
+      .collect().map(_.getAs[Long]("rid"))
+    out shouldBe Array(10L)
+  }
+
   test("asofJoin plans one exchange on the key, no join operator") {
     val left = Seq((1L, ts(10), "p")).toDF("k", "lts", "lname")
     val right = Seq((1L, ts(5), "v")).toDF("k", "rts", "rname")
