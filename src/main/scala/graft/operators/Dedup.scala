@@ -457,6 +457,10 @@ object Dedup {
       rounds += 1
       stable = converged(edges)
     }
+    // loud, not wrong: an unconverged edge set can hold nodes with two
+    // parents, and the label join below would silently duplicate them
+    require(stable,
+      s"dupClustersStar: not converged after $rounds rounds (maxIters=$maxIters)")
     // at convergence each component is a star (x, m) centered at its
     // min id: non-centers appear exactly once as `a`, centers never do
     val labels = nodes
