@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Randomized cross-checks of the custom relational operators against
+  * driver-side brute-force references. The distributed implementations
+  * (union+window asof, bucketed range join, large/small-star connected
+  * components) take structurally different paths from the obvious
+  * quadratic/sequential forms — these properties pin them to the same
+  * semantics on inputs no hand-written case covers: dense timestamp
+  * collisions, multi-parent graphs, singleton keys, empty sides. */
+class OperatorPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  /** Deterministic scalacheck sampling: fixed seed, n samples. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("asofJoin matches driver-side brute force on random inputs") {
+    // small key/time domains force collisions: equal timestamps across
+    // sides, duplicate right timestamps, keys with empty right side
+    val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 20L))
+    val caseGen = Gen.zip(
+      Gen.listOfN(12, rowGen), // left (key, ts)
+      Gen.listOfN(12, Gen.zip(rowGen, Gen.choose(0L, 100L)))) // right + id
+    samples(caseGen, 25).foreach { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, ts(t), i.toLong) }
+        .toDF("k", "lts", "lid")
+      val right = rs.map { case ((k, t), rid) => (k, ts(t), rid) }
+        .toDF("k", "rts", "rid")
+      val got = AsofJoin.asofJoin(left, right, "k", "lts", "rts",
+          Seq("rid"), tieBreak = "rid")
+        .collect()
+        .map(r => r.getAs[Long]("lid") ->
+          Option(r.get(r.fieldIndex("rid"))).map(_.asInstanceOf[Long]))
+        .toMap
+      // brute force: max (rts, rid) among same-key rights at-or-before
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cand = rs.collect {
+          case ((rk, rt), rid) if rk == k && rt <= t => (rt, rid)
+        }
+        i.toLong -> (if (cand.isEmpty) None else Some(cand.max._2))
+      }.toMap
+      got shouldBe want
+    }
+  }
+
+  test("bandedPairs matches driver-side brute force on random inputs") {
+    val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 300L))
+    val caseGen = Gen.zip(Gen.listOfN(10, rowGen), Gen.listOfN(10, rowGen))
+    samples(caseGen, 25).foreach { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, ts(t), i.toLong) }
+        .toDF("k", "lts", "lid")
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (k, ts(t), i.toLong + 1000L) }
+        .toDF("k", "rts", "rid")
+      val band = 60L
+      val got = RangeJoin.bandedPairs(left, right, "k", "lts", "rts",
+          Seq("rid"), bandSec = band)
+        .collect()
+        .map(r => (r.getAs[Long]("lid"), r.getAs[Long]("rid")))
+        .sorted
+      val want = (for {
+        ((lk, lt), li) <- ls.zipWithIndex
+        ((rk, rt), ri) <- rs.zipWithIndex
+        if lk == rk && math.abs(rt - lt) <= band
+      } yield (li.toLong, ri.toLong + 1000L)).sorted
+      got shouldBe want
+    }
+  }
+
+  test("dupClustersStar matches driver-side union-find on random graphs") {
+    val edgeGen = Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L))
+    val caseGen = Gen.listOfN(20, edgeGen)
+    samples(caseGen, 15).foreach { es =>
+      val pairs = es.toDF("doc_a", "doc_b")
+      val got = Dedup.dupClustersStar(pairs)._1.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+        .toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      // component label = min member id
+      val label = nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+      got shouldBe label
+    }
+  }
+}
