@@ -71,6 +71,17 @@ class DedupSpec extends SparkSpec {
     all(out.values) shouldBe 0L
   }
 
+  test("dupClustersStar: 1000-node path stays logarithmic (O(log n) evidence)") {
+    // 10× the nodes must cost ~log2(10) ≈ 3-4 extra rounds, not 10×:
+    // the bound that makes the algorithm safe on 100 TB chain graphs
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.dupClustersStar(pairs)
+    rounds should be <= 12
+    val out = labels.collect()
+    out.length shouldBe 1000
+    all(out.map(_.getAs[Long]("cluster"))) shouldBe 0L
+  }
+
   test("dupClustersStar matches dupClusters on a multi-component graph") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L), (9L, 3L), (12L, 12L))
       .toDF("doc_a", "doc_b")
