@@ -266,7 +266,9 @@ object SparkEntry {
         |SELECT funnel_level, count(1) AS n_users
         |FROM lvl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_retention" ->
-      """SELECT sum(f1) AS n_cohort, sum(f1 * f2) AS n_week2, sum(f1 * f3) AS n_week3
+      """SELECT CAST(sum(f1) AS BIGINT) AS n_cohort,
+        | CAST(sum(f1 * f2) AS BIGINT) AS n_week2,
+        | CAST(sum(f1 * f3) AS BIGINT) AS n_week3
         |FROM (SELECT user_id,
         |        max(CASE WHEN event_type = 'signup'
         |                  AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END) AS f1,

@@ -372,28 +372,43 @@ object Analytics {
   /** q27: event funnel (the reference engine's windowFunnel idiom) —
     * per user, the deepest view → click → purchase chain in strict
     * time order completing within [[FunnelWindow]] of the chain's
-    * first event, then users counted per level reached. Relational
+    * first event ([[FunnelWindowSec]]), then users counted per level
+    * reached. Relational
     * shape: level-2 pairs keep only min(click-ts) per (user, view-ts)
     * — safe by a greedy exchange argument (an earlier click only
     * weakens the constraints on the purchase) — so the level-3 join
-    * fans out per VIEW, not per (view × click). All joins are on
-    * user_id: one shuffle key; per-user work is bounded by events per
-    * user, never corpus². */
-  val FunnelWindow = "24 hours"
+    * fans out per VIEW, not per (view × click). Candidate generation
+    * runs through [[RangeJoin.bandedPairs]] (24 h band + direction
+    * filter), so per-user cost is ∝ band occupancy — a hot user (bot,
+    * shared account) can no longer degenerate the equi-join into
+    * per-key views×clicks before the time filter prunes. */
+  val FunnelWindowSec: Long = 24L * 3600L
 
-  def q27Funnel(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  def q27Funnel(s: SparkSession, d: String): DataFrame =
+    funnelLevels(Tables.events(s, d))
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_level"))
+
+  /** Per-user deepest funnel level over an events frame with at least
+    * (user_id, event_type, ts). Factored out of [[q27Funnel]] so the
+    * property suite can pin it against a brute-force chain search. */
+  def funnelLevels(ev: DataFrame): DataFrame = {
     def typed(t: String, as: String) =
       ev.filter(col("event_type") === t).select(col("user_id"), col("ts").as(as))
     val v = typed("view", "tv")
     val c = typed("click", "tc")
     val p = typed("purchase", "tp")
-    val win = s"INTERVAL $FunnelWindow"
-    val l2 = v.join(c, Seq("user_id"))
-      .filter(col("tc") > col("tv") && col("tc") <= col("tv") + expr(win))
+    val bandSec = FunnelWindowSec
+    val l2 = RangeJoin.bandedPairs(v, c, key = "user_id",
+        leftTs = "tv", rightTs = "tc", rightPayload = Seq("tc"),
+        bandSec = bandSec)
+      .filter(col("tc") > col("tv"))
       .groupBy(col("user_id"), col("tv")).agg(min(col("tc")).as("tc"))
-    val l3 = l2.join(p, Seq("user_id"))
-      .filter(col("tp") > col("tc") && col("tp") <= col("tv") + expr(win))
+    val l3 = RangeJoin.bandedPairs(l2, p, key = "user_id",
+        leftTs = "tv", rightTs = "tp", rightPayload = Seq("tp"),
+        bandSec = bandSec)
+      .filter(col("tp") > col("tc"))
       .select(col("user_id")).distinct().withColumn("l3", lit(3))
     val users = ev.select(col("user_id")).distinct()
     val hasV = v.select(col("user_id")).distinct().withColumn("l1", lit(1))
@@ -405,9 +420,6 @@ object Analytics {
       .select(col("user_id"),
         greatest(coalesce(col("l1"), lit(0)), coalesce(col("l2"), lit(0)),
           coalesce(col("l3"), lit(0))).as("funnel_level"))
-      .groupBy(col("funnel_level"))
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("funnel_level"))
   }
 
   /** q28: cohort retention (the reference engine's retention idiom) —

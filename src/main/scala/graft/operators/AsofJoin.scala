@@ -45,7 +45,14 @@ object AsofJoin {
     // from any numeric-ordered oracle the day two right rows share a
     // timestamp
     val tieType = right.schema(tieBreak).dataType
-    val r = right.select(
+    // a NULL right timestamp must never match: Spark's ascending sort
+    // places NULLs FIRST, which would make a null-ts right row the
+    // running "earliest" payload for every left row of its key, while
+    // the relational contract (ts <= left ts) never matches NULL.
+    // Dropping them here pins SQL semantics. Null LEFT timestamps are
+    // kept: they also sort first, see no preceding right, and emit the
+    // NULL payload a `v.ts <= p.ts` left-outer oracle produces.
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(key).as("__key"),
       col(rightTs).as("__ts"),
       lit(0).as("__side"),

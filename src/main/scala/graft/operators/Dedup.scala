@@ -366,10 +366,12 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy(col("u")).agg(min(col("label")).as("nlabel"))
+      // lazy cut: the did-anything-change count below is the action
+      // that materializes `next` — one job per round, not two
       val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels = next
@@ -382,10 +384,18 @@ object Dedup {
   /** Lineage cut between iterations: a RELIABLE checkpoint when the
     * session has a checkpoint dir configured (the 100 TB setting — a
     * lost executor replays from the checkpoint file, not from the full
-    * iterative lineage), else `localCheckpoint` (the local default). */
+    * iterative lineage), else `localCheckpoint` (the local default).
+    *
+    * LAZY on purpose: the caller's next action — in [[dupClustersStar]]
+    * the convergence probe — is what materializes the cut, so each
+    * star round launches ONE job that both persists the new edge set
+    * and returns the convergence scalar, instead of an eager
+    * checkpoint job followed by a separate probe job. On a small graph
+    * the saved per-round scheduling latency is most of d6's cost. */
   private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 
   /** Connected components via alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -410,8 +420,14 @@ object Dedup {
     * with its component's min id, and the number of
     * large+small rounds used. */
   def dupClustersStar(pairs: DataFrame, maxIters: Int = 60): (DataFrame, Int) = {
-    val nodes = pairs.select(col("doc_a").as("id"))
-      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    // cut the INPUT once: `nodes` (used by the final label join) and
+    // `edges` both derive from it, so an expensive pair-producing
+    // upstream (the whole LSH/jaccard candidate pipeline) runs one
+    // time, not once per consumer. Lazy — the initial convergence
+    // probe is the materializing action.
+    val p = cut(pairs.select(col("doc_a"), col("doc_b")))
+    val nodes = p.select(col("doc_a").as("id"))
+      .union(p.select(col("doc_b").as("id"))).distinct()
 
     // closed-neighborhood min per node, joined back onto the adjacency
     def star(edges: DataFrame, large: Boolean): DataFrame = {
@@ -429,11 +445,15 @@ object Dedup {
       pointed.filter(col("a") =!= col("b")).distinct()
     }
 
-    var edges = cut(
-      pairs.select(
+    // NOT cut: round 1 always runs (see loop note), so the canonical
+    // edge set is consumed exactly once and inlines into round 1's
+    // plan — checkpointing it would add a whole extra AQE action just
+    // to persist rows the next job immediately consumes.
+    var edges =
+      p.select(
         greatest(col("doc_a"), col("doc_b")).as("a"),
         least(col("doc_a"), col("doc_b")).as("b"))
-        .filter(col("a") =!= col("b")).distinct())
+        .filter(col("a") =!= col("b")).distinct()
     // Converged iff the edge set is a union of DISJOINT stars: no head
     // node has two parents (a twice) and no node sits on both sides (a
     // center that is itself a leaf elsewhere still merges next round).
@@ -441,7 +461,8 @@ object Dedup {
     // (Kiveris 2014 §3), so this detects convergence on the round that
     // PRODUCES the final set — no extra did-anything-change confirm
     // round, and no checksum-collision caveat. One scalar job on ≤
-    // node-count rows.
+    // node-count rows, and since `cut` is lazy it is ALSO the action
+    // that materializes the round's edge set: one job per round total.
     def converged(e: DataFrame): Boolean = {
       val roles = e.select(col("a"), lit(1).as("isA"))
         .union(e.select(col("b").as("a"), lit(0).as("isA")))
@@ -450,8 +471,14 @@ object Dedup {
         .filter(col("na") > 1 || (col("na") >= 1 && col("mn") === 0))
         .limit(1).count() == 0L
     }
+    // Round 1 runs UNCONDITIONALLY: the alternation is idempotent on a
+    // converged set (large-star re-emits every (leaf, center) edge
+    // unchanged — the center IS each leaf's neighborhood min — and
+    // small-star likewise), so skipping the pre-loop probe can't
+    // change the result, and the rare already-converged input costs
+    // one no-op round instead of every input paying a probe action.
     var rounds = 0
-    var stable = converged(edges)
+    var stable = false
     while (!stable && rounds < maxIters) {
       edges = cut(star(star(edges, large = true), large = false))
       rounds += 1

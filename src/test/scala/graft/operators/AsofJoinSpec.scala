@@ -53,6 +53,21 @@ class AsofJoinSpec extends SparkSpec {
     out shouldBe Array(10L)
   }
 
+  test("asofJoin: null timestamps never match (right dropped, left kept unmatched)") {
+    val left = Seq(
+      (1L, ts(10), "p1"),
+      (1L, null.asInstanceOf[Timestamp], "pnull"), // null LEFT ts: kept, no match
+    ).toDF("k", "lts", "lname")
+    val right = Seq(
+      (1L, null.asInstanceOf[Timestamp], "vnull"), // null RIGHT ts: never a match
+      (1L, ts(5), "v1"),
+    ).toDF("k", "rts", "rname")
+    val out = AsofJoin.asofJoin(left, right, "k", "lts", "rts",
+        Seq("rname"), tieBreak = "rname")
+      .collect().map(r => r.getAs[String]("lname") -> r.getAs[String]("rname")).toMap
+    out shouldBe Map("p1" -> "v1", "pnull" -> null)
+  }
+
   test("asofJoin plans one exchange on the key, no join operator") {
     val left = Seq((1L, ts(10), "p")).toDF("k", "lts", "lname")
     val right = Seq((1L, ts(5), "v")).toDF("k", "rts", "rname")

@@ -53,6 +53,35 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("funnelLevels matches brute-force chain search on random inputs") {
+    // tight time domain (0..2W) and few users force in-window and
+    // out-of-window chains, equal timestamps, and hot single users
+    val W = Analytics.FunnelWindowSec
+    val evGen = Gen.zip(
+      Gen.choose(0L, 2L),
+      Gen.oneOf("view", "click", "purchase", "error"),
+      Gen.choose(0L, 2L * W))
+    samples(Gen.listOfN(24, evGen), 25).foreach { evs =>
+      val df = evs.map { case (u, t, sec) => (u, t, ts(sec)) }
+        .toDF("user_id", "event_type", "ts")
+      val got = Analytics.funnelLevels(df)
+        .collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_level"))
+        .toMap
+      // brute force: deepest strict chain tv < tc < tp <= tv + W
+      val want = evs.map(_._1).distinct.map { u =>
+        def of(t: String) = evs.collect { case (`u`, `t`, s) => s }
+        val (vs, cs, ps) = (of("view"), of("click"), of("purchase"))
+        val l3 = vs.exists(tv => cs.exists(tc => tc > tv && ps.exists(
+          tp => tp > tc && tp <= tv + W)))
+        val l2 = vs.exists(tv => cs.exists(tc => tc > tv && tc <= tv + W))
+        val lvl = if (l3) 3 else if (l2) 2 else if (vs.nonEmpty) 1 else 0
+        u -> lvl
+      }.toMap
+      got shouldBe want
+    }
+  }
+
   test("bandedPairs matches driver-side brute force on random inputs") {
     val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 300L))
     val caseGen = Gen.zip(Gen.listOfN(10, rowGen), Gen.listOfN(10, rowGen))
