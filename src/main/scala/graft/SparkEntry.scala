@@ -53,11 +53,11 @@ object SparkEntry {
     "q29_asof_join" -> (AsofJoin.q29Query _),
     "q30_range_join" -> (RangeJoin.q30Query _),
     "q31_hll_merge" -> (Analytics.q31HllMerge _),
-    "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.knnL2(s, d)),
-    "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.knnCosine(s, d)),
-    "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.knnDot(s, d)),
-    "v4_filtered_knn" -> ((s: SparkSession, d: String) => VectorSearch.filteredKnn(s, d)),
-    "v5_concept_math" -> ((s: SparkSession, d: String) => VectorSearch.conceptMathKnn(s, d)),
+    "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
+    "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
+    "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
+    "v4_filtered_knn" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.filteredKnn(s, d))),
+    "v5_concept_math" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.conceptMathKnn(s, d))),
     "v6_ingest_combine" -> (VectorSearch.v6Query _),
     "v7_norms" -> (VectorSearch.norms _),
     "v8_embed_udf" -> ((s: SparkSession, d: String) => VectorSearch.embedUdfKnn(s, d)),
@@ -89,7 +89,16 @@ object SparkEntry {
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
 
-  def oracleSql: Map[String, String] = Map(
+  /** Driver default: the contract's dirless `oracleSql` assumes the
+    * driver's correctness SF. [[Verify]] threads its actual data dir
+    * through [[oracleSqlFor]] instead, so data-dependent oracles (a3's
+    * trained-codebook literals) always describe the corpus the queries
+    * actually ran on — never a different dir's leftovers. */
+  val DefaultSfDir = "/root/testdata/sf0.01"
+
+  def oracleSql: Map[String, String] = oracleSqlFor(DefaultSfDir)
+
+  def oracleSqlFor(d: String): Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty,
@@ -288,27 +297,47 @@ object SparkEntry {
         | TRUE AS merged_ok
         |FROM lineitem""".stripMargin,
     "v1_knn_l2" ->
-      s"""SELECT vec_id, label,
-         | list_distance(embedding::DOUBLE[], ${vec(0)}::DOUBLE[]) AS score
-         |FROM embeddings ORDER BY score, vec_id LIMIT 10""".stripMargin,
+      s"""SELECT vec_id, label, score, CAST(pos AS INTEGER) AS pos,
+         | embedding[CAST(pos AS INTEGER) + 1]::DOUBLE AS comp
+         |FROM (SELECT vec_id, label, embedding,
+         |        list_distance(embedding::DOUBLE[], ${vec(0)}::DOUBLE[]) AS score
+         |      FROM embeddings ORDER BY score, vec_id LIMIT 10)
+         |CROSS JOIN range(0, ${VectorSearch.Dim}) t(pos)
+         |ORDER BY vec_id, pos""".stripMargin,
     "v2_knn_cosine" ->
-      s"""SELECT vec_id, label,
-         | 1.0 - list_cosine_similarity(embedding::DOUBLE[], ${vec(1)}::DOUBLE[]) AS score
-         |FROM embeddings ORDER BY score, vec_id LIMIT 10""".stripMargin,
+      s"""SELECT vec_id, label, score, CAST(pos AS INTEGER) AS pos,
+         | embedding[CAST(pos AS INTEGER) + 1]::DOUBLE AS comp
+         |FROM (SELECT vec_id, label, embedding,
+         |        1.0 - list_cosine_similarity(embedding::DOUBLE[], ${vec(1)}::DOUBLE[]) AS score
+         |      FROM embeddings ORDER BY score, vec_id LIMIT 10)
+         |CROSS JOIN range(0, ${VectorSearch.Dim}) t(pos)
+         |ORDER BY vec_id, pos""".stripMargin,
     "v3_knn_dot" ->
-      s"""SELECT vec_id, label,
-         | list_inner_product(embedding::DOUBLE[], ${vec(2)}::DOUBLE[]) AS score
-         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+      s"""SELECT vec_id, label, score, CAST(pos AS INTEGER) AS pos,
+         | embedding[CAST(pos AS INTEGER) + 1]::DOUBLE AS comp
+         |FROM (SELECT vec_id, label, embedding,
+         |        list_inner_product(embedding::DOUBLE[], ${vec(2)}::DOUBLE[]) AS score
+         |      FROM embeddings ORDER BY score DESC, vec_id LIMIT 10)
+         |CROSS JOIN range(0, ${VectorSearch.Dim}) t(pos)
+         |ORDER BY vec_id, pos""".stripMargin,
     "v4_filtered_knn" ->
-      s"""SELECT vec_id, label,
-         | list_distance(embedding::DOUBLE[], ${vec(3)}::DOUBLE[]) AS score
-         |FROM embeddings WHERE label IN (1, 3, 5)
-         |ORDER BY score, vec_id LIMIT 10""".stripMargin,
+      s"""SELECT vec_id, label, score, CAST(pos AS INTEGER) AS pos,
+         | embedding[CAST(pos AS INTEGER) + 1]::DOUBLE AS comp
+         |FROM (SELECT vec_id, label, embedding,
+         |        list_distance(embedding::DOUBLE[], ${vec(3)}::DOUBLE[]) AS score
+         |      FROM embeddings WHERE label IN (1, 3, 5)
+         |      ORDER BY score, vec_id LIMIT 10)
+         |CROSS JOIN range(0, ${VectorSearch.Dim}) t(pos)
+         |ORDER BY vec_id, pos""".stripMargin,
     "v5_concept_math" ->
-      s"""SELECT vec_id, label,
-         | 1.0 - list_cosine_similarity(embedding::DOUBLE[],
-         |   ${VectorSearch.sqlArray(VectorSearch.conceptVector)}::DOUBLE[]) AS score
-         |FROM embeddings ORDER BY score, vec_id LIMIT 10""".stripMargin,
+      s"""SELECT vec_id, label, score, CAST(pos AS INTEGER) AS pos,
+         | embedding[CAST(pos AS INTEGER) + 1]::DOUBLE AS comp
+         |FROM (SELECT vec_id, label, embedding,
+         |        1.0 - list_cosine_similarity(embedding::DOUBLE[],
+         |          ${VectorSearch.sqlArray(VectorSearch.conceptVector)}::DOUBLE[]) AS score
+         |      FROM embeddings ORDER BY score, vec_id LIMIT 10)
+         |CROSS JOIN range(0, ${VectorSearch.Dim}) t(pos)
+         |ORDER BY vec_id, pos""".stripMargin,
     // exif_source/exif_lang are read back OUT of the parsed
     // map<string,string> on the Spark side; the oracle checks they
     // round-tripped the JSON identical to the original fields.
@@ -361,5 +390,5 @@ object SparkEntry {
          |FROM documents JOIN embeddings ON doc_id = vec_id
          |ORDER BY score, doc_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-    Ann.oracles ++ Curation.oracles ++ AsofJoin.oracles ++ RangeJoin.oracles
+    Ann.oracles(d) ++ Curation.oracles ++ AsofJoin.oracles ++ RangeJoin.oracles
 }

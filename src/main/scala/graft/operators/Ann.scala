@@ -149,13 +149,11 @@ object Ann {
   // ------------------------------------------- a2 persisted index path
 
   /** Index location for a corpus dir: tmpdir-scoped, keyed by the
-    * sanitized corpus path + plane count, so distinct corpora (and any
-    * future plane-set change) get distinct indexes. */
+    * corpus path (sanitized + raw-path hash, see
+    * [[graft.sources.LocalIndex.path]]) + plane count, so distinct
+    * corpora (and any future plane-set change) get distinct indexes. */
   def lshIndexPath(d: String): String =
-    new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft-lsh-index/" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_p" + NumPlanes).getPath
+    graft.sources.LocalIndex.path("lsh-index", d, "_p" + NumPlanes)
 
   /** One-time index build: the corpus written partitioned BY BUCKET —
     * one directory per `bkt` value (≤ 2^P dirs), rows untouched. This
@@ -171,31 +169,20 @@ object Ann {
 
   /** Fingerprint of the corpus parquet on disk (file names, lengths,
     * mtimes): cheap, no data read, and catches a regenerated corpus. */
-  private def corpusFingerprint(d: String): String = {
-    val f = new java.io.File(s"$d/embeddings.parquet")
-    val files =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
-    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
-  }
+  private def corpusFingerprint(d: String): String =
+    graft.sources.LocalIndex.fingerprint(Seq(s"$d/embeddings.parquet"))
 
   /** Build the index iff absent OR stale (`_SUCCESS` marks a completed
     * write; `_GRAFT_SRC` records the source-corpus fingerprint — an
     * index left from a previous run of a since-regenerated corpus
-    * would otherwise silently serve wrong rows). Returns the path. */
-  def ensureLshIndex(s: SparkSession, d: String): String = {
-    val path = lshIndexPath(d)
-    val src = new java.io.File(path, "_GRAFT_SRC").toPath
-    val fp = corpusFingerprint(d)
-    val fresh = new java.io.File(path, "_SUCCESS").exists() &&
-      java.nio.file.Files.exists(src) &&
-      new String(java.nio.file.Files.readAllBytes(src), "UTF-8") == fp
-    if (!fresh) {
+    * would otherwise silently serve wrong rows; the marker write is
+    * atomic, see [[graft.sources.LocalIndex.ensure]]). Returns the
+    * path. */
+  def ensureLshIndex(s: SparkSession, d: String): String =
+    graft.sources.LocalIndex.ensure("lsh-index", d, "_p" + NumPlanes,
+      corpusFingerprint(d)) { path =>
       buildLshIndex(Tables.embeddings(s, d), path)
-      java.nio.file.Files.write(src, fp.getBytes("UTF-8"))
-      ()
     }
-    path
-  }
 
   /** a2_indexed: the SAME multi-probe search as [[lshKnn]], but over
     * the persisted index. The probe-bucket set is a driver-side
@@ -316,16 +303,12 @@ object Ann {
     * `avg` summation order differs across engines. */
   private val codebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
-  @volatile private var lastCodebook: Seq[(Long, Seq[Double])] = Nil
 
-  def codebookFor(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
-    val cb = codebooks.computeIfAbsent(d, _ => {
+  def codebookFor(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    codebooks.computeIfAbsent(d, _ => {
       val embs = Tables.embeddings(s, d)
       trainCodebook(embs, seedCodebook(embs))
     })
-    lastCodebook = cb
-    cb
-  }
 
   /** a3: IVF coarse quantization over a trained codebook. Only the
     * bounded codebook is driver-side; it enters the plan as k literal
@@ -365,10 +348,7 @@ object Ann {
   // ------------------------------------------- a3 persisted index path
 
   def ivfIndexPath(d: String): String =
-    new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_k" + NumCentroids).getPath
+    graft.sources.LocalIndex.path("ivf-index", d, "_k" + NumCentroids)
 
   /** a3's persisted twin of [[ensureLshIndex]]: the corpus written
     * partitioned BY CELL ID under the trained codebook. The index
@@ -380,22 +360,14 @@ object Ann {
     * not retrained — the rebuild-on-mismatch guard makes the local
     * cache honest either way.) */
   def ensureIvfIndex(s: SparkSession, d: String): String = {
-    val path = ivfIndexPath(d)
     val cb = codebookFor(s, d)
-    val fp = corpusFingerprint(d) + "|cb:" + cb.hashCode
-    val src = new java.io.File(path, "_GRAFT_SRC").toPath
-    val fresh = new java.io.File(path, "_SUCCESS").exists() &&
-      java.nio.file.Files.exists(src) &&
-      new String(java.nio.file.Files.readAllBytes(src), "UTF-8") == fp
-    if (!fresh) {
+    graft.sources.LocalIndex.ensure("ivf-index", d, "_k" + NumCentroids,
+      corpusFingerprint(d) + "|cb:" + cb.hashCode) { path =>
       Tables.embeddings(s, d)
         .withColumn("cid", nearestCentroid(cb, col("embedding")))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("cid").parquet(path)
-      java.nio.file.Files.write(src, fp.getBytes("UTF-8"))
-      ()
     }
-    path
   }
 
   /** a3_indexed: IVF probe over the persisted cell-partitioned index.
@@ -456,14 +428,18 @@ object Ann {
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
        |ORDER BY query_id, score, vec_id""".stripMargin
 
-  /** The a3 centroid source, as SQL. With a trained codebook cached
-    * (the normal case: Verify runs a3Query before dumping oracle_sql),
-    * the trained values are embedded as literals — `Double.toString`
-    * is shortest-round-trip, so DuckDB reparses the identical doubles.
-    * Fallback (oracle dumped with no query run): the untrained seed,
-    * derived in SQL exactly as [[seedCodebook]] derives it. */
-  private def centsSql: String = {
-    val cb = lastCodebook
+  /** The a3 centroid source, as SQL, for the codebook trained on THIS
+    * corpus dir (keyed lookup, not a last-trained global: a JVM that
+    * touches two corpora must not embed one corpus's centroids in the
+    * other's oracle). With a trained codebook cached (the normal case:
+    * Verify runs a3Query before dumping oracle_sql), the trained
+    * values are embedded as literals — `Double.toString` is
+    * shortest-round-trip, so DuckDB reparses the identical doubles.
+    * Fallback (oracle dumped with no query run on this dir): the
+    * untrained seed, derived in SQL exactly as [[seedCodebook]]
+    * derives it. */
+  private def centsSql(d: String): String = {
+    val cb = Option(codebooks.get(d)).getOrElse(Nil)
     if (cb.nonEmpty)
       "cents(ccid, cv) AS (VALUES " + sqlValues(cb.map { case (cid, cv) =>
         s"($cid, ${VectorSearch.sqlArray(cv)}::DOUBLE[])" }) + ")"
@@ -474,9 +450,10 @@ object Ann {
          |    AND vec_id < ${CentroidStride.toLong * NumCentroids})""".stripMargin
   }
 
-  /** `def`, not `val`: a3's SQL depends on the codebook trained by the
-    * queries that ran earlier in the same JVM (see [[codebookFor]]). */
-  def oracles: Map[String, String] = Map(
+  /** `def`, not `val`, and PER-DIR: a3's SQL depends on the codebook
+    * trained by the queries that ran earlier in the same JVM against
+    * this corpus dir (see [[codebookFor]]). */
+  def oracles(d: String): Map[String, String] = Map(
     "a1_batch_knn" ->
       s"""WITH queries(query_id, qv) AS (VALUES $queriesValuesSql)
          |SELECT query_id, vec_id,
@@ -489,12 +466,12 @@ object Ann {
     // pruned indexes); their RESULT contracts are identical to the
     // scan-side originals.
     "a2_indexed" -> a2Sql,
-    "a3_indexed" -> a3Sql,
-    "a3_ivf_ann" -> a3Sql,
+    "a3_indexed" -> a3Sql(d),
+    "a3_ivf_ann" -> a3Sql(d),
   )
 
-  private def a3Sql: String =
-    s"""WITH $centsSql,
+  private def a3Sql(d: String): String =
+    s"""WITH ${centsSql(d)},
          |assigned AS (
          |  SELECT vec_id, e, ccid AS cid FROM (
          |    SELECT v.vec_id, v.embedding::DOUBLE[] AS e, c.ccid,

@@ -41,11 +41,27 @@ object VectorSearch {
   private def qcol(v: Seq[Double]): Column =
     typedlit(v)
 
+  /** The knn surface carries the EMBEDDING itself alongside id/label/
+    * score (`search.py:23` selects `column` — callers re-rank and
+    * chain concepts on the returned vectors), so v1–v5 return it.
+    * Driver-gated twin: the raw array column can't be sorted/hashed by
+    * the cross-engine compare, and a STRING serialization is
+    * notation-fragile (Java prints |x| < 1e-3 in scientific notation,
+    * DuckDB in plain decimal — same shortest-round-trip digits,
+    * different text), so the gated entries EXPLODE the vector into
+    * (pos, comp) rows instead: k hits × Dim scalar doubles, compared
+    * numerically under the driver's relative tolerance. Lossless —
+    * the full payload passes through the gate — and notation-proof. */
+  def withEmbeddingComponents(df: DataFrame): DataFrame =
+    df.select(df.columns.map(col) :+
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "comp")): _*)
+      .drop("embedding")
+
   /** v1: L2 top-k — the reference's flagship query shape. */
   def knnL2(s: SparkSession, d: String, k: Int = 10): DataFrame =
     embeddings(s, d)
       .withColumn("score", vectors.l2Distance(col("embedding"), qcol(qvec(0))))
-      .select(col("vec_id"), col("label"), col("score"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("score"))
       .orderBy(col("score"), col("vec_id"))
       .limit(k)
 
@@ -53,7 +69,7 @@ object VectorSearch {
   def knnCosine(s: SparkSession, d: String, k: Int = 10): DataFrame =
     embeddings(s, d)
       .withColumn("score", vectors.cosineDistance(col("embedding"), qcol(qvec(1))))
-      .select(col("vec_id"), col("label"), col("score"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("score"))
       .orderBy(col("score"), col("vec_id"))
       .limit(k)
 
@@ -61,7 +77,7 @@ object VectorSearch {
   def knnDot(s: SparkSession, d: String, k: Int = 10): DataFrame =
     embeddings(s, d)
       .withColumn("score", vectors.dotProduct(col("embedding"), qcol(qvec(2))))
-      .select(col("vec_id"), col("label"), col("score"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
 
@@ -71,7 +87,7 @@ object VectorSearch {
     embeddings(s, d)
       .filter(col("label").isin(1, 3, 5))
       .withColumn("score", vectors.l2Distance(col("embedding"), qcol(qvec(3))))
-      .select(col("vec_id"), col("label"), col("score"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("score"))
       .orderBy(col("score"), col("vec_id"))
       .limit(k)
 
@@ -95,7 +111,7 @@ object VectorSearch {
   def conceptMathKnn(s: SparkSession, d: String, k: Int = 10): DataFrame =
     embeddings(s, d)
       .withColumn("score", vectors.cosineDistance(col("embedding"), qcol(conceptVector)))
-      .select(col("vec_id"), col("label"), col("score"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("score"))
       .orderBy(col("score"), col("vec_id"))
       .limit(k)
 
@@ -193,12 +209,36 @@ object VectorSearch {
       .orderBy(col("score"), idCol)
       .limit(k)
 
+  /** The persisted combined table for a corpus dir — process.py's
+    * write-once/serve-many split made explicit: [[ingestCombine]] runs
+    * ONCE per (documents, embeddings) corpus state and lands as zstd
+    * parquet; every cross-modal query then SCANS the wide row instead
+    * of re-running the id join and the 64-hash text embed per query.
+    * Staleness: source-file fingerprint, rebuilt on corpus change
+    * (same contract as the ANN indexes). */
+  def ensureCombined(s: SparkSession, d: String): String =
+    graft.sources.LocalIndex.ensure("combined", d, "",
+      graft.sources.LocalIndex.fingerprint(
+        Seq(s"$d/documents.parquet", s"$d/embeddings.parquet"))) { path =>
+      ingestWrite(ingestCombine(s, d), path)
+    }
+
   /** v9: CROSS-MODAL search over the dual-embedding wide row: an
     * image-derived query vector (a driver-side literal, standing for a
     * client-side CLIP image encoding) searched against the TEXT side —
     * the `search.py:54` direction. v1–v5 are the opposite direction
-    * (text query → image/corpus embedding). */
+    * (text query → image/corpus embedding). Reads the PERSISTED
+    * combine ([[ensureCombined]]): the plan is a plain scan +
+    * TakeOrderedAndProject — no join, no embed recompute, no shuffle
+    * (asserted in VectorSearchSpec). */
   def crossModalKnn(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    knnOver(s.read.parquet(ensureCombined(s, d)), col("text_embedding"),
+      qvec(6), col("doc_id"), Seq(col("lang")), k)
+
+  /** The unpersisted v9 shape (combine rebuilt inline) — kept for
+    * equivalence testing and for one-shot exploratory use where
+    * materializing the combine isn't worth it. */
+  def crossModalKnnInline(s: SparkSession, d: String, k: Int = 10): DataFrame =
     knnOver(ingestCombine(s, d), col("text_embedding"), qvec(6),
       col("doc_id"), Seq(col("lang")), k)
 

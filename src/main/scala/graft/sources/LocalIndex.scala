@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Bookkeeping for locally persisted derived datasets — the ANN
+  * indexes ([[graft.operators.Ann]]) and the ingest-combine cache
+  * ([[graft.operators.VectorSearch.ensureCombined]]): build once per
+  * (source corpus, parameters), serve every later query from the
+  * written layout (the reference's index-once-query-many usage,
+  * `search.py:20-35` / `process.py:95-120`). At 100 TB the same
+  * ensure-shape points at warehouse paths instead of tmpdir; the
+  * staleness fingerprint is what keeps a cache honest in both.
+  */
+object LocalIndex {
+
+  /** Cache dir for (kind, corpus dir, variant suffix). The sanitized
+    * corpus path keeps the name readable; the appended hash of the RAW
+    * path keeps distinct corpora distinct — `/data/a` and `/data_a`
+    * sanitize to the same text and would otherwise collide onto one
+    * directory, thrashing rebuilds on every alternation. */
+  def path(kind: String, d: String, suffix: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-$kind/" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+        f"_${d.hashCode & 0xffffffffL}%08x" + suffix).getPath
+
+  /** Fingerprint of source files on disk (names, lengths, mtimes):
+    * cheap — no data read — and catches a regenerated corpus, which
+    * must invalidate every index built from the old rows. */
+  def fingerprint(paths: Seq[String]): String =
+    paths.map { p =>
+      val f = new java.io.File(p)
+      val files =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+      files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+    }.mkString("||")
+
+  /** Run `build(dir)` iff the cache is absent or stale, then publish
+    * the fingerprint marker `_GRAFT_SRC` ATOMICALLY (temp file +
+    * rename): a concurrent process sees either no marker — and
+    * rebuilds, an idempotent overwrite — or a complete one; never a
+    * torn half-written fingerprint that could validate a partial
+    * index. `_SUCCESS` (written by Spark) marks data completeness,
+    * `_GRAFT_SRC` marks source match; freshness requires both. */
+  def ensure(kind: String, d: String, suffix: String, fp: String)
+            (build: String => Unit): String = {
+    val dir = path(kind, d, suffix)
+    val src = Paths.get(dir, "_GRAFT_SRC")
+    val fresh = new java.io.File(dir, "_SUCCESS").exists() &&
+      Files.exists(src) &&
+      new String(Files.readAllBytes(src), "UTF-8") == fp
+    if (!fresh) {
+      build(dir)
+      val tmp = Files.createTempFile(Paths.get(dir), "_GRAFT_SRC", ".tmp")
+      Files.write(tmp, fp.getBytes("UTF-8"))
+      try Files.move(tmp, src,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // non-POSIX tmpdir: plain replace keeps correctness (the
+        // reader re-validates content), only the no-torn-write
+        // guarantee weakens
+        Files.move(tmp, src, StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
+    }
+    dir
+  }
+}

@@ -72,6 +72,35 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("knn hits carry the embedding payload (search.py parity)") {
+    val hits = VectorSearch.knnL2(spark, graft.SparkSpec.TinySf, k = 3)
+    hits.columns should contain("embedding")
+    hits.collect().foreach { r =>
+      r.getSeq[Float](r.fieldIndex("embedding")).length shouldBe VectorSearch.Dim
+    }
+    // the driver-gated form explodes the payload into (pos, comp)
+    // rows: k hits x Dim scalar doubles, lossless through the gate
+    val comps = VectorSearch.withEmbeddingComponents(hits).collect()
+    comps.length shouldBe 3 * VectorSearch.Dim
+    val first = hits.head().getSeq[Float](hits.head().fieldIndex("embedding"))
+    val firstId = hits.head().getAs[Long]("vec_id")
+    comps.filter(_.getAs[Long]("vec_id") == firstId)
+      .sortBy(_.getAs[Int]("pos"))
+      .map(_.getAs[Double]("comp")) shouldBe first.map(_.toDouble)
+  }
+
+  test("v9 persisted combine: same hits as the inline rebuild; scan-only plan") {
+    val persisted = VectorSearch.crossModalKnn(spark, graft.SparkSpec.TinySf, k = 5)
+    val inline = VectorSearch.crossModalKnnInline(spark, graft.SparkSpec.TinySf, k = 5)
+    persisted.collect().map(_.toSeq).toSeq shouldBe inline.collect().map(_.toSeq).toSeq
+    // the combine is READ, not rebuilt: no id join, no text-embed
+    // recompute, no exchange — just scan + per-partition k-heap merge
+    val plan = persisted.queryExecution.executedPlan.toString
+    plan.toLowerCase should not include "join"
+    plan should not include "Exchange"
+    plan should include("TakeOrderedAndProject")
+  }
+
   test("ingestWriteBucketed: re-join on the bucket key plans without a shuffle") {
     val df = VectorSearch.ingestCombine(spark, graft.SparkSpec.TinySf)
       .select(col("doc_id"), col("caption"))
