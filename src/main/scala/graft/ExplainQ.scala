@@ -54,10 +54,11 @@ object ExplainQ {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.explain("formatted")
       if (args.length > 1 && args(1) == "run") {
+        // fresh frame per run: SQL metrics accumulate per plan instance
         (1 to 2).foreach { i =>
-          val t0 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
-          println(f"[explainq] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          val stats = QueryStats.run(SparkEntry.queries(name)(spark, sfDir))
+          val label = if (i == 1) "cold" else "warm"
+          println(s"[explainq] $name $label: ${stats.pretty}")
         }
       }
     }
