@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, Ann, AsofJoin, Curation, Dedup, Multimodal, RangeJoin, TextAnalysis, VectorSearch}
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -80,6 +81,7 @@ object SparkEntry {
     "a2_indexed" -> ((s: SparkSession, d: String) => Ann.indexedLshKnn(s, d)),
     "a3_ivf_ann" -> (Ann.a3Query _),
     "a3_indexed" -> ((s: SparkSession, d: String) => Ann.indexedIvfKnn(s, d)),
+    "s1_stream_window" -> (EventStream.s1Query _),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),
     "c3_group_canonical" -> (Curation.c3Query _),
@@ -288,6 +290,20 @@ object SparkEntry {
         |                  AND ts >= TIMESTAMP '2024-01-15 00:00:00'
         |                  AND ts < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS f3
         |      FROM events GROUP BY 1)""".stripMargin,
+    // s1 runs as a REAL stream (file source, AvailableNow, append
+    // sink); append mode only emits windows the final watermark
+    // closed, so the oracle applies the same cutoff: window end ≤
+    // max event time floored to ms − the 30-minute watermark. Same
+    // ms flooring Spark's event-time stats apply.
+    "s1_stream_window" ->
+      """SELECT window_start, event_type, n, sum_value FROM (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |         event_type, count(1) AS n,
+        |         round(sum(value), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |WHERE epoch_us(window_start) + 3600000000 <=
+        |      ((SELECT epoch_us(max(ts)) // 1000 FROM events) - 1800000) * 1000
+        |ORDER BY 1, 2""".stripMargin,
     // q31: like q9/q23, the checkable cross-engine contract of a
     // sketch is its ACCURACY — the oracle recomputes the exact global
     // distinct and expects the merged-sketch estimate within 5%.

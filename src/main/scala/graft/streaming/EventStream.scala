@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -96,6 +96,45 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Driver-gated s1: [[windowedCounts]] executed as a REAL stream —
+    * file source over the events parquet, `Trigger.AvailableNow`
+    * (process everything available, then stop — the batch-boundary
+    * trigger a backfill job uses), append mode into a parquet sink,
+    * finalized windows read back. Append mode emits exactly the
+    * windows the FINAL watermark closed (window_end ≤ max-event-time
+    * floored to ms − 30 min); the DuckDB oracle applies the same
+    * cutoff in ms arithmetic, so the gate checks the watermark
+    * semantics themselves, not just the aggregation. sum(value) is
+    * rounded like every order-dependent double aggregate (q20). */
+  def s1Query(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val raw = s.read.parquet(path) // schema probe for the streaming read
+    // GLOB, not the bare file path: FileStreamSource force-sets
+    // basePath to a non-glob path verbatim, and a single-file corpus
+    // (the testdata layout) then fails "basePath must be a directory";
+    // with a glob it derives the parent dir itself. Also correct
+    // unchanged for a directory-of-parts corpus.
+    val src = s.readStream.schema(raw.schema).parquet(s"$d/events*.parquet")
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-s1-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-s1-ckpt").toString
+    val q = windowedCounts(events)
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy(col("window_start"), col("event_type"))
   }
 
   /** s3: streaming exact-dedup — the continuous form of Dedup.d1 for an

@@ -93,6 +93,30 @@ abstract class EventStreamSuiteBase extends SparkSpec {
     } finally q.stop()
   }
 
+  test(s"[$store] s1 file-source stream (driver-gated path) matches the batch twin") {
+    import org.apache.spark.sql.functions._
+    val got = EventStream.s1Query(spark, SparkSpec.TinySf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1.getTime, t._2))
+    // batch twin: same agg, windows closed by the FINAL watermark
+    // (max event time floored to ms, minus the 30-minute delay)
+    val ev = graft.Tables.events(spark, SparkSpec.TinySf)
+    val maxMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val wmMs = maxMs - 30L * 60000L
+    val want = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .filter(col("w.end") <= lit(new Timestamp(wmMs)))
+      .select(col("w.start"), col("event_type"), col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1.getTime, t._2))
+    got shouldBe want
+  }
+
   test(s"[$store] s3 streaming dedup drops in-watermark duplicate content") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
