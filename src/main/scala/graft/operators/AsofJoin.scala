@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,89 @@ object AsofJoin {
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__row.$c").as(c)) ++
         rightPayload.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Skew-hardened as-of join: identical result contract to
+    * [[asofJoin]], but the big sort runs per (key, TIME-CHUNK) instead
+    * of per key, so a hot key's entire history never lands in one
+    * task — the slowest-task ceiling [[asofJoin]] hits when one user
+    * is a bot/shared account at 100×.
+    *
+    * Two-pass shape (chunk + boundary carry):
+    *   1. union + window exactly like [[asofJoin]], but partitioned by
+    *      (key, chunk): each left row sees the last right AT OR AFTER
+    *      the start of its own chunk;
+    *   2. a per-(key, chunk) summary — ONE row per chunk: the chunk's
+    *      final right payload — then a running `last` over chunks
+    *      strictly before, per key. That carry is what a left row
+    *      falls back to when its own chunk held no earlier right.
+    * The per-key pass now sorts per-chunk SUMMARIES (bounded by the
+    * time range / chunk length), not raw rows; every other exchange is
+    * on (key, chunk), which skew-splits a hot key by time.
+    *
+    * Equivalence with [[asofJoin]] is property-tested on random inputs
+    * whose chunk length forces multi-chunk keys and boundary carries.
+    *
+    * @param chunkSec time-chunk length; pick so one key-chunk of rows
+    *                 sorts comfortably in one task (e.g. a day) */
+  def asofJoinChunked(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightPayload: Seq[String], tieBreak: String,
+                      chunkSec: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tieType = right.schema(tieBreak).dataType
+    val chunkUs = chunkSec * 1000000L
+    def chunkOf(c: Column) = floor(unix_micros(c) / chunkUs).cast("long")
+    val r = right.filter(col(rightTs).isNotNull).select(
+      col(key).as("__key"),
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      col(tieBreak).as("__tie"),
+      struct(rightPayload.map(col): _*).as("__pay"),
+      chunkOf(col(rightTs)).as("__chunk"))
+    val payType = r.schema("__pay").dataType
+    val l = left.select(
+      col(key).as("__key"),
+      col(leftTs).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast(tieType).as("__tie"),
+      lit(null).cast(payType).as("__pay"),
+      // sentinel, not null: a null chunk key would silently DROP the
+      // null-ts left row at the carry equi-join (null never equals
+      // null in a join key); MinValue sorts before every real chunk,
+      // so the carry window still yields no preceding right for it
+      coalesce(chunkOf(col(leftTs)), lit(Long.MinValue)).as("__chunk"),
+      struct(leftCols.map(col): _*).as("__row"))
+    val rowType = l.schema("__row").dataType
+    val u = l.unionByName(r.withColumn("__row", lit(null).cast(rowType)))
+    // pass 1: within-chunk running match (same ordering contract as
+    // asofJoin: rights before lefts at equal ts, ties to greatest tie)
+    val w = Window.partitionBy(col("__key"), col("__chunk"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = u
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    // pass 2: one summary row per (key, chunk) present on EITHER side
+    // (a left-only chunk still needs the carry from earlier chunks);
+    // the chunk's final right = max (ts, tie) — the same row the
+    // window ordering would keep
+    val chunkLast = r.groupBy(col("__key"), col("__chunk"))
+      .agg(max(struct(col("__ts"), col("__tie"), col("__pay"))).as("__fin"))
+    val chunks = l.select(col("__key"), col("__chunk"))
+      .unionByName(r.select(col("__key"), col("__chunk"))).distinct()
+    val wc = Window.partitionBy(col("__key")).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunks
+      .join(chunkLast, Seq("__key", "__chunk"), "left")
+      .withColumn("__carry", last(col("__fin"), ignoreNulls = true).over(wc))
+      .select(col("__key"), col("__chunk"),
+        col("__carry.__pay").as("__carrypay"))
+    within
+      .join(carry, Seq("__key", "__chunk"))
+      .withColumn("__best", coalesce(col("__match"), col("__carrypay")))
+      .select(leftCols.map(c => col(s"__row.$c").as(c)) ++
+        rightPayload.map(c => col(s"__best.$c").as(c)): _*)
   }
 
   /** q29: purchase-to-view attribution — every purchase event matched

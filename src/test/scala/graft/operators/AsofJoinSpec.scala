@@ -68,6 +68,22 @@ class AsofJoinSpec extends SparkSpec {
     out shouldBe Map("p1" -> "v1", "pnull" -> null)
   }
 
+  test("asofJoinChunked: carry crosses chunk boundaries; null timestamps behave like asofJoin") {
+    val left = Seq(
+      (1L, ts(100), "p1"), // match comes from an EARLIER chunk (carry)
+      (2L, ts(100), "p2"), // no right at all
+      (1L, null.asInstanceOf[Timestamp], "pnull"),
+    ).toDF("k", "lts", "lname")
+    val right = Seq(
+      (1L, ts(3), "v1"),
+      (1L, null.asInstanceOf[Timestamp], "vnull"),
+    ).toDF("k", "rts", "rname")
+    val out = AsofJoin.asofJoinChunked(left, right, "k", "lts", "rts",
+        Seq("rname"), tieBreak = "rname", chunkSec = 600L) // 10-min chunks
+      .collect().map(r => r.getAs[String]("lname") -> r.getAs[String]("rname")).toMap
+    out shouldBe Map("p1" -> "v1", "p2" -> null, "pnull" -> null)
+  }
+
   test("asofJoin plans one exchange on the key, no join operator") {
     val left = Seq((1L, ts(10), "p")).toDF("k", "lts", "lname")
     val right = Seq((1L, ts(5), "v")).toDF("k", "rts", "rname")

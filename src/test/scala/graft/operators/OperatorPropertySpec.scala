@@ -53,6 +53,33 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoinChunked is equivalent to asofJoin on random inputs (boundary carries forced)") {
+    // ts domain 0..300 s with a 60 s chunk: ~6 chunks per key, so most
+    // matches cross a chunk boundary and exercise the carry path;
+    // right-free chunks and right-free keys occur too
+    val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 300L))
+    val caseGen = Gen.zip(
+      Gen.listOfN(14, rowGen),
+      Gen.listOfN(14, Gen.zip(rowGen, Gen.choose(0L, 100L))))
+    samples(caseGen, 25).foreach { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, ts(t), i.toLong) }
+        .toDF("k", "lts", "lid")
+      val right = rs.map { case ((k, t), rid) => (k, ts(t), rid) }
+        .toDF("k", "rts", "rid")
+      def resultOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("lid") ->
+          Option(r.get(r.fieldIndex("rid"))).map(_.asInstanceOf[Long]))
+        .toMap
+      val base = resultOf(AsofJoin.asofJoin(
+        left, right, "k", "lts", "rts", Seq("rid"), tieBreak = "rid"))
+      val chunked = resultOf(AsofJoin.asofJoinChunked(
+        left, right, "k", "lts", "rts", Seq("rid"), tieBreak = "rid",
+        chunkSec = 60L))
+      chunked shouldBe base
+    }
+  }
+
   test("funnelLevels matches brute-force chain search on random inputs") {
     // tight time domain (0..2W) and few users force in-window and
     // out-of-window chains, equal timestamps, and hot single users
