@@ -87,6 +87,7 @@ object SparkEntry {
     "c3_group_canonical" -> (Curation.c3Query _),
     "c4_pii_scrub" -> (Curation.c4Query _),
     "c5_ngram_stats" -> (Curation.c5Query _),
+    "c6_contamination" -> (Curation.c6Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))

@@ -142,6 +142,56 @@ object Curation {
   def c5Query(s: SparkSession, d: String): DataFrame =
     ngramStats(Tables.documents(s, d))
 
+  // ---------------------------------------------------------------- c6
+
+  /** Stand-in eval-set membership: every 20th-ish doc (5%). In a real
+    * pipeline the benchmark set is an EXTERNAL table (the evals you
+    * must not train on); the stand-in keeps the operator self-contained
+    * on the driver's corpus while exercising the identical plan. */
+  private def isBench = col("doc_id") % 20 === 7
+
+  /** c6: benchmark-contamination screening — for every candidate
+    * training doc, how many of its distinct 3-word shingles also occur
+    * in the eval/benchmark set (the decontamination step every serious
+    * corpus build runs; n-gram overlap is the standard published
+    * method). Distributed shape: the benchmark side collapses to a
+    * DISTINCT shingle set — KBs-to-MBs at ANY corpus scale, because
+    * benchmarks are small — and is BROADCAST; the corpus side explodes
+    * shingles once and equi-joins against it map-side. No shuffle
+    * touches corpus×bench pairs; the only exchange is the per-doc
+    * count aggregation, map-side combinable. `frac` is a single
+    * integer division — bit-identical across engines, no rounding
+    * needed. */
+  def contamination(docs: DataFrame): DataFrame = {
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    // materialize the shingle build behind an exchange once (the d2
+    // EX1/EX2 rationale: spread a narrow scan; stop CollapseProject
+    // from re-inlining the build into every consumer)
+    val sh = graft.Spread.ifNarrow(docs)
+      .select(col("doc_id"), textops.shingles(textops.tokens(col("text"))).as("sh"))
+      .repartition(np)
+    val bench = sh.filter(isBench)
+      .select(explode(col("sh")).as("g")).distinct()
+    val candidates = sh.filter(!isBench)
+    val hits = candidates
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    candidates
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(col("n_shingles") > 0,
+          coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+            col("n_shingles"))
+          .otherwise(lit(0.0)).as("frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def c6Query(s: SparkSession, d: String): DataFrame =
+    contamination(Tables.documents(s, d))
+
   // ------------------------------------------------------------ oracles
 
   private val h60text = textops.hash60Sql("text")
@@ -183,5 +233,20 @@ object Curation {
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0)
          |SELECT g, count(*) AS df FROM ex GROUP BY g
          |ORDER BY df DESC, g LIMIT $TopNgrams""".stripMargin,
+    "c6_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, $shSql AS s FROM toks),
+         |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 7),
+         |cand AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 != 7),
+         |hits AS (SELECT doc_id, count(*) AS n_contaminated
+         |         FROM (SELECT doc_id, unnest(s) AS g FROM cand)
+         |         JOIN bench USING (g) GROUP BY 1)
+         |SELECT c.doc_id, len(c.s)::BIGINT AS n_shingles,
+         |       coalesce(h.n_contaminated, 0) AS n_contaminated,
+         |       CASE WHEN len(c.s) > 0
+         |            THEN coalesce(h.n_contaminated, 0)::DOUBLE / len(c.s)
+         |            ELSE 0.0 END AS frac
+         |FROM cand c LEFT JOIN hits h USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
   )
 }

@@ -53,4 +53,25 @@ class CurationSpec extends SparkSpec {
     out("alpha beta gamma") shouldBe 2L
     out("beta gamma delta") shouldBe 2L
   }
+
+  test("contamination counts candidate shingles overlapping the bench set; bench join broadcast") {
+    import spark.implicits._
+    val corpus = Seq(
+      (7L, "aa bb cc dd"),     // bench doc (id % 20 == 7): shingles 'aa bb cc', 'bb cc dd'
+      (1L, "xx aa bb cc yy"),  // shares 'aa bb cc' -> 1 of 3 shingles contaminated
+      (2L, "pp qq rr ss"),     // no overlap
+      (3L, "zz"),              // too short: zero shingles
+    ).toDF("doc_id", "text")
+    val byId = Curation.contamination(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Double]("frac")))).toMap
+    byId.keySet shouldBe Set(1L, 2L, 3L) // bench doc excluded from output
+    byId(1L) shouldBe ((3L, 1L, 1.0 / 3.0))
+    byId(2L) shouldBe ((2L, 0L, 0.0))
+    byId(3L) shouldBe ((0L, 0L, 0.0))
+    // the bench side must be broadcast: no shuffle of corpus x bench
+    Curation.contamination(corpus).queryExecution.executedPlan.toString should
+      include("BroadcastHashJoin")
+  }
 }
