@@ -73,6 +73,7 @@ object SparkEntry {
     "t2_quality" -> (TextAnalysis.t2Query _),
     "t3_tokens" -> (TextAnalysis.t3Query _),
     "t4_fingerprint" -> (TextAnalysis.t4Query _),
+    "t5_repetition" -> (TextAnalysis.t5Query _),
     "m1_binary_meta" -> (Multimodal.m1Query _),
     "m2_resize" -> (Multimodal.m2Query _),
     "m3_frame_sample" -> (Multimodal.m3Query _),

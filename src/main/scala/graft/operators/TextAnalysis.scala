@@ -154,6 +154,52 @@ object TextAnalysis {
   def t4Query(s: SparkSession, d: String): DataFrame =
     fingerprint(Tables.documents(s, d))
 
+  // ---------------------------------------------------------------- t5
+
+  /** Repetition flag threshold: docs whose duplicate-shingle fraction
+    * exceeds this are marked repetitive (the published corpus-quality
+    * filters — Gopher's repetition rules, RefinedWeb — cut on exactly
+    * this family of ratios; real corpora use cuts around 0.1–0.35).
+    * 0.01 here: the synthetic word-soup corpus has near-zero natural
+    * repetition, and a higher cut would flag NOTHING — an all-false
+    * column the oracle can't discriminate (the q12/q17 vacuous-check
+    * lesson). At 0.01 ~5% of test docs flag, so both branches of the
+    * predicate are exercised cross-engine. */
+  val DupShingleFlag = 0.01
+
+  /** t5: within-document repetition ratios — the quality signal t2's
+    * surface ratios can't see: a doc that loops the same phrases has
+    * fine length/punctuation stats but a high duplicate-n-gram
+    * fraction. Two ratios, both pure codegen'd expressions (no
+    * explode, no shuffle — array sizes only):
+    *  - `uniq_token_frac` = distinct tokens / tokens;
+    *  - `dup_shingle_frac` = 1 − distinct 3-shingles / total 3-shingles.
+    * Single integer divisions — bit-identical across engines, no
+    * rounding. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val t = textops.tokens(col("text"))
+    spread(docs)
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_uniq_tokens"),
+        greatest(size(t) - 2, lit(0)).cast("long").as("n_shingles_total"),
+        size(textops.shingles(t)).cast("long").as("n_shingles_uniq"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("n_uniq_tokens").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("uniq_token_frac"),
+        col("n_shingles_total"),
+        when(col("n_shingles_total") > 0,
+          lit(1.0) - col("n_shingles_uniq").cast("double") /
+            col("n_shingles_total"))
+          .otherwise(lit(0.0)).as("dup_shingle_frac"))
+      .withColumn("repetitive", col("dup_shingle_frac") > DupShingleFlag)
+      .orderBy(col("doc_id"))
+  }
+
+  def t5Query(s: SparkSession, d: String): DataFrame =
+    repetition(Tables.documents(s, d))
+
   // ------------------------------------------------------------ oracles
 
   private val toksSql = textops.tokensSql("text")
@@ -209,5 +255,23 @@ object TextAnalysis {
       s"""SELECT doc_id, md5(${textops.normalizeSql("text")}) AS fingerprint,
          |  count(*) OVER (PARTITION BY md5(${textops.normalizeSql("text")})) AS n_same
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |m AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         |             len(list_distinct(t))::BIGINT AS n_uniq,
+         |             greatest(len(t) - 2, 0)::BIGINT AS n_shingles_total,
+         |             len(${textops.shinglesSql("t")})::BIGINT AS n_shingles_uniq
+         |      FROM toks)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens > 0 THEN n_uniq::DOUBLE / n_tokens
+         |       ELSE 0.0 END AS uniq_token_frac,
+         |  n_shingles_total,
+         |  CASE WHEN n_shingles_total > 0
+         |       THEN 1.0 - n_shingles_uniq::DOUBLE / n_shingles_total
+         |       ELSE 0.0 END AS dup_shingle_frac,
+         |  (CASE WHEN n_shingles_total > 0
+         |        THEN 1.0 - n_shingles_uniq::DOUBLE / n_shingles_total
+         |        ELSE 0.0 END) > $DupShingleFlag AS repetitive
+         |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -73,4 +73,19 @@ class TextAnalysisSpec extends SparkSpec {
     rows(2L)._2 shouldBe 2L // both NULL-text rows count as one group
     rows(0L)._2 shouldBe 2L
   }
+
+  test("repetition: looping docs flagged, diverse docs not, short docs zeroed") {
+    val df = Seq(
+      (0L, "spam spam spam spam spam spam"), // 6 tokens, 4 shingles, 1 uniq
+      (1L, "one two three four five six"),   // all distinct
+      (2L, "hi"),                            // too short for shingles
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("uniq_token_frac"), r.getAs[Double]("dup_shingle_frac"),
+          r.getAs[Boolean]("repetitive")))).toMap
+    out(0L) shouldBe ((1.0 / 6.0, 0.75, true))
+    out(1L) shouldBe ((1.0, 0.0, false))
+    out(2L) shouldBe ((1.0, 0.0, false))
+  }
 }
