@@ -501,6 +501,54 @@ object Dedup {
   def d6Query(s: SparkSession, d: String): DataFrame =
     dupClustersStar(ngramJaccard(Tables.documents(s, d)))._1
 
+  // ---------------------------------------------------------------- d7
+
+  /** Excerpt length: first 2/5 of tokens — short enough that symmetric
+    * Jaccard stays under d2's 0.5 cut (≈ 0.4), so d7 demonstrably
+    * catches what d2 misses. */
+  private def excerptLen(t: Column): Column =
+    greatest(floor(size(t) * 2 / 5), lit(3)).cast("int")
+
+  /** d7: CONTAINMENT near-dup pairs — excerpt/truncation duplicates.
+    * Symmetric Jaccard scores a 40% excerpt of a doc at ~0.4 and d2
+    * drops it; containment |A∩B| / min(|A|,|B|) scores it 1.0. This is
+    * Broder's containment coefficient, the published measure for
+    * "document A is inside document B" (quote farms, truncated
+    * recrawls, boilerplate-wrapped copies). Input = corpus plus a
+    * simulated excerpt recrawl of every 25th doc (offset ids, same
+    * construction idea as d1's recrawl — the synthetic corpus has no
+    * excerpts of its own to find). Same bucketed posting self-join as
+    * [[ngramJaccard]] — explode, hot-shingle cap, join on the shingle —
+    * only the scoring denominator differs, so the 100 TB cost model is
+    * d2's. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val t = textops.tokens(col("text"))
+    val excerpt = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), excerptLen(t))).as("text"))
+    val ex = docShingles(base.union(excerpt))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+    val hot = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select(col("g"))
+    val pruned = ex.join(hot, Seq("g"), "left_anti")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def d7Query(s: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.documents(s, d))
+
   // ------------------------------------------------------------ oracles
 
   private val toksSql = textops.tokensSql("text")
@@ -541,6 +589,30 @@ object Dedup {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+    "d7_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |toks0 AS (SELECT doc_id, $toksSql AS t FROM base),
+         |excerpt AS (SELECT doc_id + 2000000 AS doc_id,
+         |                   array_to_string(t[1:greatest((len(t)*2)//5, 3)], ' ') AS text
+         |            FROM toks0 WHERE doc_id % 25 = 0),
+         |alldocs AS (SELECT * FROM base UNION ALL SELECT * FROM excerpt),
+         |toks AS (SELECT doc_id, $toksSql AS t FROM alldocs),
+         |sh AS (SELECT doc_id, $shSql AS s FROM toks WHERE len(t) >= 3),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > $MaxShingleDf),
+         |pruned AS (SELECT * FROM ex WHERE g NOT IN (SELECT g FROM hot)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM pruned a JOIN pruned b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+         |SELECT doc_a, doc_b, common,
+         |       round(common * 1.0 / least(sa.n, sb.n), 4) AS containment
+         |FROM pairs
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE common * 1.0 / least(sa.n, sb.n) >= 0.8
          |ORDER BY 1, 2""".stripMargin,
     // d6: recursive-CTE transitive closure over the same d2 pair graph;
     // cluster = min reachable id (matches min-label propagation fixpoint)

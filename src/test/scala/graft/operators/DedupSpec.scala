@@ -52,6 +52,25 @@ class DedupSpec extends SparkSpec {
     pairs(0).getAs[Int]("hamming") shouldBe 0
   }
 
+  test("containmentPairs finds the excerpt copy that Jaccard misses") {
+    import spark.implicits._
+    // doc 0 gets a simulated 40% excerpt (id 2000000); its symmetric
+    // Jaccard vs the full doc is ~0.4 (< d2's 0.5 cut) but its
+    // containment is 1.0
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, words), (1L, (31 to 60).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment")))
+    pairs.length shouldBe 1
+    pairs.head shouldBe ((0L, 2000000L, 1.0))
+    val jac = Dedup.ngramJaccard(
+      docs.union(Seq((2000000L, (1 to 12).map(i => s"w$i").mkString(" ")))
+        .toDF("doc_id", "text"))).collect()
+    jac.length shouldBe 0 // symmetric jaccard at 0.5 misses the excerpt
+  }
+
   test("dupClusters: chains collapse to min-id components") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
     val out = Dedup.dupClusters(pairs).collect()
