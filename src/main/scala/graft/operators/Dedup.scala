@@ -523,11 +523,25 @@ object Dedup {
     * d2's. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    graft.functions.texthash.register(docs.sparkSession)
     val t = textops.tokens(col("text"))
-    val excerpt = base.filter(col("doc_id") % 25 === 0)
+    // the excerpt's shingles come straight from the SLICED token array —
+    // no join-back-to-text/re-tokenize round trip, and crucially no
+    // filter over derived text: routing the excerpt through
+    // docShingles would push its ≥3-tokens prefilter below the union
+    // with the whole excerpt-building expression substituted into the
+    // scan filter (the round-2 pathology ExplainQ --audit flags). The
+    // <3-token guard is a projection CASE instead; empty arrays
+    // explode to nothing, which is exactly the filter's semantics.
+    val sliced = slice(t, lit(1), excerptLen(t))
+    val excerptSh = graft.Spread.ifNarrow(base.filter(col("doc_id") % 25 === 0))
       .select((col("doc_id") + lit(2000000L)).as("doc_id"),
-        concat_ws(" ", slice(t, lit(1), excerptLen(t))).as("text"))
-    val ex = docShingles(base.union(excerpt))
+        when(size(t) >= 3,
+          graft.functions.texthash.wordShingles(sliced))
+          .otherwise(array().cast("array<string>")).as("sh"))
+      .repartition(np)
+    val ex = docShingles(base).unionByName(excerptSh)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
     val hot = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select(col("g"))
@@ -591,13 +605,12 @@ object Dedup {
          |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
     "d7_containment" ->
-      s"""WITH base AS (SELECT doc_id, text FROM documents),
-         |toks0 AS (SELECT doc_id, $toksSql AS t FROM base),
+      s"""WITH toks0 AS (SELECT doc_id, $toksSql AS t FROM documents),
          |excerpt AS (SELECT doc_id + 2000000 AS doc_id,
-         |                   array_to_string(t[1:greatest((len(t)*2)//5, 3)], ' ') AS text
+         |                   t[1:greatest((len(t)*2)//5, 3)] AS t
          |            FROM toks0 WHERE doc_id % 25 = 0),
-         |alldocs AS (SELECT * FROM base UNION ALL SELECT * FROM excerpt),
-         |toks AS (SELECT doc_id, $toksSql AS t FROM alldocs),
+         |toks AS (SELECT doc_id, t FROM toks0
+         |         UNION ALL SELECT doc_id, t FROM excerpt),
          |sh AS (SELECT doc_id, $shSql AS s FROM toks WHERE len(t) >= 3),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
          |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > $MaxShingleDf),
