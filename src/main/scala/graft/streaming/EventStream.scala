@@ -124,16 +124,29 @@ object EventStream {
     }
     val out = java.nio.file.Files.createTempDirectory("graft-s1-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-s1-ckpt").toString
-    val q = windowedCounts(events)
-      .select(col("window_start"), col("event_type"), col("n"),
-        round(col("sum_value"), 4).as("sum_value"))
-      .writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // The stateful shuffle's partition count is frozen into the
+    // checkpoint at first start and sizes the STATE STORE, not the
+    // scan: each micro-batch writes one state-delta file and one sink
+    // file per partition, so 32 partitions over a state of a few
+    // hundred (window, event_type) rows is pure small-file IO.
+    // State cardinality is bounded by the watermark (open windows ×
+    // event types) regardless of corpus size — data-parallel read
+    // stages are split by file, unaffected by this setting — so 8 is
+    // the scale-correct choice here, not a local-mode shortcut.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = windowedCounts(events)
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(out).orderBy(col("window_start"), col("event_type"))
   }
 
