@@ -80,7 +80,16 @@ object Bench {
       "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
     val errJson = errs.mkString("{", ",", "}")
     val total = stats.collect { case (_, Some((med, _, _, _)), _) => med }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Truncation-proof copy of the FULL record (r9 verdict #1: the
+    // driver's stdout tail capture clipped the spread data exactly when
+    // it was needed to adjudicate a 2–3× outlier block). The file is
+    // the archival record; stdout stays the driver contract.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     // Compact twin WITHOUT the per-query spread, printed LAST: the
     // driver's tail-window capture truncated the r6 line from the FRONT
     // (only the trailing spread survived, parsed:null). The final line

@@ -84,6 +84,9 @@ object SparkEntry {
     "a3_ivf_ann" -> (Ann.a3Query _),
     "a3_indexed" -> ((s: SparkSession, d: String) => Ann.indexedIvfKnn(s, d)),
     "s1_stream_window" -> (EventStream.s1Query _),
+    "s2_stream_sessionize" -> (EventStream.s2Query _),
+    "s3_stream_dedup" -> (EventStream.s3Query _),
+    "s4_stream_align" -> (EventStream.s4Query _),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),
     "c3_group_canonical" -> (Curation.c3Query _),
@@ -409,5 +412,6 @@ object SparkEntry {
          |FROM documents JOIN embeddings ON doc_id = vec_id
          |ORDER BY score, doc_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-    Ann.oracles(d) ++ Curation.oracles ++ AsofJoin.oracles ++ RangeJoin.oracles
+    Ann.oracles(d) ++ Curation.oracles ++ AsofJoin.oracles ++ RangeJoin.oracles ++
+    EventStream.oracles
 }
