@@ -86,7 +86,9 @@ object Bench {
     // driver's stdout tail capture clipped the spread data exactly when
     // it was needed to adjudicate a 2–3× outlier block). The file is
     // the archival record; stdout stays the driver contract.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")
+    // Default is cwd-relative so the archival write works from any
+    // checkout location; SPARK_GRAFT_BENCH_OUT overrides.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }

@@ -123,18 +123,54 @@ object EventStream {
     * by the watermark regardless of corpus size — data-parallel read
     * stages are split by file, unaffected by this setting — so 8 is
     * the scale-correct choice here, not a local-mode shortcut. */
-  private def runAvailableNow(s: SparkSession, gate: String, d: String)
-      (build: SparkSession => DataFrame): DataFrame = {
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-stream",
-      gate + "-" + java.lang.Integer.toHexString(d.hashCode))
+  private def wipe(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      // Using(...) closes the walk stream — a bare Files.walk leaks a
+      // directory handle per gate invocation.
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+        w.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
     }
+
+  /** Per-JVM scratch root: keyed by pid so two concurrent processes
+    * (e.g. Bench alongside Verify, or parallel test JVMs) can never
+    * wipe each other's live checkpoint/sink; deleted on JVM exit so
+    * repeated invocations don't accrete dirs in the tmpdir. Within a
+    * process, each (gate, dataset) pair reuses its fixed subdir. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stream",
+      "pid-" + ProcessHandle.current().pid())
+    sys.addShutdownHook(try wipe(p) catch { case _: Throwable => () })
+    p
+  }
+
+  /** Runtime confs the parent session set that must carry over to the
+    * child stream session: `newSession()` shares the SparkContext but
+    * starts from a FRESH SQLConf, so e.g. a test suite selecting the
+    * RocksDB state-store provider via `spark.conf.set` would otherwise
+    * silently run the gate on the default HDFS store. Static confs
+    * can't be re-set at runtime — skipped (they're shared via the
+    * context anyway). */
+  private def inheritStreamingConfs(parent: SparkSession, child: SparkSession): Unit =
+    parent.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.sql.streaming.") && child.conf.getOption(k) != Some(v))
+        try child.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+    }
+
+  private def runAvailableNow(s: SparkSession, gate: String, d: String)
+      (build: SparkSession => DataFrame): DataFrame = {
+    // Sanitized dataset path (not hashCode) keys the subdir: unique per
+    // dataset, stable across runs of this process.
+    val root = scratchRoot.resolve(
+      gate + "-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    wipe(root)
     java.nio.file.Files.createDirectories(root)
     val ss = s.newSession()
+    inheritStreamingConfs(s, ss)
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = build(ss)
       .writeStream.format("parquet")
@@ -144,6 +180,16 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // The s2/s3 oracles assume every source file lands in ONE data
+    // micro-batch (in-batch session closure / dedup scope is
+    // batch-global only then). FileStreamSource's default AvailableNow
+    // plan delivers that today; fail loudly if a future
+    // maxFilesPerTrigger/maxBytesPerTrigger or multi-batch split breaks
+    // the invariant rather than letting the gate drift from its oracle.
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"$gate: expected exactly 1 data micro-batch under AvailableNow " +
+        s"(the oracle's in-batch semantics assume it), saw $dataBatches")
     s.read.parquet(root.resolve("out").toString)
   }
 
