@@ -1,0 +1,112 @@
+package graft
+
+/** Mechanical enforcement of the plan-shape claims the scale story
+  * rests on. The operator Scaladocs argue "no all-pairs join",
+  * "filter reaches the scan", "small dims broadcast" — these tests
+  * pin those properties to the EXECUTED plans of the exact DataFrames
+  * the driver gates, so a refactor that silently re-plans into a
+  * cartesian product or un-pushes a scan filter fails CI instead of
+  * surfacing as a 100 TB incident.
+  *
+  * Assertions are chosen to be scale-robust: only properties that hold
+  * at every SF are pinned (explicit `broadcast()` hints, static
+  * predicate pushdown, column pruning). Shapes AQE legitimately picks
+  * per-scale (shuffle vs broadcast for the customer join at sf0.001)
+  * are left to it.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SparkSpec.TinySf)
+      .queryExecution.executedPlan.toString
+
+  /** Every gated BATCH query: candidate generation must be a bucketed
+    * join, never a cartesian product. The streaming gates (s1–s4)
+    * return a plain parquet read of their finalized sink — their plan
+    * is audited where it runs, in the streaming suite — and running
+    * four real streams here would double suite wall-clock for a
+    * vacuous assertion. */
+  private val batchQueries =
+    SparkEntry.queries.keySet.filterNot(_.startsWith("s")).toSeq.sorted
+
+  batchQueries.foreach { name =>
+    test(s"$name plans no cartesian product") {
+      plan(name) should not include "CartesianProduct"
+    }
+  }
+
+  test("q2 selective filter is pushed into the parquet scan") {
+    val p = plan("q2_filter_project")
+    // a non-empty PushedFilters list on the lineitem scan
+    p should include regex """PushedFilters: \[[^\]]"""
+  }
+
+  test("q6 range predicates are pushed into the parquet scan") {
+    val p = plan("q6_selective_filter")
+    p should include regex """PushedFilters: \[[^\]]"""
+  }
+
+  test("q2 scan prunes unprojected lineitem columns") {
+    // q2 projects a handful of lineitem columns; the 44-byte comment
+    // column must never leave the scan.
+    plan("q2_filter_project") should not include "l_comment"
+  }
+
+  test("q1 scan reads only the aggregated columns") {
+    plan("q1_agg") should not include "l_comment"
+  }
+
+  test("q4 dimension join is a broadcast join") {
+    plan("q4_broadcast_join") should include("BroadcastHashJoin")
+  }
+
+  test("q5 broadcasts both fixed-size dims (nation, region)") {
+    val hits = "BroadcastHashJoin".r.findAllIn(plan("q5_multi_join")).size
+    hits should be >= 2
+  }
+
+  test("c6 broadcasts the benchmark side against the corpus") {
+    plan("c6_contamination") should include("BroadcastHashJoin")
+  }
+
+  test("d3 skew cap is a broadcast anti-join, not a shuffled one") {
+    // the hot-bucket list is tiny by construction; shipping the band
+    // rows to it would shuffle the whole exploded corpus
+    val p = plan("d3_minhash_lsh")
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+  }
+
+  test("d2 hot-shingle cap is an anti-join on the posting rows") {
+    val p = plan("d2_ngram_jaccard")
+    p should include("LeftAnti")
+  }
+
+  test("dedup candidate joins stay on equi-keys (no nested-loop fallback)") {
+    Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+      "d5_embedding_neardup", "d7_containment").foreach { q =>
+      withClue(q) {
+        plan(q) should not include "BroadcastNestedLoopJoin"
+      }
+    }
+  }
+
+  test("text analysis queries run on native expressions in codegen'd stages") {
+    // an UNEXECUTED AdaptiveSparkPlan never prints codegen markers
+    // (stages materialise at runtime); disabling AQE for the plan
+    // build makes the `*(n)` stage boundaries statically visible.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Seq("t1_langid", "t2_quality", "t3_tokens", "t4_fingerprint",
+        "t5_repetition").foreach { q =>
+        val p = plan(q)
+        withClue(q) {
+          p should include("*(") // whole-stage codegen spans present
+          p should not include "ScalaUDF" // native expressions only
+          p should not include "BatchEvalPython"
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
