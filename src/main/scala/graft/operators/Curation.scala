@@ -163,12 +163,15 @@ object Curation {
     * integer division — bit-identical across engines, no rounding
     * needed. */
   def contamination(docs: DataFrame): DataFrame = {
+    graft.functions.texthash.register(docs.sparkSession)
     val np = docs.sparkSession.sparkContext.defaultParallelism
     // materialize the shingle build behind an exchange once (the d2
     // EX1/EX2 rationale: spread a narrow scan; stop CollapseProject
-    // from re-inlining the build into every consumer)
+    // from re-inlining the build into every consumer); native
+    // single-pass shingles, same set/order as [[textops.shingles]]
     val sh = graft.Spread.ifNarrow(docs)
-      .select(col("doc_id"), textops.shingles(textops.tokens(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.texthash.wordShingles(textops.tokens(col("text"))).as("sh"))
       .repartition(np)
     val bench = sh.filter(isBench)
       .select(explode(col("sh")).as("g")).distinct()

@@ -36,23 +36,30 @@ object TextAnalysis {
     * [[graft.Spread.ifNarrow]]). */
   private def spread(docs: DataFrame): DataFrame = graft.Spread.ifNarrow(docs)
 
-  private def countIn(t: Column, ws: Seq[String]): Column =
-    size(filter(t, x => x.isInCollection(ws)))
-
   // ---------------------------------------------------------------- t1
 
   /** t1: stopword-vote language ID. Scores = stopword hit counts per
     * language; argmax with a fixed en≥de≥fr≥es tie-break (expressed as
     * the same CASE chain in both engines). Output is the
-    * truth-vs-predicted confusion matrix. */
+    * truth-vs-predicted confusion matrix.
+    *
+    * All four language scores come from ONE native pass over the token
+    * array ([[graft.functions.StopwordCounts]]); the declarative
+    * per-list `size(filter(t, x IN list))` walked the array once per
+    * language through an interpreted lambda. The oracle keeps the
+    * declarative SQL form, so the two implementations cross-check. */
   def langId(docs: DataFrame): DataFrame = {
+    graft.functions.textstats.register(docs.sparkSession)
     val t = textops.tokens(col("text"))
-    val scored = spread(docs).select(
-      col("doc_id"), col("lang"),
-      countIn(t, Stopwords(0)._2).as("s_en"),
-      countIn(t, Stopwords(1)._2).as("s_de"),
-      countIn(t, Stopwords(2)._2).as("s_fr"),
-      countIn(t, Stopwords(3)._2).as("s_es"))
+    val scored = spread(docs)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.textstats.stopwordCounts(t, Stopwords.map(_._2)).as("sw"))
+      .select(
+        col("doc_id"), col("lang"),
+        element_at(col("sw"), 1).as("s_en"),
+        element_at(col("sw"), 2).as("s_de"),
+        element_at(col("sw"), 3).as("s_fr"),
+        element_at(col("sw"), 4).as("s_es"))
     scored.withColumn("pred_lang",
         when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
           col("s_en") >= col("s_es"), "en")
@@ -74,13 +81,15 @@ object TextAnalysis {
     * exp/log — libm rounding differs across engines; +,-,*,/ are IEEE
     * correctly-rounded everywhere). */
   def quality(docs: DataFrame): DataFrame = {
+    graft.functions.textstats.register(docs.sparkSession)
     val t = textops.tokens(col("text"))
     spread(docs).select(
         col("doc_id"),
         length(col("text")).as("len_chars"),
         size(t).as("n_tokens"),
-        aggregate(t, lit(0), (acc, x) => acc + length(x)).as("tok_chars"),
-        countIn(t, Stopwords(0)._2).as("n_stop"))
+        graft.functions.textstats.tokenCharSum(t).as("tok_chars"),
+        element_at(graft.functions.textstats.stopwordCounts(
+          t, Seq(Stopwords(0)._2)), 1).as("n_stop"))
       .withColumn("avg_token_len",
         when(col("n_tokens") === 0, 0.0).otherwise(
           round(col("tok_chars").cast("double") / col("n_tokens"), 4)))
@@ -177,13 +186,18 @@ object TextAnalysis {
     * Single integer divisions — bit-identical across engines, no
     * rounding. */
   def repetition(docs: DataFrame): DataFrame = {
+    // native single-pass shingle build (the declarative
+    // [[textops.shingles]] transform-lambda is interpreted per element;
+    // same set/order — cross-checked in the texthash spec)
+    graft.functions.texthash.register(docs.sparkSession)
     val t = textops.tokens(col("text"))
     spread(docs)
       .select(col("doc_id"),
         size(t).cast("long").as("n_tokens"),
         size(array_distinct(t)).cast("long").as("n_uniq_tokens"),
         greatest(size(t) - 2, lit(0)).cast("long").as("n_shingles_total"),
-        size(textops.shingles(t)).cast("long").as("n_shingles_uniq"))
+        size(graft.functions.texthash.wordShingles(t)).cast("long")
+          .as("n_shingles_uniq"))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") > 0,
           col("n_uniq_tokens").cast("double") / col("n_tokens"))
