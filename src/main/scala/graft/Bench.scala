@@ -31,7 +31,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
+    // Local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=d2,d3 runs
+    // just the named queries (comma-separated prefixes). The driver
+    // never sets it, so the per-round record stays the full surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     def runOne(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {

@@ -47,6 +47,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
+      // ObjectHashAggregate (collect_list/collect_set — the dedup
+      // bucket builds, q26) falls back to SORT-based aggregation after
+      // only 128 distinct keys per partition by default, silently
+      // re-introducing the per-partition sort the hash agg exists to
+      // avoid. Buckets here are capped (MaxShingleDf/MaxBandBucket), so
+      // per-group state is small and a large hash map is the right
+      // trade; 16M keys/partition ≈ hundreds of MB worst case against
+      // executor memory sized for exactly this kind of state.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (16 * 1024 * 1024).toString)
       // wide-but-legitimate expression trees (e.g. v8's 64-component
       // embed array) otherwise spam truncation warnings into the log
       .config("spark.sql.debug.maxToStringFields", "2000")
