@@ -54,6 +54,10 @@ object SparkEntry {
     "q29_asof_join" -> (AsofJoin.q29Query _),
     "q30_range_join" -> (RangeJoin.q30Query _),
     "q31_hll_merge" -> (Analytics.q31HllMerge _),
+    "q32_approx_topk" -> (Analytics.q32ApproxTopK _),
+    "q33_gap_fill" -> (Analytics.q33GapFill _),
+    "q34_range_frame" -> (Analytics.q34RangeFrame _),
+    "q35_argmax" -> (Analytics.q35ArgMax _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -318,6 +322,61 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_exact,
         | TRUE AS merged_ok
         |FROM lineitem""".stripMargin,
+    // q32: the Space-Saving summary is exact when capacity ≥ distinct
+    // keys per group (no evictions) — the oracle is therefore the
+    // exact per-type top-10 with the sketch's own (cnt desc, user asc)
+    // tie-break.
+    "q32_approx_topk" ->
+      """WITH cnts AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, cnt,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cnt DESC, user_id) AS rk
+        |  FROM cnts)
+        |SELECT event_type, user_id, cnt, rk
+        |FROM r WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
+    "q33_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('day', min(ts)) FROM events),
+        |    (SELECT date_trunc('day', max(ts)) FROM events),
+        |    INTERVAL '1 day')) AS day),
+        |daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type,
+        |         count(*) AS n, round(sum(value), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.day, t.event_type,
+        |       coalesce(d.n, 0) AS n,
+        |       coalesce(d.sum_value, 0.0) AS sum_value
+        |FROM spine s
+        |CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+        |ORDER BY s.day, t.event_type""".stripMargin,
+    "q34_range_frame" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS trail_n,
+        |  round(sum(value) OVER w, 4) AS trail_sum
+        |FROM (SELECT event_id, user_id, value,
+        |        epoch_us(ts) // 1000000 AS sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q35_argmax" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value ASC, event_id ASC) AS rmin
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rmax = 1 THEN event_id END) AS argmax_event,
+        |  round(max(CASE WHEN rmax = 1 THEN value END), 4) AS max_value,
+        |  max(CASE WHEN rmin = 1 THEN event_id END) AS argmin_event,
+        |  round(max(CASE WHEN rmin = 1 THEN value END), 4) AS min_value
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     "v1_knn_l2" ->
       s"""SELECT vec_id, label, score, CAST(pos AS INTEGER) AS pos,
          | embedding[CAST(pos AS INTEGER) + 1]::DOUBLE AS comp

@@ -473,4 +473,89 @@ object Analytics {
         (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05)
           .as("merged_ok"))
   }
+
+  /** q32: approximate frequent items — ClickHouse `topK(k)(col)` — via
+    * the custom Space-Saving aggregate [[graft.functions.TopKSketchAgg]].
+    * Per event_type, the 10 heaviest user_ids. The exact formulation
+    * shuffles every distinct (type, user) pair; the sketch ships ONE
+    * bounded `capacity`-entry summary per partition per group, so at
+    * 100 TB the shuffle is O(partitions × capacity), independent of
+    * user cardinality. Capacity 256 ≥ the corpus' per-type user count,
+    * which makes the summary provably exact (no evictions) — that
+    * exactness contract is what the DuckDB oracle pins; the eviction
+    * path under skew is property-tested in ScalaTest. */
+  def q32ApproxTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.topk.register(s)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.topk.topkSketch(col("user_id"), 256, 10).as("tk"))
+      .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("event_type"), col("e.item").as("user_id"),
+        col("e.cnt").as("cnt"), (col("pos") + 1).as("rk"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** q33: time-series gap fill — ClickHouse `ORDER BY … WITH FILL` —
+    * daily counts per event_type with missing (day, type) cells
+    * zero-filled. The spine is generated from the corpus' own min/max
+    * day (`sequence` + explode — days × types rows, trivially small at
+    * any corpus size) and LEFT-joined onto the aggregated dailies, so
+    * the only corpus-sized operation is the partial-aggregated daily
+    * rollup; the fill itself never touches raw events. */
+  def q33GapFill(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val daily = e
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    val spine = e
+      .agg(date_trunc("day", min(col("ts"))).as("lo"),
+        date_trunc("day", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val types = e.select(col("event_type")).distinct()
+    spine.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** q34: value-RANGE window frame — trailing 1-hour event count and
+    * value sum per user at every event (the ClickHouse
+    * `RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` shape). RANGE
+    * frames are value-based, so ties in the order key get identical
+    * frames in any engine — deterministic without a row-order
+    * tiebreak. One shuffle on user_id; the frame scan is a single
+    * sorted pass per partition. */
+  def q34RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, d)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", round(sum(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("trail_n"), col("trail_sum"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q35: argMax/argMin — ClickHouse `argMax(arg, val)` — as ONE
+    * partial-aggregable pass: `max(struct(value, event_id))` is a
+    * lexicographic struct max, so each partition ships a single struct
+    * per group and ties on value break deterministically on event_id
+    * (Spark's built-in max_by is explicitly nondeterministic on ties).
+    * The window-function formulation of the same answer would sort
+    * every group; this never sorts anything but the 5-row output. */
+  def q35ArgMax(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        max(struct(col("value"), col("event_id"))).as("mx"),
+        min(struct(col("value"), col("event_id"))).as("mn"))
+      .select(col("event_type"),
+        col("mx.event_id").as("argmax_event"),
+        round(col("mx.value"), 4).as("max_value"),
+        col("mn.event_id").as("argmin_event"),
+        round(col("mn.value"), 4).as("min_value"))
+      .orderBy(col("event_type"))
 }

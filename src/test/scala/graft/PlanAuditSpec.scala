@@ -91,6 +91,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q32 topk sketch aggregates with map-side partials") {
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial +
+    // final means each partition ships one bounded summary, never the
+    // raw (type, user) pairs
+    val hits = "ObjectHashAggregate".r.findAllIn(plan("q32_approx_topk")).size
+    hits should be >= 2
+  }
+
+  test("q35 argmax is a single aggregation pass, no window sort") {
+    plan("q35_argmax") should not include "Window"
+  }
+
   test("text analysis queries run on native expressions in codegen'd stages") {
     // an UNEXECUTED AdaptiveSparkPlan never prints codegen markers
     // (stages materialise at runtime); disabling AQE for the plan

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Space-Saving sketch: exactness without eviction, the published
+  * heavy-hitter guarantees WITH eviction (the path the driver gate's
+  * capacity ≥ cardinality configuration never exercises), and the
+  * distributed merge path. */
+class TopKSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic scalacheck sampling, same pattern as
+    * OperatorPropertySpec. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  private def sketchTop(keys: Seq[Long], capacity: Int, k: Int,
+      partitions: Int): Seq[(Long, Long, Long)] = {
+    topk.register(spark)
+    keys.toDF("key").repartition(partitions)
+      .agg(topk.topkSketch(col("key"), capacity, k).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.cnt"), col("e.err"))
+      .as[(Long, Long, Long)].collect().toSeq
+  }
+
+  test("exact when capacity >= distinct keys, any partitioning") {
+    val keys = Seq.fill(40)(1L) ++ Seq.fill(25)(2L) ++ Seq.fill(25)(3L) ++
+      Seq.fill(7)(4L) ++ Seq.fill(3)(5L)
+    for (parts <- Seq(1, 7)) {
+      val got = sketchTop(new scala.util.Random(11).shuffle(keys), 16, 5, parts)
+      got shouldBe Seq((1L, 40L, 0L), (2L, 25L, 0L), (3L, 25L, 0L),
+        (4L, 7L, 0L), (5L, 3L, 0L))
+    }
+  }
+
+  test("deterministic tie-break: equal counts order by key ascending") {
+    val got = sketchTop(Seq(9L, 9L, 2L, 2L, 7L, 7L), 8, 3, 2)
+    got.map(_._1) shouldBe Seq(2L, 7L, 9L)
+  }
+
+  test("heavy-hitter guarantee under eviction (capacity < distinct)") {
+    // zipf-ish: key i has ~N/i occurrences; 200 distinct, capacity 64
+    val keys = (1 to 200).flatMap(i => Seq.fill(2000 / i)(i.toLong))
+    val n = keys.size
+    val capacity = 64
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 5)) {
+      val got = sketchTop(new scala.util.Random(11).shuffle(keys), capacity, capacity, parts)
+      val gotMap = got.map(t => t._1 -> (t._2, t._3)).toMap
+      // a merge of p summaries is a valid capacity-summary of the
+      // whole stream, so the error bound is p * n_p / capacity ≈
+      // n/capacity per partial; use the summed bound
+      val bound = n.toLong / capacity * parts
+      truth.foreach { case (key, c) =>
+        if (c > bound)
+          withClue(s"heavy key $key (true $c, bound $bound) missing: ") {
+            gotMap.contains(key) shouldBe true
+          }
+      }
+      got.foreach { case (key, cnt, err) =>
+        val c = truth(key)
+        withClue(s"key $key true=$c cnt=$cnt err=$err: ") {
+          cnt should be >= c
+          cnt - c should be <= bound
+          cnt - err should be <= c
+        }
+      }
+    }
+  }
+
+  test("randomized streams never violate the count bounds") {
+    val gen = Gen.listOfN(300, Gen.chooseNum(0L, 30L))
+    samples(gen, 10).foreach { keys =>
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = sketchTop(keys, 8, 8, 3)
+      got.foreach { case (key, cnt, err) =>
+        val c = truth.getOrElse(key, 0L)
+        cnt should be >= c
+        cnt - err should be <= c
+      }
+    }
+  }
+
+  test("SQL registry path works") {
+    topk.register(spark)
+    Seq(1L, 1L, 2L).toDF("key").createOrReplaceTempView("tks_in")
+    val rows = spark.sql(
+      "SELECT explode(topk_sketch(key, 4, 2)) AS e FROM tks_in")
+      .select("e.item", "e.cnt").as[(Long, Long)].collect().toSeq
+    rows shouldBe Seq((1L, 2L), (2L, 1L))
+  }
+
+  test("null keys are skipped, not counted") {
+    topk.register(spark)
+    val got = Seq(Some(1L), None, Some(1L), None)
+      .toDF("key")
+      .agg(topk.topkSketch(col("key"), 4, 4).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.cnt")).as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 2L))
+  }
+}
