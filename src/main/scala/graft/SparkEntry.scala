@@ -58,6 +58,8 @@ object SparkEntry {
     "q33_gap_fill" -> (Analytics.q33GapFill _),
     "q34_range_frame" -> (Analytics.q34RangeFrame _),
     "q35_argmax" -> (Analytics.q35ArgMax _),
+    "q36_bit_agg" -> (Analytics.q36BitAgg _),
+    "q37_moments" -> (Analytics.q37Moments _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -363,6 +365,30 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q36_bit_agg" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS uid_and,
+        |  bit_or(user_id) AS uid_or,
+        |  bit_xor(user_id) AS uid_xor,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q37: both engines compute the POPULATION moments from explicitly
+    // centered values (their built-in skewness/kurtosis use different
+    // bias conventions).
+    "q37_moments" ->
+      """WITH means AS (
+        |  SELECT event_type, avg(value) AS mu FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT e.event_type,
+        |    avg((value - mu) * (value - mu)) AS m2,
+        |    avg((value - mu) * (value - mu) * (value - mu)) AS m3,
+        |    avg((value - mu) * (value - mu) * (value - mu) * (value - mu)) AS m4,
+        |    count(*) AS n
+        |  FROM events e JOIN means USING (event_type) GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(m3 / pow(m2, 1.5), 4) AS skew_pop,
+        |  round(m4 / (m2 * m2) - 3.0, 4) AS kurt_pop
+        |FROM m ORDER BY 1""".stripMargin,
     "q35_argmax" ->
       """WITH ranked AS (
         |  SELECT event_type, event_id, value,

@@ -558,4 +558,45 @@ object Analytics {
         col("mn.event_id").as("argmin_event"),
         round(col("mn.value"), 4).as("min_value"))
       .orderBy(col("event_type"))
+
+  /** q36: bitwise aggregates — ClickHouse `groupBitAnd/Or/Xor` — over
+    * the per-type user-id sets. Exact-integer semantics (no fp
+    * rounding contract needed) and fully partial-aggregable: each
+    * partition folds to three longs per group before the shuffle. */
+  def q36BitAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        bit_and(col("user_id")).as("uid_and"),
+        bit_or(col("user_id")).as("uid_or"),
+        bit_xor(col("user_id")).as("uid_xor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** q37: 3rd/4th standardized moments — ClickHouse `skewPop` /
+    * `kurtPop` — per event_type. Spark's built-in skewness/kurtosis
+    * are single-pass central-moment aggregates (partial-aggregable
+    * like q25's stddev/corr: each partition ships 5 moments, not
+    * rows), but their bias conventions differ from DuckDB's
+    * sample-corrected skewness/kurtosis — so BOTH sides compute the
+    * population definition from explicitly centered moments
+    * (m3/m2^1.5, m4/m2²−3) against the group mean, which pins one
+    * published formula instead of trusting two engines' defaults to
+    * agree. The Spark side centers via a broadcast of the 5-row
+    * per-group means — still two scans but zero wide shuffles of raw
+    * events. */
+  def q37Moments(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val means = e.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"))
+    val x = col("value") - col("mu")
+    e.join(broadcast(means), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(avg(x * x).as("m2"), avg(x * x * x).as("m3"),
+        avg(x * x * x * x).as("m4"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        round(col("m3") / pow(col("m2"), 1.5), 4).as("skew_pop"),
+        round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 4).as("kurt_pop"))
+      .orderBy(col("event_type"))
+  }
 }
