@@ -310,7 +310,7 @@ case class ShingleHash60s(child: Expression, k: Int) extends UnaryExpression
 object texthash {
   import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Lower, Md5, RegExpExtractAll, RegExpReplace, StringTrim, Substring}
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_signature" -> { es => MinHashSignature(es.head) },
     "simhash60" -> { es => SimHash60(es.head) },
     "word_shingles" -> { es => WordShingles(es.head, 3) },

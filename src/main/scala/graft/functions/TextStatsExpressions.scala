@@ -114,7 +114,7 @@ object textstats {
       _.toArray[UTF8String](StringType).map(_.toString).toSeq).toSeq
   }
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "stopword_counts" -> { es => StopwordCounts(es(0), foldLists(es(1))) },
     "token_char_sum" -> { es => TokenCharSum(es.head) },
   )

@@ -205,15 +205,19 @@ case class TopKSketchAgg(
 /** SQL registration + Column API for [[TopKSketchAgg]], same pattern as
   * [[vectors]]: one registry entry serves SQL and DataFrame users. */
 object topk {
+  // unconditional Cast: the builder can see still-unresolved children
+  // (dataType would throw), and SimplifyCasts removes the no-op
+  // long→long case anyway
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "topk_sketch" -> { es => TopKSketchAgg(Cast(es(0), LongType), es(1), es(2)) })
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("topk_sketch")))
-      // unconditional Cast: the builder can see still-unresolved
-      // children (dataType would throw), and SimplifyCasts removes the
-      // no-op long→long case anyway
-      reg.createOrReplaceTempFunction("topk_sketch",
-        es => TopKSketchAgg(Cast(es(0), LongType), es(1), es(2)), "scala_udf")
+    builders.foreach { case (name, b) =>
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 
   def topkSketch(key: org.apache.spark.sql.Column, capacity: Int,

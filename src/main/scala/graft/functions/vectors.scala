@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions.call_function
   * code path for SQL and DataFrame users.
   */
 object vectors {
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "l2_distance" -> { es => L2Distance(es(0), es(1)) },
     "l2_squared_distance" -> { es => L2SquaredDistance(es(0), es(1)) },
     "dot_product" -> { es => DotProduct(es(0), es(1)) },
