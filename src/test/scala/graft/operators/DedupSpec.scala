@@ -32,6 +32,45 @@ class DedupSpec extends SparkSpec {
     out(0).getAs[Double]("jaccard") should be > 0.5
   }
 
+  test("ngramJaccard matches driver-side brute force on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 6-word vocabulary, 8-token docs: dense shingle collisions, so
+    // every structural path of the bucketed pair generation (shared
+    // buckets, multi-bucket pairs, singleton buckets) gets exercised
+    val docGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(15, docGen)
+    val cases = (0 until 8).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default, Seed(1234L + i)))
+    cases.foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.ngramJaccard(df, threshold = 0.3).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("common"), r.getAs[Double]("jaccard"))).toSet
+      // brute force with the same semantics: distinct 3-word shingles,
+      // full-set sizes in the denominator, hot cap never hit at n=15
+      val sh = texts.map(_.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet)
+      val expected = (for {
+        a <- texts.indices; b <- texts.indices if a < b
+        common = (sh(a) & sh(b)).size if common > 0
+        j = common.toDouble / (sh(a).size + sh(b).size - common) if j >= 0.3
+      } yield (a.toLong, b.toLong, common.toLong,
+        BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      got shouldBe expected
+    }
+  }
+
+  test("hot shingles above MaxShingleDf are excluded from pair generation") {
+    // 120 identical docs: every shingle's df is 120 > MaxShingleDf =
+    // 100, so the cap drops them all and NO pairs emerge — the
+    // documented recall trade that keeps a boilerplate shingle from
+    // emitting df²/2 candidate pairs at corpus scale
+    val many = (0L until 120L).map((_, baseText)).toDF("doc_id", "text")
+    Dedup.ngramJaccard(many).collect() shouldBe empty
+  }
+
   test("minhashLsh: identical docs collide in all bands") {
     val twins = Seq((10L, baseText), (11L, baseText), (12L, "unrelated words entirely about something else with many more tokens"))
       .toDF("doc_id", "text")
