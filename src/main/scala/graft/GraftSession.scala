@@ -54,12 +54,22 @@ object GraftSession {
       // bucket builds, q26) falls back to SORT-based aggregation after
       // only 128 distinct keys per partition by default, silently
       // re-introducing the per-partition sort the hash agg exists to
-      // avoid. Buckets here are capped (MaxShingleDf/MaxBandBucket), so
-      // per-group state is small and a large hash map is the right
-      // trade; 16M keys/partition ≈ hundreds of MB worst case against
-      // executor memory sized for exactly this kind of state.
+      // avoid. The raise is safe for the plans this engine builds
+      // because their collect state is bounded by INPUT bytes, not key
+      // count: each posting row lands in exactly one bucket array, so
+      // a partition's total array state ≈ its (maxPartitionBytes-
+      // bounded) input share, whatever the key count. The threshold is
+      // a key-count proxy for the pathological case this engine never
+      // plans — collecting huge arrays under FEW keys — and 4M keys
+      // (vs a 2–4M-row shuffle partition at 128 MB) keeps the dedup
+      // builds hash-based at any scale while still yielding the sort
+      // fallback's disk path for key-explosions beyond that. NOT 16M+:
+      // the fallback is also the only spill valve ObjectHashAggregate
+      // has, and an effectively-infinite threshold would disable it
+      // for every collect in the session, including user queries whose
+      // state is NOT input-bounded.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (16 * 1024 * 1024).toString)
+        (4 * 1024 * 1024).toString)
       // wide-but-legitimate expression trees (e.g. v8's 64-component
       // embed array) otherwise spam truncation warnings into the log
       .config("spark.sql.debug.maxToStringFields", "2000")

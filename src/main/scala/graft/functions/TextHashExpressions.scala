@@ -326,13 +326,7 @@ object texthash {
         Literal("[^a-z0-9 ]"), Literal(" ")), Literal(" +"), Literal(" "))) },
   )
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, b, "scala_udf")
-    }
-  }
+  def register(spark: SparkSession): Unit = registry.register(spark, builders)
 
   def minhashSignature(c: Column): Column = call_function("minhash_signature", c)
   def simhash60(c: Column): Column = call_function("simhash60", c)

@@ -76,6 +76,10 @@ case class TokenCharSum(child: Expression) extends UnaryExpression
 
   override def prettyName: String = "token_char_sum"
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -87,12 +91,20 @@ case class TokenCharSum(child: Expression) extends UnaryExpression
           s"$prettyName requires array<string>, got ${other.catalogString}")
     }
 
+  // a null ELEMENT nulls the whole sum — exactly what the declarative
+  // aggregate() form returns (acc + length(NULL) = NULL), and the SQL
+  // surface accepts arbitrary array<string> with containsNull = true
   override def nullSafeEval(v: Any): Any = {
     val toks = v.asInstanceOf[ArrayData]
     val n = toks.numElements()
     var sum = 0
     var i = 0
-    while (i < n) { sum += toks.getUTF8String(i).numChars(); i += 1 }
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t == null) return null
+      sum += t.numChars()
+      i += 1
+    }
     sum
   }
 
@@ -106,12 +118,24 @@ case class TokenCharSum(child: Expression) extends UnaryExpression
   * [['the','a'], ['der','die']])`). */
 object textstats {
 
+  // Validation errors here surface during ANALYSIS (the builder runs
+  // when the function resolves), so each names the function and the
+  // offending shape instead of letting a raw NPE escape — the SQL
+  // registration path hands this arbitrary user input.
   private def foldLists(e: Expression): Seq[Seq[String]] = {
     require(e.foldable,
-      s"stopword_counts list argument must be a literal, got $e")
-    e.eval().asInstanceOf[ArrayData].toArray[ArrayData](
-      ArrayType(StringType)).map(
-      _.toArray[UTF8String](StringType).map(_.toString).toSeq).toSeq
+      s"stopword_counts: the lists argument must be a literal " +
+        s"array(array('w', ...), ...), got non-foldable $e")
+    val folded = e.eval()
+    require(folded != null, "stopword_counts: the lists argument is NULL")
+    folded.asInstanceOf[ArrayData].toArray[ArrayData](
+      ArrayType(StringType)).zipWithIndex.map { case (ws, i) =>
+      require(ws != null, s"stopword_counts: list $i is NULL")
+      ws.toArray[UTF8String](StringType).zipWithIndex.map { case (w, j) =>
+        require(w != null, s"stopword_counts: word $j of list $i is NULL")
+        w.toString
+      }.toSeq
+    }.toSeq
   }
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -119,13 +143,7 @@ object textstats {
     "token_char_sum" -> { es => TokenCharSum(es.head) },
   )
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, b, "scala_udf")
-    }
-  }
+  def register(spark: SparkSession): Unit = registry.register(spark, builders)
 
   def stopwordCounts(c: Column, lists: Seq[Seq[String]]): Column =
     call_function("stopword_counts", c,

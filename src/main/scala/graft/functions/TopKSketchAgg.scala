@@ -28,6 +28,16 @@ final class SpaceSavingSummary(val capacity: Int) {
   /** key → Array(count, err); arrays are mutated in place on update. */
   val counts = new java.util.HashMap[Long, Array[Long]]()
 
+  /** Amortized eviction support, standing in for the published
+    * Stream-Summary's count-bucket list: a cached floor count plus a
+    * queue of keys that sat at that floor when it was last scanned.
+    * Evictions pop the queue (skipping entries whose count has moved
+    * on) and only rescan when it drains; on the long-tail streams the
+    * sketch exists for, one O(capacity) scan serves a batch of
+    * evictions instead of every single one. */
+  private var floorCount = 0L
+  private var floorKeys: java.util.ArrayDeque[java.lang.Long] = null
+
   /** Smallest count in the summary — the eviction floor. 0 unless full. */
   private def minEntry(): (Long, Array[Long]) = {
     var mk = 0L
@@ -40,6 +50,35 @@ final class SpaceSavingSummary(val capacity: Int) {
     (mk, mv)
   }
 
+  private def refillFloorKeys(): Unit = {
+    floorCount = Long.MaxValue
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c < floorCount) floorCount = c
+    }
+    if (floorKeys == null) floorKeys = new java.util.ArrayDeque[java.lang.Long]()
+    val es = counts.entrySet().iterator()
+    while (es.hasNext) {
+      val e = es.next()
+      if (e.getValue()(0) == floorCount) floorKeys.add(e.getKey)
+    }
+  }
+
+  /** Pop a currently-at-floor entry, rescanning only when the cached
+    * queue is stale-drained. */
+  private def evictMin(): (Long, Array[Long]) = {
+    while (true) {
+      if (floorKeys == null || floorKeys.isEmpty) refillFloorKeys()
+      val k = floorKeys.poll()
+      val v = counts.get(k)
+      // skip keys whose count moved past the cached floor (or that a
+      // merge replaced) since the scan
+      if (v != null && v(0) == floorCount) return (k.longValue(), v)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def update(key: Long): Unit = {
     val cur = counts.get(key)
     if (cur != null) cur(0) += 1
@@ -47,11 +86,14 @@ final class SpaceSavingSummary(val capacity: Int) {
     else {
       // evict a min-count entry; the newcomer inherits its count as
       // possible overcount (the classic Space-Saving step)
-      val (mk, mv) = minEntry()
+      val (mk, mv) = evictMin()
       counts.remove(mk)
       counts.put(key, Array(mv(0) + 1L, mv(0)))
     }
   }
+
+  /** Merges/deserialization mutate counts wholesale — drop the cache. */
+  private def invalidateFloor(): Unit = { floorKeys = null; floorCount = 0L }
 
   /** Mergeable-summaries rule: a key absent from a FULL summary may
     * have been evicted with up to floor(min count) occurrences — add
@@ -85,6 +127,7 @@ final class SpaceSavingSummary(val capacity: Int) {
       counts.clear()
       sorted.take(capacity).foreach { case (k, cv) => counts.put(k, cv) }
     }
+    invalidateFloor()
   }
 
   /** (count desc, key asc) — the deterministic output order. */
@@ -172,13 +215,16 @@ case class TopKSketchAgg(
       case (key, cv) => InternalRow(key, cv(0), cv(1))
     })
 
+  // wire order is irrelevant (deserialize rebuilds the map; merge and
+  // eval are order-independent) — iterate the map directly, no sort
   override def serialize(buffer: SpaceSavingSummary): Array[Byte] = {
-    val entries = buffer.sortedEntries()
-    val bb = ByteBuffer.allocate(8 + entries.size * 24)
+    val bb = ByteBuffer.allocate(8 + buffer.counts.size * 24)
     bb.putInt(buffer.capacity)
-    bb.putInt(entries.size)
-    entries.foreach { case (key, cv) =>
-      bb.putLong(key); bb.putLong(cv(0)); bb.putLong(cv(1))
+    bb.putInt(buffer.counts.size)
+    val it = buffer.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey); bb.putLong(e.getValue()(0)); bb.putLong(e.getValue()(1))
     }
     bb.array()
   }
@@ -211,14 +257,8 @@ object topk {
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "topk_sketch" -> { es => TopKSketchAgg(Cast(es(0), LongType), es(1), es(2)) })
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      if (!reg.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, b, "scala_udf")
-    }
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registry.register(spark, builders)
 
   def topkSketch(key: org.apache.spark.sql.Column, capacity: Int,
       k: Int): org.apache.spark.sql.Column =

@@ -24,16 +24,8 @@ object vectors {
     "l2_normalize" -> { es => L2Normalize(es.head) },
   )
 
-  /** Idempotent; call before using the Column API in a session. Skips
-    * names that are already registered so repeated per-query calls don't
-    * spam `WARN SimpleFunctionRegistry ... replaced`. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, b, "scala_udf")
-    }
-  }
+  /** Idempotent; call before using the Column API in a session. */
+  def register(spark: SparkSession): Unit = registry.register(spark, builders)
 
   def l2Distance(a: Column, b: Column): Column = call_function("l2_distance", a, b)
   def l2SquaredDistance(a: Column, b: Column): Column =

@@ -120,18 +120,30 @@ object Dedup {
     * carried per-doc sizes (na, nb).
     *
     * Plan shape, and why it beats the posting SELF-JOIN it replaced:
-    *  1. hot-bucket cap: groupBy(key).count > cap → tiny list,
-    *     broadcast LEFT ANTI against the postings. Only the partial
-    *     counts cross an exchange; the posting rows themselves don't
-    *     move for the cap.
-    *  2. groupBy(key).collect_list(struct(doc_id, n)): the ONE shuffle
-    *     of the posting rows. Every surviving bucket is ≤ cap rows (the
-    *     anti-join ran first), so per-group state is bounded — a hot
-    *     shingle at 100 TB never materialises a corpus-sized array.
-    *  3. in-bucket pair explode (index-slice transform → flatten →
+    *  1. bucket occupancy: groupBy(key).count — map-side partial, so
+    *     only (key, partial-count) rows cross its exchange — kept for
+    *     2 ≤ df ≤ cap. One filter removes BOTH degenerate ends:
+    *     singleton buckets (the vast majority of shingles — they can
+    *     never pair) and hot buckets (> cap — the skew guard; a
+    *     boilerplate shingle at 100 TB must not emit df²/2 pairs).
+    *  2. postings ⋈ surviving-bucket list on the bucket key, hinted
+    *     SHUFFLE_HASH: both sides arrive hash-partitioned by the key
+    *     (the count side reuses the same partitioning), the per-task
+    *     build side is the tiny surviving-key set, and NO side is
+    *     broadcast — the hot/singleton list grows with the corpus, so
+    *     a broadcast hint here would eventually not fit (and the
+    *     planner may still pick broadcast at small scale via AQE).
+    *     SHUFFLE_HASH also avoids sort-merge's full sort of the
+    *     posting rows.
+    *  3. groupBy(key).collect_list(struct(doc_id, n)) on the filtered
+    *     postings — already partitioned by the key, so no second
+    *     exchange; every bucket is ≤ cap rows, so per-group state is
+    *     bounded — a hot shingle never materialises a corpus-sized
+    *     array.
+    *  4. in-bucket pair explode (index-slice transform → flatten →
     *     explode): ≤ cap·(cap−1)/2 pairs per bucket, ordered lo/hi by
-    *     doc_id in the lambda so no post-hoc canonicalisation pass.
-    *  4. groupBy(pair) to count shared buckets.
+    *     doc_id in the lambda so no post-hoc canonicalisation pass;
+    *     then groupBy(pair) to count shared buckets.
     *
     * The self-join formulation shuffled the same posting rows once
     * too, but then SORTED both reuses of the exchange (sort-merge
@@ -141,12 +153,11 @@ object Dedup {
     * d2/d3/d7 wall clock. */
   private def bucketedPairs(ex: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     val key = keyCols.map(col)
-    val hot = ex.groupBy(key: _*).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select(key: _*)
-    val buckets = ex.join(broadcast(hot), keyCols, "left_anti")
+    val live = ex.groupBy(key: _*).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, cap)).select(key: _*)
+    val buckets = ex.join(live.hint("shuffle_hash"), keyCols)
       .groupBy(key: _*)
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
     val pairList = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
         struct(
@@ -232,11 +243,12 @@ object Dedup {
               element_at(col("sig"), b * lit(BandRows) + lit(r + 1)))
               .reduce(_ bitwiseXOR _), lit(-1L)).as("bkey")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    // skew cap + pair generation via [[bucketedPairs]]: the oversized-
-    // bucket list is a broadcast anti (not a count-window that would
-    // shuffle AND sort every (doc, band) row), and pairs explode
-    // inside the surviving ≤ MaxBandBucket buckets — cost scales with
-    // bucket occupancy, never corpus².
+    // skew cap + pair generation via [[bucketedPairs]]: singleton and
+    // oversized buckets are dropped by a co-partitioned occupancy
+    // join (not a count-window that would sort every (doc, band)
+    // row, not a broadcast that grows with the corpus), and pairs
+    // explode inside the surviving ≤ MaxBandBucket buckets — cost
+    // scales with bucket occupancy, never corpus².
     bucketedPairs(bands.withColumn("n", lit(0)), Seq("band", "bkey"), MaxBandBucket)
       .select(col("doc_a"), col("doc_b"), col("common").as("n_bands"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -69,16 +69,26 @@ class PlanAuditSpec extends SparkSpec {
     plan("c6_contamination") should include("BroadcastHashJoin")
   }
 
-  test("d3 skew cap is a broadcast anti-join, not a shuffled one") {
-    // the hot-bucket list is tiny by construction; shipping the band
-    // rows to it would shuffle the whole exploded corpus
-    val p = plan("d3_minhash_lsh")
-    p should include("BroadcastHashJoin")
-    p should include("LeftAnti")
+  test("d2/d3/d7 occupancy caps are co-partitioned hash joins, not sorts or broadcasts") {
+    // the surviving-bucket list grows with the corpus (it is NOT
+    // broadcastable at scale), and sort-merge would re-sort every
+    // posting row — the plan must show a shuffled hash join and no
+    // sort-merge join anywhere in candidate generation
+    Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d7_containment").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        p should include("ShuffledHashJoin")
+        p should not include "SortMergeJoin"
+      }
+    }
   }
 
-  test("d2 hot-shingle cap is an anti-join on the posting rows") {
-    val p = plan("d2_ngram_jaccard")
+  test("d5 skew cap is a broadcast anti-join (bucket space is bounded)") {
+    // unlike the shingle/band caps, d5's hot list lives in a FIXED
+    // bucket space (tables × 2^planes = 768 rows max) — broadcasting
+    // it is safe at any corpus size
+    val p = plan("d5_embedding_neardup")
+    p should include("BroadcastHashJoin")
     p should include("LeftAnti")
   }
 
