@@ -93,6 +93,7 @@ object SparkEntry {
     "s2_stream_sessionize" -> (EventStream.s2Query _),
     "s3_stream_dedup" -> (EventStream.s3Query _),
     "s4_stream_align" -> (EventStream.s4Query _),
+    "s5_stream_topk" -> (EventStream.s5Query _),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),
     "c3_group_canonical" -> (Curation.c3Query _),
@@ -316,6 +317,25 @@ object SparkEntry {
         |WHERE epoch_us(window_start) + 3600000000 <=
         |      ((SELECT epoch_us(max(ts)) // 1000 FROM events) - 1800000) * 1000
         |ORDER BY 1, 2""".stripMargin,
+    // s5: the streaming topk sketch is EXACT here (capacity ≥ user
+    // cardinality, single AvailableNow batch), so the oracle is the
+    // exact per-(window, type) top-5 with the sketch's (cnt desc,
+    // user asc) tie-break, under s1's watermark finalization cutoff.
+    "s5_stream_topk" ->
+      """WITH cnts AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |         event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT window_start, event_type, user_id, cnt,
+        |         row_number() OVER (PARTITION BY window_start, event_type
+        |                            ORDER BY cnt DESC, user_id) AS rk
+        |  FROM cnts)
+        |SELECT window_start, event_type, user_id, cnt, rk
+        |FROM r
+        |WHERE rk <= 5 AND epoch_us(window_start) + 3600000000 <=
+        |      ((SELECT epoch_us(max(ts)) // 1000 FROM events) - 1800000) * 1000
+        |ORDER BY 1, 2, 5""".stripMargin,
     // q31: like q9/q23, the checkable cross-engine contract of a
     // sketch is its ACCURACY — the oracle recomputes the exact global
     // distinct and expects the merged-sketch estimate within 5%.

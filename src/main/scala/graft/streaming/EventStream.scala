@@ -224,6 +224,31 @@ object EventStream {
           round(col("sum_value"), 4).as("sum_value"))
     }.orderBy(col("window_start"), col("event_type"))
 
+  /** s5: approximate frequent items ON A STREAM — the custom
+    * Space-Saving aggregate (q32, [[graft.functions.TopKSketchAgg]])
+    * under Structured Streaming. Per (event-time window, event_type)
+    * the state store holds ONE capacity-bounded serialized summary —
+    * not per-user counts — so streaming state is
+    * O(windows × types × capacity) regardless of user cardinality,
+    * and the watermark finalizes/evicts closed windows exactly as in
+    * [[windowedCounts]]. The append-mode emission explodes the
+    * finalized sketch into (user, cnt, rank) rows. */
+  def windowedTopK(events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "30 minutes",
+      capacity: Int = 256, k: Int = 5): DataFrame = {
+    graft.functions.topk.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(graft.functions.topk.topkSketch(col("user_id"), capacity, k).as("tk"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("window_start"), col("event_type"),
+        col("e.item").as("user_id"), col("e.cnt").as("cnt"),
+        (col("pos") + 1).as("rk"))
+  }
+
   /** s3: streaming exact-dedup — the continuous form of Dedup.d1 for an
     * ingest stream (the reference re-ingests overlapping shards;
     * duplicates must be dropped before they hit the corpus).
@@ -254,6 +279,16 @@ object EventStream {
         expr(s"doc_id = vec_id AND " +
           s"ets BETWEEN ts - INTERVAL $maxDelay AND ts + INTERVAL $maxDelay"))
       .select(col("doc_id"), col("text"), col("embedding"), col("ts"))
+
+  /** s5 gate: [[windowedTopK]] as a real file-source stream. The
+    * sketch capacity (256) exceeds the corpus' user cardinality, so
+    * every finalized window's top-k is EXACT with the sketch's own
+    * (cnt desc, user asc) tie-break — the DuckDB oracle recomputes it
+    * from scratch under the same watermark cutoff as s1. */
+  def s5Query(s: SparkSession, d: String): DataFrame =
+    runAvailableNow(s, "s5", d) { ss =>
+      windowedTopK(streamEvents(ss, d))
+    }.orderBy(col("window_start"), col("event_type"), col("rk"))
 
   // ------------------------------------------------- driver gates s2–s4
 

@@ -93,6 +93,34 @@ abstract class EventStreamSuiteBase extends SparkSpec {
     } finally q.stop()
   }
 
+  test(s"[$store] s5 streaming topk: sketch state merges across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedTopK(input.toDF(), "10 minutes", "5 minutes",
+        capacity = 8, k = 2)
+      .writeStream.format("memory").queryName(qn("s5out"))
+      .outputMode("append").start()
+    try {
+      // window [0,10): user 1 twice, user 2 once — across TWO batches,
+      // so the serialized summary must round-trip the state store and
+      // merge with the second batch's partial
+      input.addData(Event(1, ts(1), "click", 1.0), Event(2, ts(2), "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(3), "click", 1.0))
+      q.processAllAvailable()
+      spark.table(qn("s5out")).count() shouldBe 0 // window still open
+      // push the watermark past minute 10 to finalize the window
+      input.addData(Event(9, ts(30), "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(9, ts(31), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(qn("s5out")).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"),
+          r.getAs[Int]("rk")))
+      rows.sortBy(_._3) shouldBe Array((1L, 2L, 1), (2L, 1L, 2))
+    } finally q.stop()
+  }
+
   test(s"[$store] s1 file-source stream (driver-gated path) matches the batch twin") {
     import org.apache.spark.sql.functions._
     val got = EventStream.s1Query(spark, SparkSpec.TinySf)
