@@ -26,7 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.allBuilders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name), b))
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+          GraftExtensions.usages.getOrElse(name,
+            s"$name(...) - graft function"), ""), b))
     }
 }
 
@@ -36,4 +38,25 @@ object GraftExtensions {
       functions.texthash.builders ++
       functions.textstats.builders ++
       functions.topk.builders
+
+  /** `DESCRIBE FUNCTION` text for the SQL surface. */
+  private[graft] val usages: Map[String, String] = Map(
+    "l2_distance" -> "l2_distance(a, b) - Euclidean distance between two numeric arrays.",
+    "l2_squared_distance" -> "l2_squared_distance(a, b) - Squared Euclidean distance between two numeric arrays.",
+    "dot_product" -> "dot_product(a, b) - Inner product of two numeric arrays.",
+    "cosine_distance" -> "cosine_distance(a, b) - 1 minus the cosine similarity of two numeric arrays.",
+    "l1_distance" -> "l1_distance(a, b) - Manhattan distance between two numeric arrays.",
+    "linf_distance" -> "linf_distance(a, b) - Chebyshev (max-coordinate) distance between two numeric arrays.",
+    "l2_norm" -> "l2_norm(a) - Euclidean norm of a numeric array.",
+    "l2_normalize" -> "l2_normalize(a) - The array scaled to unit Euclidean norm.",
+    "hash60" -> "hash60(s) - Deterministic 60-bit hash of a string (md5-derived, cross-engine reproducible).",
+    "tokenize" -> "tokenize(s) - Lowercased [a-z0-9]+ tokens of a string.",
+    "normalize_text" -> "normalize_text(s) - Lowercase, strip non-alphanumerics, collapse whitespace.",
+    "word_shingles" -> "word_shingles(tokens) - Distinct 3-word shingles of a token array, first-occurrence order.",
+    "shingle_hash60s" -> "shingle_hash60s(tokens) - hash60 of each distinct 3-word shingle, without materialising the strings.",
+    "minhash_signature" -> "minhash_signature(hash60s) - 32-row MinHash signature over a shingle-hash array.",
+    "simhash60" -> "simhash60(hash60s) - 60-bit SimHash bit-vote over a shingle-hash array.",
+    "stopword_counts" -> "stopword_counts(tokens, lists) - Occurrences of each stopword list (array of literal string arrays) in a token array.",
+    "token_char_sum" -> "token_char_sum(tokens) - Total character count across a token array (NULL if any token is NULL).",
+    "topk_sketch" -> "topk_sketch(key, capacity, k) - Space-Saving approximate top-k of BIGINT keys; returns array<struct<item, cnt, err>>, exact when capacity >= distinct keys.")
 }

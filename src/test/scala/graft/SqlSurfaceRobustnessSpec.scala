@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+
+/** Adversarial-input contract of the registered SQL surface: every
+  * graft function, fed NULLs, empty arrays, and null elements, must
+  * produce either a clean ANALYSIS error (type check) or a defined
+  * value — never an executor-side NPE/crash. The judge for "defined"
+  * is pinned here so a refactor that changes null semantics fails
+  * loudly.
+  *
+  * Notable pinned semantics:
+  *  - distance folds read a NULL ELEMENT of a numeric array as 0.0
+  *    (Spark's primitive-array storage has no per-element null in the
+  *    unsafe path; corrupt embeddings should be filtered upstream —
+  *    `l2_norm` = 0 on an all-null vector makes them detectable);
+  *  - text functions DROP null tokens before shingling (a null token
+  *    is a tokenizer artifact, not content — neighbors join across);
+  *  - the topk sketch SKIPS null keys (matching count() of a null);
+  *  - untyped `NULL`/`array()` literals fail at analysis where the
+  *    function requires a concrete array type — that is the type
+  *    check doing its job, not a gap.
+  */
+class SqlSurfaceRobustnessSpec extends SparkSpec {
+
+  private def eval(expr: String, from: String = ""): Either[String, Any] =
+    try Right(spark.sql(s"SELECT $expr AS x$from").head.get(0))
+    catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c.getCause != null && !c.isInstanceOf[AnalysisException])
+          c = c.getCause
+        if (c.isInstanceOf[AnalysisException]) Left("analysis")
+        else throw e // executor-side crash = test failure
+    }
+
+  test("null array inputs: null-intolerant functions return NULL") {
+    eval("hash60(NULL)") shouldBe Right(null)
+    eval("tokenize(NULL)") shouldBe Right(null)
+    eval("normalize_text(NULL)") shouldBe Right(null)
+  }
+
+  test("untyped NULL / empty-array literals fail at ANALYSIS where a concrete array type is required") {
+    eval("l2_distance(NULL, array(1.0D))") shouldBe Left("analysis")
+    eval("l2_distance(array(), array())") shouldBe Left("analysis")
+    eval("word_shingles(NULL)") shouldBe Left("analysis")
+    eval("minhash_signature(array())") shouldBe Left("analysis")
+    eval("simhash60(array())") shouldBe Left("analysis")
+    eval("token_char_sum(NULL)") shouldBe Left("analysis")
+    eval("stopword_counts(NULL, array(array('a')))") shouldBe Left("analysis")
+  }
+
+  test("null ELEMENTS of numeric arrays read as 0.0 in distance folds") {
+    eval("l2_distance(array(CAST(NULL AS DOUBLE), 1.0D), array(1.0D, 1.0D))") shouldBe
+      Right(1.0)
+    eval("dot_product(array(CAST(NULL AS DOUBLE)), array(1.0D))") shouldBe Right(0.0)
+    eval("l2_norm(array(CAST(NULL AS DOUBLE)))") shouldBe Right(0.0)
+  }
+
+  test("null tokens are dropped before shingling (neighbors join across)") {
+    eval("word_shingles(array('a', CAST(NULL AS STRING), 'b', 'c'))") match {
+      case Right(v) => v.toString shouldBe "ArraySeq(a b, b c)"
+      case other => fail(s"expected shingles, got $other")
+    }
+    // the fused hash pass agrees with hashing the string shingles
+    eval("shingle_hash60s(array('a', CAST(NULL AS STRING), 'b', 'c'))") shouldBe
+      eval("transform(word_shingles(array('a', CAST(NULL AS STRING), 'b', 'c')), s -> hash60(s))")
+  }
+
+  test("signature builders tolerate null hash elements without crashing") {
+    eval("minhash_signature(array(CAST(NULL AS BIGINT), 1L))") shouldBe a[Right[_, _]]
+    eval("simhash60(array(CAST(NULL AS BIGINT)))") shouldBe a[Right[_, _]]
+  }
+
+  test("stopword/token statistics null-element semantics") {
+    eval("stopword_counts(array('a', CAST(NULL AS STRING)), array(array('a')))") match {
+      case Right(v) => v.toString shouldBe "ArraySeq(1)" // null token matches nothing
+      case other => fail(s"expected counts, got $other")
+    }
+    // NULL token nulls the char sum (the declarative aggregate() twin's semantics)
+    eval("token_char_sum(array('ab', CAST(NULL AS STRING)))") shouldBe Right(null)
+  }
+
+  test("topk sketch skips null keys") {
+    eval("explode_outer(topk_sketch(CAST(NULL AS BIGINT), 4, 2))",
+      " FROM range(3)") shouldBe Right(null)
+  }
+
+  test("DESCRIBE FUNCTION serves real usage text for every injected name") {
+    GraftExtensions.allBuilders.map(_._1).foreach { n =>
+      val txt = spark.sql(s"DESCRIBE FUNCTION $n").collect().map(_.getString(0))
+        .mkString("\n")
+      withClue(n) { txt should include(n + "(") }
+    }
+  }
+}
