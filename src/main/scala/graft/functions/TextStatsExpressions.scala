@@ -24,31 +24,73 @@ import org.apache.spark.unsafe.types.UTF8String
   * forms ([[graft.operators.TextAnalysis.oracles]]), so the gate
   * cross-checks this implementation against an independent one.
   */
-case class StopwordCounts(child: Expression, lists: Seq[Seq[String]])
-    extends UnaryExpression
+/** The stopword lists ride in the expression tree as a FOLDABLE second
+  * argument (not pre-folded constructor data), so every invalid shape —
+  * wrong type, non-literal, NULL list, NULL word — fails through
+  * `checkInputDataTypes` as a clean AnalysisException naming the
+  * function, instead of a raw cast/NPE escaping the function builder
+  * during analysis. The folded sets are built once, lazily. */
+case class StopwordCounts(child: Expression, listsExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def prettyName: String = "stopword_counts"
+  override def left: Expression = child
+  override def right: Expression = listsExpr
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     child.dataType match {
       case ArrayType(StringType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires array<string>, got ${other.catalogString}")
+      case other => return TypeCheckFailure(
+        s"$prettyName requires array<string> tokens, got ${other.catalogString}")
     }
+    listsExpr.dataType match {
+      case ArrayType(ArrayType(StringType, _), _) =>
+      case other => return TypeCheckFailure(
+        s"$prettyName requires a literal array<array<string>> of stopword " +
+          s"lists, got ${other.catalogString}")
+    }
+    if (!listsExpr.foldable)
+      return TypeCheckFailure(
+        s"$prettyName stopword lists must be a literal, got $listsExpr")
+    val folded = listsExpr.eval()
+    if (folded == null)
+      return TypeCheckFailure(s"$prettyName stopword lists must not be NULL")
+    val lists = folded.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < lists.numElements()) {
+      if (lists.isNullAt(i))
+        return TypeCheckFailure(s"$prettyName stopword list $i is NULL")
+      val ws = lists.getArray(i)
+      var j = 0
+      while (j < ws.numElements()) {
+        if (ws.isNullAt(j))
+          return TypeCheckFailure(
+            s"$prettyName word $j of stopword list $i is NULL")
+        j += 1
+      }
+      i += 1
+    }
+    TypeCheckSuccess
+  }
 
-  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
-    lists.map { ws =>
-      val s = new java.util.HashSet[UTF8String](ws.size * 2)
-      ws.foreach(w => s.add(UTF8String.fromString(w)))
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] = {
+    val lists = listsExpr.eval().asInstanceOf[ArrayData]
+    (0 until lists.numElements()).map { i =>
+      val ws = lists.getArray(i)
+      val s = new java.util.HashSet[UTF8String](ws.numElements() * 2)
+      (0 until ws.numElements()).foreach(j =>
+        // clone: getUTF8String may return a buffer-backed view
+        s.add(ws.getUTF8String(j).clone()))
       s
     }.toArray
+  }
 
-  override def nullSafeEval(v: Any): Any = {
+  override def nullSafeEval(v: Any, listsV: Any): Any = {
     val toks = v.asInstanceOf[ArrayData]
     val n = toks.numElements()
     val counts = new Array[Int](sets.length)
@@ -65,7 +107,9 @@ case class StopwordCounts(child: Expression, lists: Seq[Seq[String]])
     new GenericArrayData(counts)
   }
 
-  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression) =
+    copy(child = newLeft, listsExpr = newRight)
 }
 
 /** array<string> tokens → int: sum of per-token character counts —
@@ -118,28 +162,11 @@ case class TokenCharSum(child: Expression) extends UnaryExpression
   * [['the','a'], ['der','die']])`). */
 object textstats {
 
-  // Validation errors here surface during ANALYSIS (the builder runs
-  // when the function resolves), so each names the function and the
-  // offending shape instead of letting a raw NPE escape — the SQL
-  // registration path hands this arbitrary user input.
-  private def foldLists(e: Expression): Seq[Seq[String]] = {
-    require(e.foldable,
-      s"stopword_counts: the lists argument must be a literal " +
-        s"array(array('w', ...), ...), got non-foldable $e")
-    val folded = e.eval()
-    require(folded != null, "stopword_counts: the lists argument is NULL")
-    folded.asInstanceOf[ArrayData].toArray[ArrayData](
-      ArrayType(StringType)).zipWithIndex.map { case (ws, i) =>
-      require(ws != null, s"stopword_counts: list $i is NULL")
-      ws.toArray[UTF8String](StringType).zipWithIndex.map { case (w, j) =>
-        require(w != null, s"stopword_counts: word $j of list $i is NULL")
-        w.toString
-      }.toSeq
-    }.toSeq
-  }
-
+  // All lists-argument validation lives in StopwordCounts.
+  // checkInputDataTypes, so invalid shapes fail as AnalysisExceptions
+  // naming the function — the builder just wires the expressions.
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "stopword_counts" -> { es => StopwordCounts(es(0), foldLists(es(1))) },
+    "stopword_counts" -> { es => StopwordCounts(es(0), es(1)) },
     "token_char_sum" -> { es => TokenCharSum(es.head) },
   )
 

@@ -21,10 +21,10 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
 
   /** Every gated BATCH query: candidate generation must be a bucketed
-    * join, never a cartesian product. The streaming gates (s1–s4)
+    * join, never a cartesian product. The streaming gates (s1–s5)
     * return a plain parquet read of their finalized sink — their plan
     * is audited where it runs, in the streaming suite — and running
-    * four real streams here would double suite wall-clock for a
+    * five real streams here would double suite wall-clock for a
     * vacuous assertion. */
   private val batchQueries =
     SparkEntry.queries.keySet.filterNot(_.startsWith("s")).toSeq.sorted

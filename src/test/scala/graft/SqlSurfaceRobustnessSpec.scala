@@ -50,6 +50,17 @@ class SqlSurfaceRobustnessSpec extends SparkSpec {
     eval("stopword_counts(NULL, array(array('a')))") shouldBe Left("analysis")
   }
 
+  test("stopword_counts rejects every invalid lists shape at analysis") {
+    eval("stopword_counts(tokenize('a b'), 42)") shouldBe Left("analysis")
+    eval("stopword_counts(tokenize('a b'), array(1, 2))") shouldBe Left("analysis")
+    eval("stopword_counts(tokenize('a b'), CAST(NULL AS ARRAY<ARRAY<STRING>>))") shouldBe
+      Left("analysis")
+    eval("stopword_counts(tokenize('a b'), array(array('a'), NULL))") shouldBe
+      Left("analysis")
+    eval("stopword_counts(tokenize('a b'), array(array('a', CAST(NULL AS STRING))))") shouldBe
+      Left("analysis")
+  }
+
   test("null ELEMENTS of numeric arrays read as 0.0 in distance folds") {
     eval("l2_distance(array(CAST(NULL AS DOUBLE), 1.0D), array(1.0D, 1.0D))") shouldBe
       Right(1.0)
