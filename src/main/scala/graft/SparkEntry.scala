@@ -60,6 +60,7 @@ object SparkEntry {
     "q35_argmax" -> (Analytics.q35ArgMax _),
     "q36_bit_agg" -> (Analytics.q36BitAgg _),
     "q37_moments" -> (Analytics.q37Moments _),
+    "q38_limit_by" -> (Analytics.q38LimitBy _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -385,6 +386,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q38_limit_by" ->
+      """SELECT event_type, rk, event_id, ts_sec, round(value, 4) AS value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |         epoch_us(ts) // 1000000 AS ts_sec,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "q38_limit_by" ->
+      """SELECT event_type, rk, event_id, ts_sec, round(value, 4) AS value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |         epoch_us(ts) // 1000000 AS ts_sec,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q36_bit_agg" ->
       """SELECT event_type,
         |  bit_and(user_id) AS uid_and,

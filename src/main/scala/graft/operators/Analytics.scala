@@ -599,4 +599,23 @@ object Analytics {
         round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 4).as("kurt_pop"))
       .orderBy(col("event_type"))
   }
+
+  /** q38: top-n per group — ClickHouse `ORDER BY … LIMIT n BY group` —
+    * the 3 most recent events of each type, deterministic tie-break on
+    * event_id. The window-rank form is the general shape (one shuffle
+    * on the group key, per-partition sort); when n is tiny and the
+    * group count is bounded, the q35 struct-max aggregation family
+    * does it sort-free — both live in this library, pick by shape.
+    * Timestamps exported as epoch seconds (exact integer floor on both
+    * engines, same as q34). */
+  def q38LimitBy(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("event_id"),
+        col("ts").cast("long").as("ts_sec"), round(col("value"), 4).as("value"))
+      .orderBy(col("event_type"), col("rk"))
+  }
 }

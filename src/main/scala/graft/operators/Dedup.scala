@@ -351,20 +351,15 @@ object Dedup {
       struct(lit(t).as("t"), bkt.as("bkt"))
     }
     val bucketed = e
-      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-    // same anti-join skew cap as d3: broadcast the oversized-bucket
-    // list instead of count-windowing every bucket row
-    val hotBuckets = bucketed.groupBy(col("t"), col("bkt"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > MaxNearDupBucket)
-      .select(col("t"), col("bkt"))
-    val capped = bucketed.join(broadcast(hotBuckets), Seq("t", "bkt"), "left_anti")
-    val cand = capped.as("a")
-      .join(capped.as("b"),
-        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+      .select(col("vec_id").as("doc_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("doc_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"),
+        lit(0).as("n"))
+    // same occupancy-capped pair generation as d2/d3/d7
+    // ([[bucketedPairs]]); pairs found by several tables come out as
+    // ONE row (the pair groupBy is the multi-table dedup), so only id
+    // pairs reach the exact-verify join below
+    val cand = bucketedPairs(bucketed, Seq("t", "bkt"), MaxNearDupBucket)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     cand
       .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
       .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
