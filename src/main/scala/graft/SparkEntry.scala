@@ -101,6 +101,7 @@ object SparkEntry {
     "c4_pii_scrub" -> (Curation.c4Query _),
     "c5_ngram_stats" -> (Curation.c5Query _),
     "c6_contamination" -> (Curation.c6Query _),
+    "c7_partitioned_layout" -> (Curation.c7Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))

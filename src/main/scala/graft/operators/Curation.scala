@@ -195,6 +195,44 @@ object Curation {
   def c6Query(s: SparkSession, d: String): DataFrame =
     contamination(Tables.documents(s, d))
 
+  // ---------------------------------------------------------------- c7
+
+  /** Rows per written file for [[partitionedLayout]]. */
+  val RowsPerBucket = 100L
+
+  /** c7: deterministic partitioned corpus layout — the compaction /
+    * small-file maintenance op every long-lived 100 TB corpus needs
+    * (streaming ingests and per-shard writes accrete thousands of
+    * undersized files; scan cost then goes per-FILE, not per-byte).
+    * Each id-bucket of [[RowsPerBucket]] docs lands in exactly one
+    * parquet file under its own `bucket=` directory: `repartition` on
+    * the bucket key co-locates a bucket in one task, `partitionBy`
+    * gives the directory layout downstream readers partition-prune
+    * against. The returned single-row contract — total rows, file
+    * count, max rows per file, losslessness — is what the DuckDB
+    * oracle pins (file count and fill derive exactly from the dense
+    * doc_id domain). Layout lives under the same scratch bookkeeping
+    * as the ANN indexes. */
+  def partitionedLayout(docs: DataFrame, outDir: String,
+      rowsPerBucket: Long = RowsPerBucket): DataFrame = {
+    val s = docs.sparkSession
+    docs.withColumn("bucket", (col("doc_id") / lit(rowsPerBucket)).cast("long"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    val perFile = s.read.parquet(outDir)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("rows"))
+    perFile
+      .agg(sum(col("rows")).as("n_rows"), count(lit(1)).as("n_files"),
+        max(col("rows")).as("max_file_rows"))
+      .crossJoin(docs.agg(count(lit(1)).as("src_rows")))
+      .select(col("n_rows"), col("n_files"), col("max_file_rows"),
+        (col("n_rows") === col("src_rows")).as("lossless"))
+  }
+
+  def c7Query(s: SparkSession, d: String): DataFrame =
+    partitionedLayout(Tables.documents(s, d),
+      graft.sources.LocalIndex.path("compact", d, ""))
+
   // ------------------------------------------------------------ oracles
 
   private val h60text = textops.hash60Sql("text")
@@ -202,6 +240,14 @@ object Curation {
   private val shSql = textops.shinglesSql("t")
 
   val oracles: Map[String, String] = Map(
+    // c7: the layout contract derives exactly from the dense doc_id
+    // domain: ceil(n/bucket) files, full buckets of RowsPerBucket.
+    "c7_partitioned_layout" ->
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(ceil(count(*)::DOUBLE / $RowsPerBucket) AS BIGINT) AS n_files,
+         |  CAST(least(count(*), $RowsPerBucket) AS BIGINT) AS max_file_rows,
+         |  TRUE AS lossless
+         |FROM documents""".stripMargin,
     "c1_hash_split" ->
       s"""SELECT CASE WHEN $h60text % 100 < $TrainPct THEN 'train'
          |            WHEN $h60text % 100 < ${TrainPct + ValPct} THEN 'val'

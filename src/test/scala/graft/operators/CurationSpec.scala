@@ -74,4 +74,23 @@ class CurationSpec extends SparkSpec {
     Curation.contamination(corpus).queryExecution.executedPlan.toString should
       include("BroadcastHashJoin")
   }
+
+  test("c7 layout: one full file per bucket, lossless, partition-prunable") {
+    import spark.implicits._
+    val docs = (0L until 25L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-c7-spec").toString + "/layout"
+    val stats = Curation.partitionedLayout(docs, dir, rowsPerBucket = 10L)
+      .collect()(0)
+    stats.getAs[Long]("n_rows") shouldBe 25L
+    stats.getAs[Long]("n_files") shouldBe 3L // buckets 0,1 full + bucket 2 of 5
+    stats.getAs[Long]("max_file_rows") shouldBe 10L
+    stats.getAs[Boolean]("lossless") shouldBe true
+    // the bucket= directory layout must prune at planning time
+    val pruned = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("bucket") === 1)
+    pruned.count() shouldBe 10L
+    pruned.queryExecution.executedPlan.toString should
+      include regex "PartitionFilters: \\[[^\\]]*bucket"
+  }
 }
