@@ -396,15 +396,6 @@ object SparkEntry {
         |                            ORDER BY ts DESC, event_id DESC) AS rk
         |  FROM events)
         |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
-    "q38_limit_by" ->
-      """SELECT event_type, rk, event_id, ts_sec, round(value, 4) AS value
-        |FROM (
-        |  SELECT event_type, event_id, value,
-        |         epoch_us(ts) // 1000000 AS ts_sec,
-        |         row_number() OVER (PARTITION BY event_type
-        |                            ORDER BY ts DESC, event_id DESC) AS rk
-        |  FROM events)
-        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q36_bit_agg" ->
       """SELECT event_type,
         |  bit_and(user_id) AS uid_and,

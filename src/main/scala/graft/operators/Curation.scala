@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.textops
 
-/** Training-data curation operators (SURVEY §2, c1–c5) — the pipeline
+/** Training-data curation operators (SURVEY §2, c1–c7) — the pipeline
   * steps downstream of dedup/quality that a 100 TB corpus build needs:
   * deterministic splits, stratified sampling, canonical selection,
-  * PII scrubbing, corpus n-gram statistics.
+  * PII scrubbing, corpus n-gram statistics, benchmark-contamination
+  * screening, and compaction/partitioned-layout maintenance.
   *
   * Everything is content-hash-deterministic (no `rand()`): split and
   * sample membership derive from [[textops.hash60]] of the text, so
@@ -208,30 +209,45 @@ object Curation {
     * parquet file under its own `bucket=` directory: `repartition` on
     * the bucket key co-locates a bucket in one task, `partitionBy`
     * gives the directory layout downstream readers partition-prune
-    * against. The returned single-row contract — total rows, file
-    * count, max rows per file, losslessness — is what the DuckDB
-    * oracle pins (file count and fill derive exactly from the dense
-    * doc_id domain). Layout lives under the same scratch bookkeeping
-    * as the ANN indexes. */
+    * against. The bucket id is exact integer division (`div`) — a
+    * double quotient would round near bucket boundaries above 2^53
+    * and truncate toward zero for negative ids. The returned
+    * single-row contract — total rows, file count, max rows per file,
+    * losslessness — is what the DuckDB oracle pins (file count and
+    * fill derive exactly from the dense doc_id domain). */
   def partitionedLayout(docs: DataFrame, outDir: String,
       rowsPerBucket: Long = RowsPerBucket): DataFrame = {
     val s = docs.sparkSession
-    docs.withColumn("bucket", (col("doc_id") / lit(rowsPerBucket)).cast("long"))
+    docs.withColumn("bucket", expr(s"doc_id div $rowsPerBucket"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
-    val perFile = s.read.parquet(outDir)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("rows"))
-    perFile
-      .agg(sum(col("rows")).as("n_rows"), count(lit(1)).as("n_files"),
-        max(col("rows")).as("max_file_rows"))
-      .crossJoin(docs.agg(count(lit(1)).as("src_rows")))
-      .select(col("n_rows"), col("n_files"), col("max_file_rows"),
-        (col("n_rows") === col("src_rows")).as("lossless"))
+    layoutStats(docs, s.read.parquet(outDir))
   }
 
-  def c7Query(s: SparkSession, d: String): DataFrame =
-    partitionedLayout(Tables.documents(s, d),
-      graft.sources.LocalIndex.path("compact", d, ""))
+  /** The pinned layout contract, computed from a written layout. */
+  def layoutStats(src: DataFrame, layout: DataFrame): DataFrame =
+    layout
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("rows"))
+      .agg(sum(col("rows")).as("n_rows"), count(lit(1)).as("n_files"),
+        max(col("rows")).as("max_file_rows"))
+      .crossJoin(src.agg(count(lit(1)).as("src_rows")))
+      .select(col("n_rows"), col("n_files"), col("max_file_rows"),
+        (col("n_rows") === col("src_rows")).as("lossless"))
+
+  /** Gate wrapper: write-once/serve-many like the ANN indexes —
+    * [[graft.sources.LocalIndex.ensure]] skips the write when the
+    * layout is current for the source corpus, so CONSTRUCTING this
+    * query (plan audits, schema tools, repeat bench runs) does not
+    * re-run a write job; the returned stats plan reads the published
+    * layout. */
+  def c7Query(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val fp = graft.sources.LocalIndex.fingerprint(Seq(s"$d/documents.parquet")) +
+      s"_b$RowsPerBucket"
+    val dir = graft.sources.LocalIndex.ensure("compact", d, "", fp)(
+      out => { partitionedLayout(docs, out); () })
+    layoutStats(docs, s.read.parquet(dir))
+  }
 
   // ------------------------------------------------------------ oracles
 

@@ -151,7 +151,11 @@ object Dedup {
     * two full sorts and a join for pairs the bucket already holds
     * locally. Measured at sf0.1 this rewrite is ~35–40% of the
     * d2/d3/d7 wall clock. */
-  private def bucketedPairs(ex: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+  private def bucketedPairs(exIn: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    // size-less callers (d3 bands, d5 LSH buckets) omit `n`; carry a
+    // zero instead of making every call site bolt on a dummy column
+    val ex = if (exIn.columns.contains("n")) exIn
+      else exIn.withColumn("n", lit(0))
     val key = keyCols.map(col)
     val live = ex.groupBy(key: _*).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, cap)).select(key: _*)
@@ -249,7 +253,7 @@ object Dedup {
     // row, not a broadcast that grows with the corpus), and pairs
     // explode inside the surviving ≤ MaxBandBucket buckets — cost
     // scales with bucket occupancy, never corpus².
-    bucketedPairs(bands.withColumn("n", lit(0)), Seq("band", "bkey"), MaxBandBucket)
+    bucketedPairs(bands, Seq("band", "bkey"), MaxBandBucket)
       .select(col("doc_a"), col("doc_b"), col("common").as("n_bands"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -352,8 +356,7 @@ object Dedup {
     }
     val bucketed = e
       .select(col("vec_id").as("doc_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("doc_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"),
-        lit(0).as("n"))
+      .select(col("doc_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
     // same occupancy-capped pair generation as d2/d3/d7
     // ([[bucketedPairs]]); pairs found by several tables come out as
     // ONE row (the pair groupBy is the multi-table dedup), so only id
