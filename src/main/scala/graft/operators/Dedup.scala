@@ -290,26 +290,37 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** Chunk-bucket occupancy cap, same skew rationale as
+    * [[MaxBandBucket]]: a hot 15-bit chunk value (boilerplate/template
+    * corpora concentrate in low-entropy SimHash regions) must not emit
+    * df²/2 candidate rows before the hamming verify. Recall trade is
+    * the documented one — a pair whose ONLY shared chunk is hot is
+    * lost, exactly like a hot shingle in d2 or a hot band bucket in
+    * d3. */
+  val MaxChunkBucket = 200
+
   /** d4: SimHash near-dup pairs. Candidate generation splits the 60-bit
-    * hash into 4 chunks of 15 bits and joins on (chunk index, chunk
-    * value) — by pigeonhole, any pair within hamming distance 3 shares
-    * at least one exact chunk, so the bucket join finds every such pair
-    * without comparing all pairs. Verification = bit_count(xor) on the
-    * survivors. */
+    * hash into 4 chunks of 15 bits and pairs docs inside each (chunk
+    * index, chunk value) bucket — by pigeonhole, any pair within
+    * hamming distance 3 shares at least one exact chunk, so the bucket
+    * pairing finds every such pair without comparing all pairs.
+    * Verification = bit_count(xor) on the survivors.
+    *
+    * Pair generation is the shared occupancy-capped [[bucketedPairs]]
+    * (d2/d3/d5/d7's shape): singleton buckets die before the collect
+    * shuffle, hot buckets (> [[MaxChunkBucket]]) are the skew guard,
+    * and the pair groupBy IS the dedup of pairs found in several
+    * chunks — no post-join `distinct` over 4×-duplicated rows. The
+    * simhash rides the posting row as the carried per-doc `n` (it is
+    * constant per doc, so the pair row's na/nb ARE the two hashes) —
+    * no join back to the hash table for the verify. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
     val sh = simhash(docs)
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+    val chunks = sh.select(col("doc_id"), col("simhash").as("n"),
         explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("ck", expr("shiftright(simhash, c * 15) & 32767"))
-    val cand = chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .withColumn("ck", expr("shiftright(n, c * 15) & 32767"))
+    bucketedPairs(chunks, Seq("c", "ck"), MaxChunkBucket)
+      .withColumn("hamming", expr("bit_count(na ^ nb)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -720,9 +731,11 @@ object Dedup {
          |       FROM bits GROUP BY 1),
          |chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS ck
          |           FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+         |sized AS (SELECT *, count(*) OVER (PARTITION BY c, ck) AS bn FROM chunks),
+         |keep AS (SELECT * FROM sized WHERE bn <= $MaxChunkBucket),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |                a.simhash AS sa, b.simhash AS sb
-         |         FROM chunks a JOIN chunks b
+         |         FROM keep a JOIN keep b
          |           ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INTEGER AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 12

@@ -91,6 +91,19 @@ class DedupSpec extends SparkSpec {
     pairs(0).getAs[Int]("hamming") shouldBe 0
   }
 
+  test("simhash chunk buckets above MaxChunkBucket are dropped") {
+    // 210 identical docs: all four (c, ck) buckets hold 210 docs >
+    // MaxChunkBucket = 200, so the occupancy cap drops every bucket
+    // and NO pairs emerge — the skew guard that keeps a low-entropy
+    // SimHash region from emitting df²/2 candidates at corpus scale
+    val many = (0L until 210L).map((_, baseText)).toDF("doc_id", "text")
+    Dedup.simhashPairs(many).collect() shouldBe empty
+    // just under the cap the pairs DO emerge (cap is a bound, not a
+    // recall bug at normal occupancy)
+    val some = (0L until 5L).map((_, baseText)).toDF("doc_id", "text")
+    Dedup.simhashPairs(some).count() shouldBe 10L // C(5,2), hamming 0
+  }
+
   test("containmentPairs finds the excerpt copy that Jaccard misses") {
     import spark.implicits._
     // doc 0 gets a simulated 40% excerpt (id 2000000); its symmetric
