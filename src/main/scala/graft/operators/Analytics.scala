@@ -373,15 +373,20 @@ object Analytics {
     * per user, the deepest view → click → purchase chain in strict
     * time order completing within [[FunnelWindow]] of the chain's
     * first event ([[FunnelWindowSec]]), then users counted per level
-    * reached. Relational
-    * shape: level-2 pairs keep only min(click-ts) per (user, view-ts)
-    * — safe by a greedy exchange argument (an earlier click only
-    * weakens the constraints on the purchase) — so the level-3 join
-    * fans out per VIEW, not per (view × click). Candidate generation
-    * runs through [[RangeJoin.bandedPairs]] (24 h band + direction
-    * filter), so per-user cost is ∝ band occupancy — a hot user (bot,
-    * shared account) can no longer degenerate the equi-join into
-    * per-key views×clicks before the time filter prunes. */
+    * reached. Shape: ONE key shuffle + ONE ts-DESC sort, walking each
+    * user's events from the future back with two stacked running
+    * `last(ignoreNulls)` windows over the SAME spec (the second Window
+    * operator needs no new exchange or sort) — the forward-asof trick
+    * of [[AsofJoin.asofJoinForward]], applied twice in one pass:
+    * `fp` = first purchase strictly after each row, then `fc` = first
+    * click strictly after each row CARRYING ITS OWN fp (= the first
+    * purchase after that click). A view's deepest chain then reads off
+    * its own row — by a greedy exchange argument, a qualifying chain
+    * exists iff the first-click/first-purchase-after-it chain
+    * qualifies. The per-user max reuses the window's partitioning
+    * (no third exchange). NO within-band pair explosion anywhere: a
+    * bot user with 10k views and 10k clicks in one day costs 20k
+    * window rows, not 10⁸ banded candidates. */
   val FunnelWindowSec: Long = 24L * 3600L
 
   def q27Funnel(s: SparkSession, d: String): DataFrame =
@@ -394,32 +399,39 @@ object Analytics {
     * (user_id, event_type, ts). Factored out of [[q27Funnel]] so the
     * property suite can pin it against a brute-force chain search. */
   def funnelLevels(ev: DataFrame): DataFrame = {
-    def typed(t: String, as: String) =
-      ev.filter(col("event_type") === t).select(col("user_id"), col("ts").as(as))
-    val v = typed("view", "tv")
-    val c = typed("click", "tc")
-    val p = typed("purchase", "tp")
-    val bandSec = FunnelWindowSec
-    val l2 = RangeJoin.bandedPairs(v, c, key = "user_id",
-        leftTs = "tv", rightTs = "tc", rightPayload = Seq("tc"),
-        bandSec = bandSec)
-      .filter(col("tc") > col("tv"))
-      .groupBy(col("user_id"), col("tv")).agg(min(col("tc")).as("tc"))
-    val l3 = RangeJoin.bandedPairs(l2, p, key = "user_id",
-        leftTs = "tv", rightTs = "tp", rightPayload = Seq("tp"),
-        bandSec = bandSec)
-      .filter(col("tp") > col("tc"))
-      .select(col("user_id")).distinct().withColumn("l3", lit(3))
-    val users = ev.select(col("user_id")).distinct()
-    val hasV = v.select(col("user_id")).distinct().withColumn("l1", lit(1))
-    val has2 = l2.select(col("user_id")).distinct().withColumn("l2", lit(2))
-    users
-      .join(hasV, Seq("user_id"), "left")
-      .join(has2, Seq("user_id"), "left")
-      .join(l3, Seq("user_id"), "left")
-      .select(col("user_id"),
-        greatest(coalesce(col("l1"), lit(0)), coalesce(col("l2"), lit(0)),
-          coalesce(col("l3"), lit(0))).as("funnel_level"))
+    val bandUs = FunnelWindowSec * 1000000L
+    // side rank keeps every hop STRICT at equal timestamps: the desc
+    // walk visits views(2) before clicks(1) before purchases(0), so an
+    // equal-ts click is not yet visible at its view and an equal-ts
+    // purchase not yet visible at its click. Equal-ts clicks carry
+    // identical fp (only purchase rows feed it), so the tie among them
+    // is outcome-neutral.
+    val side = when(col("event_type") === "view", 2)
+      .when(col("event_type") === "click", 1).otherwise(0)
+    val e = ev.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), side.as("__side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withFp = e.withColumn("fp",
+      last(when(col("event_type") === "purchase", col("us")),
+        ignoreNulls = true).over(w))
+    val withFc = withFp.withColumn("fc",
+      last(when(col("event_type") === "click", struct(col("us"), col("fp"))),
+        ignoreNulls = true).over(w))
+    // null fc / fc.fp null the ≤ comparisons and fall through — a view
+    // with no later click is level 1, with no later purchase level 2.
+    // A null-ts view sorts LAST in the desc walk (frame = whole key),
+    // so it is pinned to level 1 explicitly: `click.ts > null` never
+    // holds relationally.
+    val lvl = when(col("event_type") =!= "view", 0)
+      .when(col("us").isNull, 1)
+      .when(col("fc.us") - col("us") <= bandUs &&
+        col("fc.fp") - col("us") <= bandUs, 3)
+      .when(col("fc.us") - col("us") <= bandUs, 2)
+      .otherwise(1)
+    // reuses the window's hash(user_id) partitioning — no new exchange
+    withFc.groupBy(col("user_id")).agg(max(lvl).as("funnel_level"))
   }
 
   /** q28: cohort retention (the reference engine's retention idiom) —

@@ -38,7 +38,38 @@ object AsofJoin {
     *                     the greatest value wins */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               rightPayload: Seq[String], tieBreak: String): DataFrame = {
+               rightPayload: Seq[String], tieBreak: String): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightPayload, tieBreak,
+      forward = false)
+
+  /** FORWARD as-of join: match every left row with the single EARLIEST
+    * right row of the same key STRICTLY AFTER the left timestamp
+    * (Pandas `merge_asof direction='forward'` with exact matches off).
+    *
+    * Same union+window shape and cost as [[asofJoin]] — one shuffle on
+    * the key, one sort — with every sort key flipped DESCENDING, so
+    * the match is still a running `last(ignoreNulls)` over the GROWING
+    * unbounded-preceding frame (incremental, O(1) state per row). The
+    * tempting direct form — `first` over a following frame — is the
+    * SHRINKING frame Spark's window exec re-evaluates per row,
+    * O(partition²) on a hot key; the time-reversal keeps the plan on
+    * the incremental path.
+    *
+    * Semantics (pinned, deterministic): rightTs == leftTs does NOT
+    * match (strictly-after); equal right timestamps resolve to the
+    * LEAST `tieBreak` value; left rows with no following right — and
+    * null-timestamp left rows, which a `r.ts > l.ts` contract never
+    * matches — keep NULL payload (left-outer). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightPayload: Seq[String], tieBreak: String): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightPayload, tieBreak,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       rightPayload: Seq[String], tieBreak: String,
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // the tie column keeps its NATIVE type: a string cast would order
     // numeric ties lexicographically ("9" > "10") and silently diverge
@@ -68,12 +99,26 @@ object AsofJoin {
       struct(leftCols.map(col): _*).as("__row"))
     val rowType = l.schema("__row").dataType
     val u = l.unionByName(r.withColumn("__row", lit(null).cast(rowType)))
-    // rights sort before lefts at equal ts (at-or-before includes
-    // equality); equal-ts rights order by tie so `last` = greatest
+    // Backward: rights sort before lefts at equal ts (at-or-before
+    // includes equality); equal-ts rights order by tie so `last` =
+    // greatest. Forward is the TIME-REVERSAL of the same contract:
+    // every key flipped desc walks timestamps from the future back, a
+    // left row at equal ts sorts BEFORE the rights (side desc:
+    // strictly-after excludes them), equal-ts rights order tie-desc so
+    // the running `last` = LEAST tie.
+    val ord =
+      if (forward) Seq(col("__ts").desc, col("__side").desc, col("__tie").desc)
+      else Seq(col("__ts").asc, col("__side").asc, col("__tie").asc)
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+    val matched = last(col("__pay"), ignoreNulls = true).over(w)
+    // Null-ts lefts: ascending sort puts them FIRST (empty preceding
+    // frame → null payload, the contract, for free); descending sort
+    // puts them LAST where the frame holds the whole key, so the
+    // forward path masks them back to the no-match contract.
+    u.withColumn("__match",
+        if (forward) when(col("__ts").isNotNull, matched) else matched)
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__row.$c").as(c)) ++
         rightPayload.map(c => col(s"__match.$c").as(c)): _*)
