@@ -67,7 +67,13 @@ object GraftSession {
       // the fallback is also the only spill valve ObjectHashAggregate
       // has, and an effectively-infinite threshold would disable it
       // for every collect in the session, including user queries whose
-      // state is NOT input-bounded.
+      // state is NOT input-bounded. DOCUMENTED EXPOSURE: this raise is
+      // session-wide, so an ad-hoc user aggregate with huge per-key
+      // state (collect_set/percentile_approx over FEW hot keys) keeps
+      // hash-aggregating — no sort-based spill valve — until 4M keys;
+      // a session serving such workloads should lower it back around
+      // that query (spark.conf.set, or SET in SQL — the conf is read
+      // at execution, not capture, time).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (4 * 1024 * 1024).toString)
       // wide-but-legitimate expression trees (e.g. v8's 64-component

@@ -176,6 +176,8 @@ case class TopKSketchAgg(
         "topk_sketch capacity and k must be literals")
     else if (capacityExpr.eval().asInstanceOf[Int] < 1)
       TypeCheckResult.TypeCheckFailure("topk_sketch capacity must be >= 1")
+    else if (kExpr.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("topk_sketch k must be >= 1")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -251,11 +253,19 @@ case class TopKSketchAgg(
 /** SQL registration + Column API for [[TopKSketchAgg]], same pattern as
   * [[vectors]]: one registry entry serves SQL and DataFrame users. */
 object topk {
-  // unconditional Cast: the builder can see still-unresolved children
-  // (dataType would throw), and SimplifyCasts removes the no-op
-  // long→long case anyway
+  // Widen ONLY a resolved integral key: byte/short/int → long is
+  // lossless convenience, while a DOUBLE or STRING key must reach
+  // checkInputDataTypes un-cast and FAIL analysis — an unconditional
+  // Cast would truncate doubles and null strings silently, making the
+  // 'key must be BIGINT' branch unreachable. Unresolved children
+  // (dataType would throw) stay un-cast and resolve or fail later.
+  private def widenIntegral(e: Expression): Expression =
+    if (e.resolved && Seq(ByteType, ShortType, IntegerType)
+        .contains(e.dataType)) Cast(e, LongType)
+    else e
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "topk_sketch" -> { es => TopKSketchAgg(Cast(es(0), LongType), es(1), es(2)) })
+    "topk_sketch" -> { es => TopKSketchAgg(widenIntegral(es(0)), es(1), es(2)) })
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     registry.register(spark, builders)

@@ -95,6 +95,35 @@ class TopKSketchSpec extends SparkSpec {
     rows shouldBe Seq((1L, 2L), (2L, 1L))
   }
 
+  test("integral keys widen; DOUBLE and STRING keys fail analysis") {
+    topk.register(spark)
+    Seq(1, 1, 2).toDF("ik").createOrReplaceTempView("tks_int")
+    spark.sql("SELECT explode(topk_sketch(ik, 4, 1)) AS e FROM tks_int")
+      .select("e.item", "e.cnt").as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 2L))
+    // a non-integral key must FAIL, not silently truncate (double) or
+    // null-skip every row (string)
+    Seq(1.5).toDF("dk").createOrReplaceTempView("tks_dbl")
+    val e1 = intercept[Exception](
+      spark.sql("SELECT topk_sketch(dk, 4, 1) FROM tks_dbl").collect())
+    e1.getMessage should include("BIGINT")
+    Seq("a").toDF("sk").createOrReplaceTempView("tks_str")
+    val e2 = intercept[Exception](
+      spark.sql("SELECT topk_sketch(sk, 4, 1) FROM tks_str").collect())
+    e2.getMessage should include("BIGINT")
+  }
+
+  test("capacity and k below 1 fail analysis") {
+    topk.register(spark)
+    Seq(1L).toDF("key").createOrReplaceTempView("tks_k")
+    intercept[Exception](
+      spark.sql("SELECT topk_sketch(key, 0, 1) FROM tks_k").collect())
+      .getMessage should include("capacity")
+    intercept[Exception](
+      spark.sql("SELECT topk_sketch(key, 4, 0) FROM tks_k").collect())
+      .getMessage should include("k must be >= 1")
+  }
+
   test("null keys are skipped, not counted") {
     topk.register(spark)
     val got = Seq(Some(1L), None, Some(1L), None)
