@@ -70,6 +70,7 @@ object SparkEntry {
     "v7_norms" -> (VectorSearch.norms _),
     "v8_embed_udf" -> ((s: SparkSession, d: String) => VectorSearch.embedUdfKnn(s, d)),
     "v9_cross_modal" -> ((s: SparkSession, d: String) => VectorSearch.crossModalKnn(s, d)),
+    "vq1_knn_i8" -> ((s: SparkSession, d: String) => VectorSearch.quantizedKnn(s, d)),
     "d1_exact_dedup" -> (Dedup.d1Query _),
     "d2_ngram_jaccard" -> (Dedup.d2Query _),
     "d3_minhash_lsh" -> (Dedup.d3Query _),
@@ -527,6 +528,21 @@ object SparkEntry {
          |   ${vec(6)}::DOUBLE[]) AS score
          |FROM documents JOIN embeddings ON doc_id = vec_id
          |ORDER BY score, doc_id LIMIT 10""".stripMargin,
+    // vq1's int8 quantization is deterministic (max-abs/127 scale,
+    // round-away-from-zero — DuckDB round() semantics), so the oracle
+    // replays it bit-exactly from the full-precision table and the
+    // quantized knn is an EXACT gate, not a recall bound. Cosine over
+    // the integer codes == cosine over the dequantized vectors (the
+    // positive per-vector scale cancels).
+    "vq1_knn_i8" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, label, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+         |qz AS (SELECT vec_id, label,
+         |         list_transform(v, x -> round(x / s)) AS qv FROM sc)
+         |SELECT vec_id, label,
+         |       1.0 - list_cosine_similarity(qv, ${vec(1)}::DOUBLE[]) AS score
+         |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ Curation.oracles ++ AsofJoin.oracles ++ RangeJoin.oracles ++
     EventStream.oracles

@@ -331,3 +331,143 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Symmetric per-vector int8 quantization: scale = max|x| / 127, byte
+  * i = round-away-from-zero(x_i / scale) ∈ [-127, 127], packed into a
+  * BINARY cell of exactly n bytes — 4× fewer scan bytes than
+  * array<float>, 8× fewer than the float64 arrays the reference's
+  * ingest writes (process.py:46; its own bfloat16 experiment,
+  * images/results_ridgeback_bfloat16.png, is the same cost lever).
+  * All-zero vectors quantize to all-zero bytes. The rounding is
+  * away-from-zero explicitly (NOT Math.round's floor(x+0.5), which
+  * rounds negative halves toward zero) so a DuckDB `round()` twin is
+  * bit-identical.
+  *
+  * Interpreted (CodegenFallback, like [[L2Normalize]]): this runs in
+  * the write-once quantized-ingest path, not the per-query scan. */
+case class Int8Pack(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "int8_pack"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${other.catalogString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val f = isFloat
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      val ax = math.abs(x)
+      if (ax > mx) mx = ax
+      i += 1
+    }
+    val s = mx / 127.0
+    val out = new Array[Byte](n)
+    if (s != 0.0) {
+      i = 0
+      while (i < n) {
+        val x = (if (f) a.getFloat(i).toDouble else a.getDouble(i)) / s
+        // away-from-zero: |x/s| <= 127 by construction, no clamp needed
+        out(i) = (if (x >= 0) x + 0.5 else x - 0.5).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Cosine distance between an [[Int8Pack]]-quantized BINARY vector and
+  * a full-precision array<float|double> query. Cosine is invariant to
+  * the per-vector positive scale, so the packed bytes are read
+  * DIRECTLY — no dequantize multiply, no scale column in the scan —
+  * and the result equals cosine_distance(scale·bytes, query) exactly.
+  * Same codegen'd fold shape as [[CosineDistance]]: the byte loop is
+  * emitted into the enclosing WholeStageCodegen stage. */
+case class CosineDistanceI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "cosine_distance_i8"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, array<float|double>), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  private def isFloatQ: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.length
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: size mismatch: $n bytes vs ${b.numElements()} components")
+    val f = isFloatQ
+    var su = 0.0; var sa = 0.0; var sb = 0.0
+    var i = 0
+    while (i < n) {
+      val xa = a(i).toDouble
+      val xb = if (f) b.getFloat(i).toDouble else b.getDouble(i)
+      su += xa * xb; sa += xa * xa; sb += xb * xb
+      i += 1
+    }
+    1.0 - su / math.sqrt(sa * sb)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val xa = ctx.freshName("xa")
+      val xb = ctx.freshName("xb")
+      val su = ctx.freshName("su")
+      val sa = ctx.freshName("sa")
+      val sb = ctx.freshName("sb")
+      val getB =
+        if (isFloatQ) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = $a.length;
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("$prettyName: size mismatch: "
+         |    + $n + " bytes vs " + $b.numElements() + " components");
+         |}
+         |double $su = 0.0; double $sa = 0.0; double $sb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xa = (double) $a[$i];
+         |  double $xb = $getB;
+         |  $su += $xa * $xb; $sa += $xa * $xa; $sb += $xb * $xb;
+         |}
+         |${ev.value} = 1.0 - $su / Math.sqrt($sa * $sb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

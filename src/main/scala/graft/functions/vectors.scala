@@ -22,6 +22,8 @@ object vectors {
     "linf_distance" -> { es => LinfDistance(es(0), es(1)) },
     "l2_norm" -> { es => L2Norm(es.head) },
     "l2_normalize" -> { es => L2Normalize(es.head) },
+    "int8_pack" -> { es => Int8Pack(es.head) },
+    "cosine_distance_i8" -> { es => CosineDistanceI8(es(0), es(1)) },
   )
 
   /** Idempotent; call before using the Column API in a session. */
@@ -37,4 +39,7 @@ object vectors {
   def linfDistance(a: Column, b: Column): Column = call_function("linf_distance", a, b)
   def l2Norm(a: Column): Column = call_function("l2_norm", a)
   def l2Normalize(a: Column): Column = call_function("l2_normalize", a)
+  def int8Pack(a: Column): Column = call_function("int8_pack", a)
+  def cosineDistanceI8(q8: Column, query: Column): Column =
+    call_function("cosine_distance_i8", q8, query)
 }

@@ -242,6 +242,50 @@ object VectorSearch {
     knnOver(ingestCombine(s, d), col("text_embedding"), qvec(6),
       col("doc_id"), Seq(col("lang")), k)
 
+  /** The reduced-precision serving copy of the corpus embeddings —
+    * the reference's own cost lever (its bfloat16 experiment,
+    * `images/results_ridgeback_bfloat16.png`; the full-fat path stores
+    * float64 arrays, `process.py:46`). Symmetric per-vector int8
+    * ([[graft.functions.Int8Pack]]): one BINARY cell of Dim bytes + a
+    * float scale per row — 4× fewer scan bytes than array<float>, 8×
+    * fewer than the reference's float64. At 100 TB the embedding
+    * column dominates scan cost, so this is the difference between
+    * scanning 25 TB and 100 TB per brute-force query. Write-once via
+    * the same fingerprinted ensure as the ANN indexes. The scale
+    * column is not read by the cosine serve path (cosine is
+    * scale-invariant); it is stored so L2/dot serving and exact
+    * reconstruction bounds stay possible without re-reading the
+    * full-precision corpus. */
+  def ensureQuantized(s: SparkSession, d: String): String = {
+    vectors.register(s)
+    graft.sources.LocalIndex.ensure("vq-int8", d, "",
+      graft.sources.LocalIndex.fingerprint(Seq(s"$d/embeddings.parquet"))) { path =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          (array_max(transform(col("embedding"), x => abs(x))).cast("double")
+            / lit(127.0)).as("scale"),
+          vectors.int8Pack(col("embedding")).as("qemb"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(path)
+    }
+  }
+
+  /** vq1: int8-quantized brute-force cosine knn — v2's query answered
+    * from the quantized serving copy. The plan is the same
+    * scan-projection + TakeOrderedAndProject as v2 with a quarter of
+    * the scan bytes; [[graft.functions.CosineDistanceI8]] reads the
+    * packed bytes directly inside whole-stage codegen (no dequantize
+    * column, no scale read). Deterministic end to end, so the DuckDB
+    * oracle replays the quantization bit-exactly — an EXACT gate, with
+    * the recall-vs-v2 contract pinned separately in the spec. */
+  def quantizedKnn(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val path = ensureQuantized(s, d)
+    s.read.parquet(path)
+      .withColumn("score", vectors.cosineDistanceI8(col("qemb"), qcol(qvec(1))))
+      .select(col("vec_id"), col("label"), col("score"))
+      .orderBy(col("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** v7: vector norms + normalization as first-class expressions
     * (L1/L2/Linf vs zero; `unit0` reads the first component of the
     * L2-normalized vector so the normalize path is oracle-checked

@@ -175,4 +175,78 @@ class VectorSearchSpec extends SparkSpec {
     back.count() shouldBe df.count()
     back.schema("exif").dataType shouldBe MapType(StringType, StringType)
   }
+
+  test("int8_pack: away-from-zero rounding, max maps to ±127, zeros stay zero") {
+    graft.functions.vectors.register(spark)
+    val v = Seq(1.0, -1.0, 0.5, -0.5, 0.0, 0.25)
+    val bytes = Seq(Tuple1(v)).toDF("v")
+      .select(graft.functions.vectors.int8Pack(col("v")).as("b"))
+      .head().getAs[Array[Byte]](0)
+    // scale = 1.0/127 → codes = round(x*127): 127, -127, round(63.5)=64
+    // (away from zero), -64, 0, round(31.75)=32
+    bytes.toSeq shouldBe Seq[Byte](127, -127, 64, -64, 0, 32)
+    val zeros = Seq(Tuple1(Seq(0.0, 0.0))).toDF("v")
+      .select(graft.functions.vectors.int8Pack(col("v")).as("b"))
+      .head().getAs[Array[Byte]](0)
+    zeros.toSeq shouldBe Seq[Byte](0, 0)
+  }
+
+  test("cosine_distance_i8 == cosine_distance over the integer codes") {
+    graft.functions.vectors.register(spark)
+    val q = VectorSearch.qvec(1)
+    val rows = spark.read.parquet(graft.SparkSpec.TinySf + "/embeddings.parquet")
+      .select(
+        graft.functions.vectors.cosineDistanceI8(
+          graft.functions.vectors.int8Pack(col("embedding")), typedlit(q)).as("qi8"),
+        graft.functions.vectors.cosineDistance(
+          transform(col("embedding"), x =>
+            // dequantized codes as doubles, same rounding as the pack
+            when(x >= 0, floor(x.cast("double") / (array_max(transform(col("embedding"),
+              y => abs(y))).cast("double") / 127.0) + 0.5))
+              .otherwise(-floor(-x.cast("double") / (array_max(transform(col("embedding"),
+                y => abs(y))).cast("double") / 127.0) + 0.5))
+              .cast("double")),
+          typedlit(q)).as("ref"))
+      .collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getDouble(0) shouldBe r.getDouble(1) +- 1e-12
+    }
+  }
+
+  test("quantized knn: recall@10 vs exact v2 and a >=3x smaller serving copy") {
+    val d = graft.SparkSpec.TinySf
+    val exact = VectorSearch.knnCosine(spark, d).select("vec_id")
+      .as[Long].collect().toSet
+    val got = VectorSearch.quantizedKnn(spark, d).select("vec_id")
+      .as[Long].collect().toSet
+    // measured 1.0 on this corpus; pinned with slack for regeneration
+    (exact & got).size.toDouble / exact.size should be >= 0.8
+    // the scan-byte lever: the int8 copy must be a small fraction of
+    // the float32 original (64 B vs 256 B per vector before parquet)
+    def bytesOf(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else f.listFiles().map(bytesOf).sum
+    val qdir = new java.io.File(VectorSearch.ensureQuantized(spark, d))
+    val full = new java.io.File(d + "/embeddings.parquet")
+    bytesOf(qdir) should be < (bytesOf(full) / 3)
+  }
+
+  test("cosine_distance_i8 rejects non-binary / non-array arguments at analysis") {
+    graft.functions.vectors.register(spark)
+    val df = Seq((Array[Byte](1, 2), Seq(1.0, 2.0))).toDF("b", "v")
+    intercept[Exception](
+      df.select(graft.functions.vectors.cosineDistanceI8(col("v"), col("v"))).collect())
+      .getMessage should include("cosine_distance_i8")
+    intercept[Exception](
+      df.select(graft.functions.vectors.cosineDistanceI8(col("b"), col("b"))).collect())
+      .getMessage should include("cosine_distance_i8")
+    // size mismatch fails loudly like the float-side distances
+    val e = intercept[Exception](
+      df.select(graft.functions.vectors.cosineDistanceI8(col("b"),
+        typedlit(Seq(1.0, 2.0, 3.0)))).collect())
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    messages should include("size mismatch")
+  }
 }
