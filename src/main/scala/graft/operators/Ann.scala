@@ -167,21 +167,32 @@ object Ann {
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("bkt").parquet(path)
 
-  /** Fingerprint of the corpus parquet on disk (file names, lengths,
-    * mtimes): cheap, no data read, and catches a regenerated corpus. */
-  private def corpusFingerprint(d: String): String =
-    graft.sources.LocalIndex.fingerprint(Seq(s"$d/embeddings.parquet"))
+  /** Append ONE corpus shard into an existing bucket-partitioned index:
+    * the shard rows are bucketed by the same constant hyperplanes and
+    * land as NEW part files inside the existing `bkt=` dirs — no old
+    * file is rewritten. At 100 TB this is the only affordable shard
+    * ingest (the reference appends shard batches continuously,
+    * process.py:95-120); each append adds ≤ one file per bucket dir,
+    * and the c7 compaction job folds small files back periodically. */
+  def appendLshShard(shard: DataFrame, path: String): Unit =
+    shard.withColumn("bkt", bucketCol(col("embedding")))
+      .write.mode("append").option("compression", "zstd")
+      .partitionBy("bkt").parquet(path)
 
-  /** Build the index iff absent OR stale (`_SUCCESS` marks a completed
-    * write; `_GRAFT_SRC` records the source-corpus fingerprint — an
-    * index left from a previous run of a since-regenerated corpus
-    * would otherwise silently serve wrong rows; the marker write is
-    * atomic, see [[graft.sources.LocalIndex.ensure]]). Returns the
-    * path. */
+  /** Build the index iff absent OR stale; APPEND-ONLY corpus growth
+    * (new data files in the corpus dir, old ones untouched) appends
+    * just the new shards via [[appendLshShard]] instead of rebuilding
+    * (`_SUCCESS` marks a completed write; `_GRAFT_SRC` records the
+    * per-data-file source manifest — an index left from a previous run
+    * of a since-REGENERATED corpus still rebuilds; the marker write is
+    * atomic, see [[graft.sources.LocalIndex.ensureIncremental]]).
+    * Returns the path. */
   def ensureLshIndex(s: SparkSession, d: String): String =
-    graft.sources.LocalIndex.ensure("lsh-index", d, "_p" + NumPlanes,
-      corpusFingerprint(d)) { path =>
+    graft.sources.LocalIndex.ensureIncremental("lsh-index", d,
+      "_p" + NumPlanes, Seq(s"$d/embeddings.parquet"), extra = "") { path =>
       buildLshIndex(Tables.embeddings(s, d), path)
+    } { (newFiles, path) =>
+      appendLshShard(s.read.parquet(newFiles: _*), path)
     }
 
   /** a2_indexed: the SAME multi-probe search as [[lshKnn]], but over
@@ -361,11 +372,27 @@ object Ann {
     * cache honest either way.) */
   def ensureIvfIndex(s: SparkSession, d: String): String = {
     val cb = codebookFor(s, d)
-    graft.sources.LocalIndex.ensure("ivf-index", d, "_k" + NumCentroids,
-      corpusFingerprint(d) + "|cb:" + cb.hashCode) { path =>
+    // Incremental contract: append-only corpus growth assigns ONLY the
+    // new shard's rows under the SAME codebook and appends them into
+    // the existing cid= dirs (codebookFor caches per dir, so a shard
+    // landing after the first build sees the unchanged codebook); any
+    // codebook change — retrain in a new JVM (float avg is only
+    // per-JVM-deterministic), a NumCentroids bump — changes `extra`
+    // and falls back to the full rebuild. At 100 TB the codebook is
+    // persisted beside the index and loaded, making the same check
+    // process-independent; the rebuild-on-mismatch guard is what keeps
+    // either cache honest.
+    graft.sources.LocalIndex.ensureIncremental("ivf-index", d,
+      "_k" + NumCentroids, Seq(s"$d/embeddings.parquet"),
+      extra = "cb:" + cb.hashCode) { path =>
       Tables.embeddings(s, d)
         .withColumn("cid", nearestCentroid(cb, col("embedding")))
         .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cid").parquet(path)
+    } { (newFiles, path) =>
+      s.read.parquet(newFiles: _*)
+        .withColumn("cid", nearestCentroid(cb, col("embedding")))
+        .write.mode("append").option("compression", "zstd")
         .partitionBy("cid").parquet(path)
     }
   }

@@ -65,4 +65,85 @@ object LocalIndex {
     }
     dir
   }
+
+  /** Per-DATA-FILE manifest of the source paths: one `abspath:len:mtime`
+    * entry per data file, sorted, metadata files (`_SUCCESS`, `.crc`,
+    * markers — anything dot- or underscore-prefixed) excluded so an
+    * append that rewrites `_SUCCESS` doesn't read as a mutation of the
+    * old shards. The exclusion is what makes grow-only detection
+    * possible; [[fingerprint]] keeps its all-files form for the
+    * all-or-nothing caches. */
+  def dataManifest(paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      val f = new java.io.File(p)
+      val files =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+      files.filter(x => x.isFile &&
+          !x.getName.startsWith("_") && !x.getName.startsWith("."))
+        .map(x => s"${x.getAbsolutePath}:${x.length}:${x.lastModified}")
+    }.sorted
+
+  private def writeMarker(dir: String, content: String): Unit = {
+    val src = Paths.get(dir, "_GRAFT_SRC")
+    val tmp = Files.createTempFile(Paths.get(dir), "_GRAFT_SRC", ".tmp")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    try Files.move(tmp, src,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, src, StandardCopyOption.REPLACE_EXISTING)
+    }
+    ()
+  }
+
+  /** [[ensure]] with an INCREMENTAL-APPEND fast path — the 100 TB shard
+    * pattern (the reference appends shard batches continuously,
+    * process.py:95-120; rebuilding a corpus-sized index per shard is
+    * the one thing that must not happen). The marker stores
+    * `extra ## manifest-entry|...`; on re-ensure:
+    *
+    *  - marker == current state            → serve as-is;
+    *  - same `extra`, every OLD data file byte-identical (path, len,
+    *    mtime), only NEW files added       → `append(newFiles, dir)`
+    *    writes JUST the new shard's rows into the existing layout,
+    *    marker updated atomically after;
+    *  - anything else (a mutated/removed old shard, a changed `extra`
+    *    — e.g. a retrained codebook)       → full `build`, the honest
+    *    fallback.
+    *
+    * Each append adds at most one file per partition dir; periodic
+    * compaction (the c7 layout job) folds them back — the standard
+    * LSM-ish trade for index freshness at scale. */
+  def ensureIncremental(kind: String, d: String, suffix: String,
+                        sources: Seq[String], extra: String)
+                       (build: String => Unit)
+                       (append: (Seq[String], String) => Unit): String = {
+    val dir = path(kind, d, suffix)
+    val now = dataManifest(sources)
+    val marker = extra + "##" + now.mkString("|")
+    val src = Paths.get(dir, "_GRAFT_SRC")
+    val stored =
+      if (new java.io.File(dir, "_SUCCESS").exists() && Files.exists(src))
+        Some(new String(Files.readAllBytes(src), "UTF-8"))
+      else None
+    val storedParts = stored.map { m =>
+      val i = m.lastIndexOf("##")
+      if (i < 0) ("", Seq.empty[String])
+      else (m.take(i),
+        m.drop(i + 2).split('|').toSeq.filter(_.nonEmpty))
+    }
+    storedParts match {
+      case Some((ex, old)) if ex == extra && old == now => // fresh
+      case Some((ex, old)) if ex == extra && old.nonEmpty &&
+          old.forall(now.contains) =>
+        val newFiles = now.filterNot(old.contains)
+          // strip the trailing :len:mtime (the path itself may hold ':')
+          .map(e => e.substring(0, e.lastIndexOf(':', e.lastIndexOf(':') - 1)))
+        if (newFiles.nonEmpty) append(newFiles, dir)
+        writeMarker(dir, marker)
+      case _ =>
+        build(dir)
+        writeMarker(dir, marker)
+    }
+    dir
+  }
 }

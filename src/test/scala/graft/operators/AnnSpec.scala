@@ -142,4 +142,75 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
     got shouldBe want
   }
+
+  /** Recursive (path → (length, mtime)) snapshot of the DATA files of
+    * an index dir (markers/_SUCCESS excluded — they legitimately
+    * update on append). */
+  private def dataFilesOf(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getAbsolutePath -> (f.length, f.lastModified))
+      .toMap
+  }
+
+  test("ensureLshIndex appends a new shard without rewriting the old index files") {
+    vectors.register(spark)
+    implicit val s = spark
+    val full = corpus(300).withColumn("label", (col("vec_id") % 7).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-annappend-").toString
+    // shard 1 lands; index built from it
+    full.filter(col("vec_id") < 200)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val idxPath = Ann.ensureLshIndex(spark, dir)
+    val before = dataFilesOf(idxPath)
+    before should not be empty
+    // shard 2 lands as NEW files in the corpus dir (append-only growth)
+    full.filter(col("vec_id") >= 200)
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Ann.ensureLshIndex(spark, dir)
+    val after = dataFilesOf(idxPath)
+    // no full rewrite: every pre-append index file survives untouched
+    before.foreach { case (p, meta) => after.get(p) shouldBe Some(meta) }
+    after.size should be > before.size
+    // and the served result equals the scan-side search over the FULL
+    // grown corpus
+    val got = Ann.indexedLshKnn(spark, dir).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    val want = Ann.lshKnn(graft.Tables.embeddings(spark, dir)).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    got shouldBe want
+    // a MUTATED old shard (regenerated corpus) must full-rebuild, not
+    // append: the rewritten ids serve correctly afterwards
+    full.withColumn("vec_id", col("vec_id") + lit(500000L))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rebuilt = Ann.indexedLshKnn(spark, dir).collect().map(_.getAs[Long]("vec_id"))
+    all(rebuilt) should be >= 500000L
+  }
+
+  test("ensureIvfIndex appends a shard under the cached codebook; old cells untouched") {
+    vectors.register(spark)
+    implicit val s = spark
+    val full = corpus(400).withColumn("label", (col("vec_id") % 7).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfappend-").toString
+    full.filter(col("vec_id") < 300)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val idxPath = Ann.ensureIvfIndex(spark, dir) // trains + caches the codebook
+    val cb = Ann.codebookFor(spark, dir)
+    val before = dataFilesOf(idxPath)
+    full.filter(col("vec_id") >= 300)
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Ann.ensureIvfIndex(spark, dir)
+    val after = dataFilesOf(idxPath)
+    before.foreach { case (p, meta) => after.get(p) shouldBe Some(meta) }
+    after.size should be > before.size
+    // served == scan-side IVF over the grown corpus under the SAME
+    // codebook (the cached one both paths use)
+    val got = Ann.indexedIvfKnn(spark, dir).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    val want = Ann.ivfKnn(graft.Tables.embeddings(spark, dir), cb, Ann.K)(spark).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    got shouldBe want
+  }
 }
