@@ -52,7 +52,17 @@ object EventStream {
     * more than `gapMs` after it (emitted that batch), or (b) the
     * event-time watermark passes `end + gapMs` with no new events
     * (emitted by timeout — the open session can't be extended anymore
-    * because anything that could extend it is now late). */
+    * because anything that could extend it is now late).
+    *
+    * The per-batch pass is an INTERVAL MERGE, not a sort: events are
+    * consumed in arrival order into a TreeMap of gap-separated
+    * intervals (each event merges with at most its floor and ceiling
+    * neighbors). Task memory is O(intervals) = O(batch time span /
+    * gap) — a hot key (bot, shared account) whose million-event
+    * backfill batch lands in one trigger folds into a handful of
+    * intervals instead of materializing as a sorted Seq on the task
+    * heap. For in-order and any single-batch input the resulting
+    * sessions are exactly the sorted scan's gap clusters. */
   def sessionize(events: Dataset[Event],
       gapMs: Long = SessionGapMs,
       watermark: String = "30 minutes"): Dataset[Session] = {
@@ -69,20 +79,40 @@ object EventStream {
         state.remove()
         out.iterator
       } else {
-        var closed = List.empty[Session]
-        var cur = state.getOption
-        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val iv = new java.util.TreeMap[Long, SessionState]()
+        state.getOption.foreach(st => iv.put(st.start, st))
+        batch.foreach { e =>
           val t = e.ts.getTime
-          cur match {
-            case Some(st) if t - st.end <= gapMs =>
-              cur = Some(st.copy(end = math.max(st.end, t),
-                n = st.n + 1, sumValue = st.sumValue + e.value))
-            case Some(st) =>
-              closed ::= toSession(userId, st)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
+          var st = SessionState(t, t, 1, e.value)
+          // absorb the interval at-or-before t when t is within its gap
+          // (t inside the interval merges trivially: end stays)
+          val lo = iv.floorEntry(t)
+          if (lo != null && t - lo.getValue.end <= gapMs) {
+            val v = lo.getValue
+            st = SessionState(v.start, math.max(v.end, t),
+              v.n + 1, v.sumValue + e.value)
+            iv.remove(lo.getKey)
           }
+          // the grown interval may now bridge to the next one; at most
+          // one — surviving intervals stay pairwise > gap apart, so the
+          // one after the absorbed ceiling is out of reach by induction
+          val hi = iv.ceilingEntry(t)
+          if (hi != null && hi.getValue.start - st.end <= gapMs) {
+            val v = hi.getValue
+            st = SessionState(st.start, math.max(st.end, v.end),
+              st.n + v.n, st.sumValue + v.sumValue)
+            iv.remove(hi.getKey)
+          }
+          iv.put(st.start, st)
+        }
+        // every interval but the last has a later event > gap after its
+        // end (the next interval's start) — closed; the last stays open
+        var closed = List.empty[Session]
+        var cur: Option[SessionState] = None
+        val it = iv.values.iterator
+        while (it.hasNext) {
+          cur.foreach(p => closed ::= toSession(userId, p))
+          cur = Some(it.next())
         }
         cur.foreach { st =>
           state.update(st)

@@ -266,6 +266,44 @@ abstract class EventStreamSuiteBase extends SparkSpec {
       user1(1).sum_value shouldBe 3.0
     } finally q.stop()
   }
+
+  test(s"[$store] s2 hot key: one user's huge shuffled batch folds into intervals, not a sorted Seq") {
+    implicit val sqlCtx = spark.sqlContext
+    // one bot user, 50k events in ONE micro-batch, deliberately
+    // SHUFFLED arrival order: 10 bursts of 5k events at 1-second
+    // spacing, bursts 2 h apart (gap = 30 min → 10 sessions, 9 closed
+    // in-batch). The interval merge holds ~10 intervals on the task
+    // heap; the old sorted-Seq pass materialized all 50k.
+    val gapMs = 30 * 60000L
+    val bursts = 10
+    val perBurst = 5000
+    val events = (for {
+      b <- 0 until bursts
+      i <- 0 until perBurst
+    } yield Event(7L, new Timestamp(ts(0).getTime + b * 7200000L + i * 1000L),
+      "click", 1.0))
+    val shuffled = new scala.util.Random(42).shuffle(events)
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapMs = gapMs,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName(qn("s2hot"))
+      .outputMode("append").start()
+    try {
+      input.addData(shuffled: _*)
+      q.processAllAvailable()
+      val closed = spark.table(qn("s2hot")).as[Session].collect()
+        .sortBy(_.start.getTime)
+      closed.length shouldBe bursts - 1 // last stays open in state
+      closed.zipWithIndex.foreach { case (s, b) =>
+        s.user_id shouldBe 7L
+        s.start shouldBe new Timestamp(ts(0).getTime + b * 7200000L)
+        s.end shouldBe new Timestamp(ts(0).getTime + b * 7200000L +
+          (perBurst - 1) * 1000L)
+        s.n_events shouldBe perBurst
+        s.sum_value shouldBe perBurst.toDouble
+      }
+    } finally q.stop()
+  }
 }
 
 /** Default provider (HDFS-backed in-memory state store). */
