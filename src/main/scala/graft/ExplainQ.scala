@@ -6,13 +6,17 @@ import org.apache.spark.sql.SparkSession
   *
   *  - `runMain graft.ExplainQ <name> [run]` — formatted physical plan
   *    for one query, optionally timed twice (cold/warm).
-  *  - `runMain graft.ExplainQ --audit` — sweep EVERY registered query
-  *    and flag scan-stage data filters that contain expensive
-  *    expressions (hashing, regex, higher-order lambdas). Predicate
-  *    pushdown substituting a derived column's whole defining
-  *    expression into the scan filter was the dominant profiled
-  *    pathology this engine tunes against (see GraftSession /
-  *    Dedup.spreadBuildMaterialize); this sweep catches regressions.
+  *  - `runMain graft.ExplainQ --audit` — sweep EVERY registered query:
+  *    one `[audit] <name>: wall/rowsRead/files/bytes/scans` line per
+  *    query (the reference's per-search exec-stats surface,
+  *    search.py:35, for the whole inventory — the numbers a perf
+  *    adjudication reads), plus a flag for any scan-stage data filter
+  *    that contains expensive expressions (hashing, regex,
+  *    higher-order lambdas). Predicate pushdown substituting a derived
+  *    column's whole defining expression into the scan filter was the
+  *    dominant profiled pathology this engine tunes against (see
+  *    GraftSession / Dedup.spreadBuildMaterialize); the flag catches
+  *    regressions.
   */
 object ExplainQ {
   private val HeavyFilter =
@@ -30,6 +34,7 @@ object ExplainQ {
       // inspects the static plan, which has the same filter placement
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       var flagged = 0
+      var listed = 0
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (q, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
         // scan-stage filters = FilterExec nodes with no exchange below
@@ -47,9 +52,16 @@ object ExplainQ {
             println(s"[audit] $q: HEAVY scan-stage filter: ${cond.take(300)}")
           }
         }
+        // exec-stats line for EVERY query (fresh frame: SQL metrics
+        // accumulate per plan instance; streaming gates re-run their
+        // bounded stream and report the sink-read scan)
+        val stats = QueryStats.run(fn(spark, sfDir))
+        listed += 1
+        println(s"[audit] $q: ${stats.pretty}")
       }
-      println(s"[audit] done, $flagged heavy scan filter(s) flagged " +
-        s"(hash-based sampling predicates are expected to appear)")
+      println(s"[audit] done, $listed queries listed, $flagged heavy " +
+        s"scan filter(s) flagged (hash-based sampling predicates are " +
+        s"expected to appear)")
     } else {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.explain("formatted")
