@@ -107,6 +107,50 @@ class PlanAuditSpec extends SparkSpec {
     plan("q35_argmax") should not include "Window"
   }
 
+  test("q33 gap fill broadcasts the generated spine, never sort-merges it") {
+    // the (day × type) spine is bounded by the time range, not the
+    // corpus — it must broadcast against the aggregated dailies
+    val p = plan("q33_gap_fill")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q27 funnel is windows over one key sort — no joins, no pair explosion") {
+    val p = plan("q27_funnel")
+    p should include("Window")
+    p.toLowerCase should not include "join"
+    p should not include "Generate" // no explode: nothing fans out per pair
+  }
+
+  test("vq1 quantized knn is a single pruned scan + TakeOrderedAndProject") {
+    val p = plan("vq1_knn_i8")
+    p should include("TakeOrderedAndProject")
+    // per-partition k-heaps merge on the driver: no shuffle of the
+    // corpus, one scan of the int8 copy, no join
+    p should not include "Exchange"
+    p.toLowerCase should not include "join"
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("c7 serve path is scan-only: a warm cache re-plans without rewriting the layout") {
+    def dataFiles(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getAbsolutePath -> f.lastModified).toMap
+    }
+    val first = SparkEntry.queries("c7_partitioned_layout")(spark, SparkSpec.TinySf)
+    first.collect() // materialize once (builds the layout if absent)
+    val dir = graft.sources.LocalIndex.path("compact", SparkSpec.TinySf, "")
+    val before = dataFiles(dir)
+    before should not be empty
+    val p = plan("c7_partitioned_layout") // fresh construction, warm cache
+    dataFiles(dir) shouldBe before // no write job ran
+    p should not include "InsertInto" // the plan itself only reads
+    "Scan parquet".r.findAllIn(p).size shouldBe 2 // layout + source count
+  }
+
   test("text analysis queries run on native expressions in codegen'd stages") {
     // an UNEXECUTED AdaptiveSparkPlan never prints codegen markers
     // (stages materialise at runtime); disabling AQE for the plan
