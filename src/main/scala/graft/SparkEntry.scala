@@ -71,6 +71,7 @@ object SparkEntry {
     "v8_embed_udf" -> ((s: SparkSession, d: String) => VectorSearch.embedUdfKnn(s, d)),
     "v9_cross_modal" -> ((s: SparkSession, d: String) => VectorSearch.crossModalKnn(s, d)),
     "vq1_knn_i8" -> ((s: SparkSession, d: String) => VectorSearch.quantizedKnn(s, d)),
+    "vq2_knn_l2_i8" -> ((s: SparkSession, d: String) => VectorSearch.quantizedKnnL2(s, d)),
     "d1_exact_dedup" -> (Dedup.d1Query _),
     "d2_ngram_jaccard" -> (Dedup.d2Query _),
     "d3_minhash_lsh" -> (Dedup.d3Query _),
@@ -542,6 +543,18 @@ object SparkEntry {
          |         list_transform(v, x -> round(x / s)) AS qv FROM sc)
          |SELECT vec_id, label,
          |       1.0 - list_cosine_similarity(qv, ${vec(1)}::DOUBLE[]) AS score
+         |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
+    // vq2: L2 over the dequantized codes (scale·code) — the scale does
+    // not cancel for L2, so the oracle multiplies it back in, exactly
+    // as the serving expression does inside its codegen loop.
+    "vq2_knn_l2_i8" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, label, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+         |qz AS (SELECT vec_id, label,
+         |         list_transform(v, x -> round(x / s) * s) AS dq FROM sc)
+         |SELECT vec_id, label,
+         |       list_distance(dq, ${vec(0)}::DOUBLE[]) AS score
          |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ Curation.oracles ++ AsofJoin.oracles ++ RangeJoin.oracles ++

@@ -471,3 +471,87 @@ case class CosineDistanceI8(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+/** L2 distance between an [[Int8Pack]]-quantized BINARY vector and a
+  * full-precision array<float|double> query, dequantizing INSIDE the
+  * codegen'd loop via the stored per-vector scale: sqrt(Σ (scale·bᵢ −
+  * qᵢ)²). Unlike cosine the scale does not cancel for L2, so it rides
+  * as the second argument — one double per row, read from the same
+  * quantized store [[graft.operators.VectorSearch.ensureQuantized]]
+  * writes. Completes the quantized serving surface for v1's metric the
+  * way [[CosineDistanceI8]] does for v2's. */
+case class L2DistanceI8(first: Expression, second: Expression,
+                        third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "l2_distance_i8"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, DoubleType | FloatType,
+            ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, double, array<float|double>), got " +
+            s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  private def scaleIsFloat: Boolean = second.dataType == FloatType
+  private def isFloatQ: Boolean = third.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, m: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val s = if (scaleIsFloat) m.asInstanceOf[Float].toDouble
+      else m.asInstanceOf[Double]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.length
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: size mismatch: $n bytes vs ${b.numElements()} components")
+    val f = isFloatQ
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = s * a(i).toDouble -
+        (if (f) b.getFloat(i).toDouble else b.getDouble(i))
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, sc, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val getB =
+        if (isFloatQ) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = $a.length;
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("$prettyName: size mismatch: "
+         |    + $n + " bytes vs " + $b.numElements() + " components");
+         |}
+         |double $s = (double) $sc;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $s * (double) $a[$i] - $getB;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}

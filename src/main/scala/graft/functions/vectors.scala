@@ -24,6 +24,7 @@ object vectors {
     "l2_normalize" -> { es => L2Normalize(es.head) },
     "int8_pack" -> { es => Int8Pack(es.head) },
     "cosine_distance_i8" -> { es => CosineDistanceI8(es(0), es(1)) },
+    "l2_distance_i8" -> { es => L2DistanceI8(es(0), es(1), es(2)) },
   )
 
   /** Idempotent; call before using the Column API in a session. */
@@ -42,4 +43,6 @@ object vectors {
   def int8Pack(a: Column): Column = call_function("int8_pack", a)
   def cosineDistanceI8(q8: Column, query: Column): Column =
     call_function("cosine_distance_i8", q8, query)
+  def l2DistanceI8(q8: Column, scale: Column, query: Column): Column =
+    call_function("l2_distance_i8", q8, scale, query)
 }

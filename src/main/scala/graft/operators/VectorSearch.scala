@@ -286,6 +286,22 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** vq2: L2 brute-force knn from the quantized copy — v1's metric
+    * served like vq1 serves v2's. L2 does not enjoy cosine's scale
+    * invariance, so [[graft.functions.L2DistanceI8]] dequantizes
+    * inside the codegen'd loop via the stored per-vector scale (one
+    * extra double per row in the scan — still ~4× fewer bytes than
+    * the float32 corpus). Deterministic end to end → exact oracle. */
+  def quantizedKnnL2(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val path = ensureQuantized(s, d)
+    s.read.parquet(path)
+      .withColumn("score",
+        vectors.l2DistanceI8(col("qemb"), col("scale"), qcol(qvec(0))))
+      .select(col("vec_id"), col("label"), col("score"))
+      .orderBy(col("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** v7: vector norms + normalization as first-class expressions
     * (L1/L2/Linf vs zero; `unit0` reads the first component of the
     * L2-normalized vector so the normalize path is oracle-checked

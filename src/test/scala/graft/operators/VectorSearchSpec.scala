@@ -249,4 +249,38 @@ class VectorSearchSpec extends SparkSpec {
       .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
     messages should include("size mismatch")
   }
+
+  test("vq2: quantized L2 knn recall vs exact v1; scale dequantizes in the loop") {
+    val d = graft.SparkSpec.TinySf
+    val exact = VectorSearch.knnL2(spark, d).select("vec_id")
+      .as[Long].collect().toSet
+    val got = VectorSearch.quantizedKnnL2(spark, d).select("vec_id")
+      .as[Long].collect().toSet
+    (exact & got).size.toDouble / exact.size should be >= 0.8
+    // hand check on a tiny vector: scale = 1.0/127, codes = (127, -64),
+    // dequantized = (1.0, -64/127); L2 vs query (0, 0)
+    graft.functions.vectors.register(spark)
+    val r = Seq(Tuple1(Seq(1.0, -0.5))).toDF("v")
+      .select(graft.functions.vectors.l2DistanceI8(
+        graft.functions.vectors.int8Pack(col("v")),
+        lit(1.0 / 127.0),
+        typedlit(Seq(0.0, 0.0))).as("s"))
+      .head().getDouble(0)
+    val dq0 = 1.0
+    val dq1 = -64.0 / 127.0
+    r shouldBe math.sqrt(dq0 * dq0 + dq1 * dq1) +- 1e-15
+  }
+
+  test("i8 functions are null-intolerant like the float-side distances") {
+    graft.functions.vectors.register(spark)
+    val df = Seq((Option(Array[Byte](1, 2)), Option(1.0), Option(Seq(1.0, 2.0))))
+      .toDF("b", "s", "v")
+    def isNull(c: org.apache.spark.sql.Column): Boolean =
+      df.select(c).head().isNullAt(0)
+    isNull(graft.functions.vectors.cosineDistanceI8(lit(null).cast("binary"), col("v"))) shouldBe true
+    isNull(graft.functions.vectors.cosineDistanceI8(col("b"), lit(null).cast("array<double>"))) shouldBe true
+    isNull(graft.functions.vectors.l2DistanceI8(col("b"), lit(null).cast("double"), col("v"))) shouldBe true
+    isNull(graft.functions.vectors.l2DistanceI8(lit(null).cast("binary"), col("s"), col("v"))) shouldBe true
+    isNull(graft.functions.vectors.int8Pack(lit(null).cast("array<double>"))) shouldBe true
+  }
 }
