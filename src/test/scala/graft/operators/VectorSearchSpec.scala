@@ -283,4 +283,33 @@ class VectorSearchSpec extends SparkSpec {
     isNull(graft.functions.vectors.l2DistanceI8(lit(null).cast("binary"), col("s"), col("v"))) shouldBe true
     isNull(graft.functions.vectors.int8Pack(lit(null).cast("array<double>"))) shouldBe true
   }
+
+  test("int8_pack property: codes bounded, max component hits ±127, dequantize error ≤ scale/2") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    graft.functions.vectors.register(spark)
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
+      .suchThat(v => v.exists(_ != 0.0))
+    val cases = (0 until 20).flatMap(i =>
+      vecGen.apply(Gen.Parameters.default, Seed(99L + i)))
+    val df = cases.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), col("v"),
+        graft.functions.vectors.int8Pack(col("v")).as("b"))
+      .collect()
+    df.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val b = r.getAs[Array[Byte]](2)
+      b.length shouldBe v.length
+      val s = v.map(math.abs).max / 127.0
+      all(b.map(_.toInt).toSeq) should (be >= -127 and be <= 127)
+      // the max-magnitude component maps to exactly ±127
+      val mi = v.indexWhere(x => math.abs(x) == v.map(math.abs).max)
+      math.abs(b(mi).toInt) shouldBe 127
+      // round-to-nearest: dequantize error is at most half a step
+      v.indices.foreach { i =>
+        math.abs(b(i) * s - v(i)) should be <= (s / 2 + 1e-12)
+      }
+    }
+  }
 }
