@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
     // join and no sort-merge join (d5's later exact-verify id-joins
     // are separate equi-joins and may plan as the optimizer likes, so
     // it only pins the ShuffledHashJoin presence)
-    Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d7_containment").foreach { q =>
+    Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+      "d7_containment").foreach { q =>
       withClue(q) {
         val p = plan(q)
         p should include("ShuffledHashJoin")
