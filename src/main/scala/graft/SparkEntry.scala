@@ -79,6 +79,7 @@ object SparkEntry {
     "d5_embedding_neardup" -> (Dedup.d5Query _),
     "d6_dup_clusters" -> (Dedup.d6Query _),
     "d7_containment" -> (Dedup.d7Query _),
+    "d8_incremental_dedup" -> (Dedup.d8Query _),
     "t1_langid" -> (TextAnalysis.t1Query _),
     "t2_quality" -> (TextAnalysis.t2Query _),
     "t3_tokens" -> (TextAnalysis.t3Query _),

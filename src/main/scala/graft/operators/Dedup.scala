@@ -605,6 +605,143 @@ object Dedup {
   def d7Query(s: SparkSession, d: String): DataFrame =
     containmentPairs(Tables.documents(s, d))
 
+  // ---------------------------------------------------------------- d8
+
+  /** Shard construction for the d8 gate: every 7th corpus doc
+    * re-crawled with a trailing marker phrase (offset ids) — a near-dup
+    * whose shingle set is the original's plus a few boundary shingles,
+    * so symmetric Jaccard stays high. Same derived-input idea as d1's
+    * recrawl and d7's excerpts: the synthetic corpus has no incoming
+    * crawl batch of its own to dedupe. */
+  def d8Shard(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+        concat(col("text"), lit(" incremental crawl copy")).as("text"))
+
+  /** The persisted shingle-posting index of a corpus dir: one
+    * (g, doc_id, n) row per (shingle, doc), hot shingles (df >
+    * [[MaxShingleDf]]) dropped AT BUILD — the index is skew-free by
+    * construction. Written as a BUCKETED TABLE on `g` (bucket count =
+    * the building session's shuffle parallelism), which is the whole
+    * point at 100 TB: every later shard-dedup join reads the corpus
+    * side pre-hash-partitioned from disk, so the only exchange is the
+    * SHARD's postings — per-batch cost ∝ shard size, never corpus
+    * size. Staleness: the source-corpus data-file manifest rides in
+    * the table's properties, so freshness and the bucketing metadata
+    * share ONE lifetime — the session catalog's (in-memory here: a new
+    * JVM rebuilds; on a metastore deployment both persist together,
+    * the 100 TB shape). The table name carries the corpus hash +
+    * bucket count so distinct corpora/configs never collide.
+    *
+    * INCREMENTAL MAINTENANCE (the same grow-only contract as
+    * [[graft.sources.LocalIndex.ensureIncremental]], which the ANN
+    * indexes use): when the corpus dir has only GAINED parquet files —
+    * the ingest pattern, new crawl shards landing beside old ones —
+    * only the new files' postings are computed and appended into the
+    * existing bucketed layout (`saveAsTable` append honors the
+    * catalog's bucket spec, so appended files carry bucket ids and the
+    * zero-corpus-exchange join shape is preserved); per-append cost is
+    * ∝ the new shard, never the corpus. The hot-shingle cap applies
+    * batch-locally on appends — df drift across batches is the
+    * standard LSM trade, folded back at the periodic full rebuild. A
+    * mutated or removed old file falls back to the full rebuild. */
+  def ensurePostingIndex(s: SparkSession, d: String): String = {
+    val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val table = "graft_postings_" +
+      d.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase +
+      f"_${d.hashCode & 0xffffffffL}%08x" + s"_b$buckets"
+    val now = graft.sources.LocalIndex.dataManifest(Seq(s"$d/documents.parquet"))
+    val marker = now.mkString("|")
+    val stored =
+      if (s.catalog.tableExists(table))
+        s.sql(s"SHOW TBLPROPERTIES $table").collect()
+          .find(_.getString(0) == "graft.src").map(_.getString(1))
+      else None
+    val storedEntries = stored.map(_.split('|').toSeq.filter(_.nonEmpty))
+
+    // (g, doc_id, n) postings of a doc batch, hot cap applied within it
+    def postings(docs: DataFrame): DataFrame = {
+      val ex = docShingles(docs)
+        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+      val live = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf).select(col("g"))
+      ex.join(live.hint("shuffle_hash"), Seq("g"))
+    }
+    def setMarker(): Unit = {
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.src' = '$marker')")
+      ()
+    }
+
+    storedEntries match {
+      case Some(old) if old == now => // fresh: serve as-is
+      case Some(old) if old.nonEmpty && old.forall(now.contains) =>
+        // grow-only corpus: append just the new shard files' postings
+        val newFiles = now.filterNot(old.contains)
+          // strip trailing :len:mtime (the path itself may hold ':')
+          .map(e => e.substring(0, e.lastIndexOf(':', e.lastIndexOf(':') - 1)))
+        postings(s.read.parquet(newFiles: _*))
+          .write.mode("append")
+          .format("parquet").option("compression", "zstd")
+          .bucketBy(buckets, "g").sortBy("g")
+          .saveAsTable(table)
+        setMarker()
+      case _ =>
+        // full (re)build; clear any catalog-orphaned warehouse files
+        // (the in-memory catalog forgets tables on JVM exit; the files
+        // remain)
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+        def rm(f: java.io.File): Unit =
+          if (f.exists()) {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+        rm(loc)
+        postings(Tables.documents(s, d))
+          .write.mode("overwrite")
+          .format("parquet").option("compression", "zstd")
+          .bucketBy(buckets, "g").sortBy("g")
+          .saveAsTable(table)
+        setMarker()
+    }
+    table
+  }
+
+  /** d8: INCREMENTAL dedup — the operation a 100 TB ingest actually
+    * runs: dedupe each incoming crawl shard against the
+    * already-ingested corpus, without touching corpus-sized state per
+    * batch. The corpus side is the persisted bucketed posting index
+    * ([[ensurePostingIndex]]); the shard's shingles explode and join
+    * it on the shingle, so the exchange volume is the SHARD's postings
+    * only (pinned in the spec: zero Exchange on the corpus subtree).
+    * Scoring is d2's symmetric Jaccard from the carried set sizes.
+    * Within-shard duplicates are d2's job on the shard alone; this
+    * operator is the shard×corpus half. */
+  def incrementalDedup(shard: DataFrame, s: SparkSession, d: String,
+                       threshold: Double = 0.5): DataFrame = {
+    val table = ensurePostingIndex(s, d)
+    val corpus = s.table(table)
+      .select(col("g"), col("doc_id").as("corpus_doc"), col("n").as("cn"))
+    val shardEx = docShingles(shard)
+      .select(col("doc_id").as("shard_doc"), size(col("sh")).as("sn"),
+        explode(col("sh")).as("g"))
+    shardEx.join(corpus, Seq("g"))
+      .groupBy(col("shard_doc"), col("corpus_doc"))
+      .agg(count(lit(1)).as("common"), max(col("sn")).as("sn"),
+        max(col("cn")).as("cn"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sn") + col("cn") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("shard_doc"), col("corpus_doc"), col("common"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("shard_doc"), col("corpus_doc"))
+  }
+
+  def d8Query(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalDedup(d8Shard(docs), s, d)
+  }
+
   // ------------------------------------------------------------ oracles
 
   private val toksSql = textops.tokensSql("text")
@@ -739,6 +876,34 @@ object Dedup {
          |           ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INTEGER AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 12
+         |ORDER BY 1, 2""".stripMargin,
+    // d8: shard×corpus incremental dedup — corpus postings (hot-capped
+    // on CORPUS df only, no singleton drop: a lone corpus shingle can
+    // still match a shard shingle) joined by the derived shard's
+    // postings; symmetric Jaccard from the carried set sizes.
+    "d8_incremental_dedup" ->
+      s"""WITH ctoks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |csh AS (SELECT doc_id, $shSql AS s FROM ctoks),
+         |csh2 AS (SELECT doc_id, s FROM csh WHERE len(s) > 0),
+         |cex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM csh2),
+         |hot AS (SELECT g FROM cex GROUP BY g HAVING count(*) > $MaxShingleDf),
+         |cpost AS (SELECT * FROM cex WHERE g NOT IN (SELECT g FROM hot)),
+         |sdocs AS (SELECT doc_id + 4000000 AS doc_id,
+         |                 text || ' incremental crawl copy' AS text
+         |          FROM documents WHERE doc_id % 7 = 0),
+         |stoks AS (SELECT doc_id, $toksSql AS t FROM sdocs),
+         |ssh AS (SELECT doc_id, $shSql AS s FROM stoks),
+         |ssh2 AS (SELECT doc_id, s FROM ssh WHERE len(s) > 0),
+         |sex AS (SELECT doc_id AS shard_doc, len(s) AS sn, unnest(s) AS g FROM ssh2),
+         |pairs AS (
+         |  SELECT shard_doc, c.doc_id AS corpus_doc, count(*) AS common,
+         |         max(sn) AS sn, max(c.n) AS cn
+         |  FROM sex s JOIN cpost c ON s.g = c.g
+         |  GROUP BY 1, 2)
+         |SELECT shard_doc, corpus_doc, common,
+         |       round(common * 1.0 / (sn + cn - common), 4) AS jaccard
+         |FROM pairs
+         |WHERE common * 1.0 / (sn + cn - common) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
     "d5_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

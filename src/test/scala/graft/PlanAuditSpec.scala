@@ -152,6 +152,40 @@ class PlanAuditSpec extends SparkSpec {
     "Scan parquet".r.findAllIn(p).size shouldBe 2 // layout + source count
   }
 
+  test("d8 incremental dedup exchanges only the shard side of the candidate join") {
+    // the 100 TB contract of the posting index: the corpus side is a
+    // bucketed table pre-partitioned on the join key, so per-batch
+    // exchange volume is ∝ shard size, never corpus size. Broadcast
+    // is forced off (a real shard batch exceeds any threshold) so the
+    // audited shape is the at-scale shuffle join.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val exec = SparkEntry.queries("d8_incremental_dedup")(spark, SparkSpec.TinySf)
+        .queryExecution.executedPlan
+      def postingScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table.startsWith("graft_postings_")) => s
+      }
+      postingScans(exec) should have size 1
+      postingScans(exec).head.bucketedScan shouldBe true
+      val join = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if postingScans(j.left).nonEmpty ^ postingScans(j.right).nonEmpty => j
+      }.head
+      val corpusSide =
+        if (postingScans(join.left).nonEmpty) join.left else join.right
+      corpusSide.collect { case e: ShuffleExchangeExec => e } shouldBe empty
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("text analysis queries run on native expressions in codegen'd stages") {
     // an UNEXECUTED AdaptiveSparkPlan never prints codegen markers
     // (stages materialise at runtime); disabling AQE for the plan

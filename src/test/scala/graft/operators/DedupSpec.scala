@@ -176,6 +176,78 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  private def writeCorpus(dir: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("incrementalDedup: shard near-dup matched against the persisted corpus index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-d8-").toString
+    writeCorpus(dir, Seq(
+      (0L, baseText),
+      (2L, "completely different content about spark catalyst optimizer " +
+        "rules rewriting logical plans into physical execution strategies")))
+    val shard = Seq(
+      (100L, baseText + " again"), // near-dup of corpus doc 0
+      (101L, "totally novel words about gardens and rivers flowing north " +
+        "past the old mill where nothing resembles the corpus at all"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(shard, spark, dir).collect()
+    out.map(r => (r.getAs[Long]("shard_doc"), r.getAs[Long]("corpus_doc"))) shouldBe
+      Array((100L, 0L))
+    out(0).getAs[Double]("jaccard") should be > 0.5
+  }
+
+  private def indexFiles(table: String): Map[String, Long] = {
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(loc).filter(_.getName.startsWith("part-"))
+      .map(f => f.getAbsolutePath -> f.lastModified).toMap
+  }
+
+  test("ensurePostingIndex: unchanged corpus reuses the index; a regenerated corpus rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-d8-").toString
+    writeCorpus(dir, Seq((0L, baseText)))
+    val t1 = Dedup.ensurePostingIndex(spark, dir)
+    val f1 = indexFiles(t1)
+    f1 should not be empty
+    // unchanged corpus: second ensure is a metadata check, no write job
+    Dedup.ensurePostingIndex(spark, dir) shouldBe t1
+    indexFiles(t1) shouldBe f1
+    // regenerated corpus (new parquet files): fingerprint mismatch → rebuild
+    writeCorpus(dir, Seq((0L, baseText), (1L, baseText + " slowly")))
+    Dedup.ensurePostingIndex(spark, dir) shouldBe t1
+    indexFiles(t1).keySet should not equal f1.keySet
+  }
+
+  test("ensurePostingIndex: a grow-only corpus appends only the new shard's postings") {
+    val other = "completely different content about spark catalyst optimizer " +
+      "rules rewriting logical plans into physical execution strategies"
+    val dir = java.nio.file.Files.createTempDirectory("graft-d8-").toString
+    writeCorpus(dir, Seq((0L, baseText)))
+    val t = Dedup.ensurePostingIndex(spark, dir)
+    val f1 = indexFiles(t)
+    f1 should not be empty
+    // a new crawl shard lands beside the old files (append: old parquet
+    // parts byte-identical, new parts added) — the ingest pattern
+    Seq((50L, other)).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    Dedup.ensurePostingIndex(spark, dir) shouldBe t
+    val f2 = indexFiles(t)
+    // every original index file untouched — no corpus-sized rewrite
+    f1.foreach { case (p, m) => f2(p) shouldBe m }
+    f2.size should be > f1.size
+    // the appended doc is live in the index: a near-dup of it matches,
+    // WHICH also proves appended files landed in the right buckets (a
+    // misbucketed posting would be invisible to the bucketed join)
+    val shard = Seq((200L, other + " again")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(shard, spark, dir).collect()
+    out.map(r => (r.getAs[Long]("shard_doc"), r.getAs[Long]("corpus_doc"))) shouldBe
+      Array((200L, 50L))
+  }
+
   test("embeddingNearDup finds identical vectors, skips distant ones") {
     val dim = 64
     val v = (0 until dim).map(i => ((i * 13 % 7) - 3).toFloat)
