@@ -734,12 +734,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("shard_doc"), col("corpus_doc"), col("common"),
         round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("shard_doc"), col("corpus_doc"))
   }
 
   def d8Query(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     incrementalDedup(d8Shard(docs), s, d)
+      .orderBy(col("shard_doc"), col("corpus_doc"))
   }
 
   // ------------------------------------------------------------ oracles

@@ -310,6 +310,55 @@ object EventStream {
           s"ets BETWEEN ts - INTERVAL $maxDelay AND ts + INTERVAL $maxDelay"))
       .select(col("doc_id"), col("text"), col("embedding"), col("ts"))
 
+  /** s6: streaming ingest dedup — the CONTINUOUS form of d8
+    * ([[graft.operators.Dedup.incrementalDedup]]): crawl shards arrive
+    * as a file stream and each micro-batch is deduped against the
+    * persisted bucketed posting index inside `foreachBatch` — the
+    * stream-against-batch-index shape for when the batch side needs
+    * join physics (a bucketed, pre-partitioned corpus read) the
+    * streaming planner can't express. ZERO streaming state: a batch's
+    * verdicts depend only on that batch and the index, so state stays
+    * empty however long the stream runs, and the emitted union is the
+    * same for ANY split of the shard rows into micro-batches — unlike
+    * s2/s3, whose oracles pin single-batch scope, this gate's oracle
+    * is split-invariant (pinned by the multi-batch suite test).
+    * Per-batch cost ∝ batch size: the corpus side reads
+    * pre-partitioned from disk, only the batch's postings exchange. */
+  def ingestDedup(shards: DataFrame, d: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    shards.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.incrementalDedup(batch.toDF(), batch.sparkSession, d)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** s6 gate: [[ingestDedup]] over the d8 shard arriving as a real
+    * file-source stream. The posting index is built once BEFORE the
+    * stream starts (each batch's re-ensure is then a pure metadata
+    * freshness check); no single-data-batch `require` — s6's output is
+    * batch-split-invariant by construction. */
+  def s6Query(s: SparkSession, d: String): DataFrame = {
+    val root = scratchRoot.resolve(
+      "s6-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    wipe(root)
+    java.nio.file.Files.createDirectories(root)
+    val ss = s.newSession()
+    inheritStreamingConfs(s, ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    graft.operators.Dedup.ensurePostingIndex(ss, d)
+    val raw = ss.read.parquet(s"$d/documents.parquet")
+    val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
+    val q = ingestDedup(graft.operators.Dedup.d8Shard(src), d,
+      root.resolve("out").toString, root.resolve("ckpt").toString)
+    q.awaitTermination()
+    s.read.parquet(root.resolve("out").toString)
+      .orderBy(col("shard_doc"), col("corpus_doc"))
+  }
+
   /** s5 gate: [[windowedTopK]] as a real file-source stream. The
     * sketch capacity (256) exceeds the corpus' user cardinality, so
     * every finalized window's top-k is EXACT with the sketch's own
@@ -450,5 +499,9 @@ object EventStream {
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |WHERE e.vec_id % 7 <= 4
         |ORDER BY 1""".stripMargin,
+    // s6 is batch-split-invariant, so its oracle IS d8's: the union of
+    // per-batch verdicts over any split equals the whole-shard result
+    "s6_stream_ingest_dedup" ->
+      graft.operators.Dedup.oracles("d8_incremental_dedup"),
   )
 }

@@ -187,6 +187,38 @@ abstract class EventStreamSuiteBase extends SparkSpec {
     } finally q.stop()
   }
 
+  test(s"[$store] s6 ingest dedup is batch-split-invariant: two shard files, two batches, same union") {
+    val base = "the quick brown fox jumps over the lazy dog while the storm " +
+      "gathers strength beyond the eastern ridge and rain begins to fall"
+    val other = "completely different content about spark catalyst optimizer " +
+      "rules rewriting logical plans into physical execution strategies"
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-s6-").toString
+    Seq((0L, base), (1L, other)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    // two shard files landing in the watched dir — each a near-dup of a
+    // different corpus doc, plus one novel doc that must emit nothing
+    val shardRoot = java.nio.file.Files.createTempDirectory("graft-s6-sh-").toString
+    Seq((100L, base + " again")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$shardRoot/shard_a.parquet")
+    Seq((200L, other + " too"), (201L, "totally novel words about gardens " +
+        "and rivers flowing north past the old mill unlike anything stored"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$shardRoot/shard_b.parquet")
+    val schema = spark.read.parquet(s"$shardRoot/shard_a.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one micro-batch per file
+      .parquet(s"$shardRoot/shard_*.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-s6-out-").toString
+    val q = EventStream.ingestDedup(src, corpusDir,
+      s"$out/verdicts", s"$out/ckpt")
+    try q.awaitTermination() finally q.stop()
+    q.recentProgress.count(_.numInputRows > 0) shouldBe 2
+    val got = spark.read.parquet(s"$out/verdicts").collect()
+      .map(r => (r.getAs[Long]("shard_doc"), r.getAs[Long]("corpus_doc"))).toSet
+    // union over the two batches == the whole-shard result
+    got shouldBe Set((100L, 0L), (200L, 1L))
+  }
+
   test(s"[$store] s1 recovery: restart from checkpoint resumes exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
