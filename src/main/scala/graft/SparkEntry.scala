@@ -93,6 +93,7 @@ object SparkEntry {
     "a2_indexed" -> ((s: SparkSession, d: String) => Ann.indexedLshKnn(s, d)),
     "a3_ivf_ann" -> (Ann.a3Query _),
     "a3_indexed" -> ((s: SparkSession, d: String) => Ann.indexedIvfKnn(s, d)),
+    "vq3_ivf_i8" -> ((s: SparkSession, d: String) => Ann.quantizedIvfKnn(s, d)),
     "s1_stream_window" -> (EventStream.s1Query _),
     "s2_stream_sessionize" -> (EventStream.s2Query _),
     "s3_stream_dedup" -> (EventStream.s3Query _),

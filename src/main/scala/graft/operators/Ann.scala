@@ -430,6 +430,72 @@ object Ann {
       .orderBy(col("query_id"), col("score"), col("vec_id"))
   }
 
+  /** vq3's quantized twin of [[ensureIvfIndex]]: the same cell
+    * partitioning (cid assigned on the FULL-precision embedding, same
+    * codebook — so vq3 probes exactly the cells a3 would), but each
+    * row stores the int8 code + per-vector scale instead of the float
+    * array ([[graft.functions.Int8Pack]], the vq1 quantizer). Probed
+    * cells therefore scan ~4× fewer bytes than a3's float32 index —
+    * IVF pruning × reduced precision compose: at 100 TB the probe
+    * reads NProbe/NumCentroids of a quarter-width corpus. Same
+    * grow-only append / codebook-change-rebuild contract as the float
+    * index. */
+  def ensureIvfIndexI8(s: SparkSession, d: String): String = {
+    vectors.register(s)
+    val cb = codebookFor(s, d)
+    def rows(df: DataFrame): DataFrame = df
+      .withColumn("cid", nearestCentroid(cb, col("embedding")))
+      .select(col("vec_id"),
+        (array_max(transform(col("embedding"), x => abs(x))).cast("double")
+          / lit(127.0)).as("scale"),
+        vectors.int8Pack(col("embedding")).as("qemb"), col("cid"))
+    graft.sources.LocalIndex.ensureIncremental("ivf-i8-index", d,
+      "_k" + NumCentroids, Seq(s"$d/embeddings.parquet"),
+      extra = "cb:" + cb.hashCode) { path =>
+      rows(Tables.embeddings(s, d))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cid").parquet(path)
+    } { (newFiles, path) =>
+      rows(s.read.parquet(newFiles: _*))
+        .write.mode("append").option("compression", "zstd")
+        .partitionBy("cid").parquet(path)
+    }
+  }
+
+  /** vq3: IVF-probed knn served from the int8 index — [[indexedIvfKnn]]
+    * with the probed cells scanning packed bytes. L2 needs the scale
+    * back ([[graft.functions.L2DistanceI8]] dequantizes inside the
+    * codegen loop, as vq2 does over the flat quantized copy).
+    * Deterministic quantization → exact DuckDB oracle (the a3 oracle
+    * with the dequantize replayed on the corpus side). */
+  def quantizedIvfKnn(s: SparkSession, d: String, k: Int = K): DataFrame = {
+    import s.implicits._
+    vectors.register(s)
+    val cb = codebookFor(s, d)
+    val idx = s.read.parquet(ensureIvfIndexI8(s, d))
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val probePairs: Seq[(Int, Long, Seq[Double])] =
+      querySet.flatMap { case (i, qv) =>
+        cb.map { case (cid, cv) => (cid, l2(qv, cv)) }
+          .sortBy { case (cid, dd) => (dd, cid) }
+          .take(NProbe)
+          .map { case (cid, _) => (i, cid, qv) }
+      }
+    val probes = probePairs.toDF("query_id", "pcid", "qv")
+    val probedCells = probePairs.map(_._2).distinct
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
+    idx.filter(col("cid").isin(probedCells: _*))
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .withColumn("score",
+        vectors.l2DistanceI8(col("qemb"), col("scale"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("query_id"), col("score"), col("vec_id"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   /** Parity assumption, shared by every float-scoring oracle here and
@@ -495,6 +561,7 @@ object Ann {
     "a2_indexed" -> a2Sql,
     "a3_indexed" -> a3Sql(d),
     "a3_ivf_ann" -> a3Sql(d),
+    "vq3_ivf_i8" -> vq3Sql(d),
   )
 
   private def a3Sql(d: String): String =
@@ -512,6 +579,33 @@ object Ann {
          |    FROM queries q CROSS JOIN cents c)
          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdist, ccid) <= $NProbe)
          |SELECT query_id, vec_id, list_distance(e, qv) AS score
+         |FROM assigned JOIN qprobe USING (cid)
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
+         |ORDER BY query_id, score, vec_id""".stripMargin
+
+  /** a3's SQL with vq1/vq2's deterministic dequantize replayed on the
+    * corpus side: cell ASSIGNMENT uses the full-precision vector (the
+    * index assigns before quantizing), scoring uses round(x/s)·s. */
+  private def vq3Sql(d: String): String =
+    s"""WITH ${centsSql(d)},
+         |sc AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+         |       FROM embeddings),
+         |qz AS (SELECT vec_id, v,
+         |         list_transform(v, x -> round(x / s) * s) AS dq FROM sc),
+         |assigned AS (
+         |  SELECT vec_id, dq, ccid AS cid FROM (
+         |    SELECT q.vec_id, q.dq, c.ccid,
+         |           list_distance(q.v, c.cv) AS cdist
+         |    FROM qz q CROSS JOIN cents c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, ccid) = 1),
+         |queries(query_id, qv) AS (VALUES $queriesValuesSql),
+         |qprobe AS (
+         |  SELECT query_id, qv, ccid AS cid FROM (
+         |    SELECT q.query_id, q.qv, c.ccid, list_distance(q.qv, c.cv) AS qdist
+         |    FROM queries q CROSS JOIN cents c)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdist, ccid) <= $NProbe)
+         |SELECT query_id, vec_id, list_distance(dq, qv) AS score
          |FROM assigned JOIN qprobe USING (cid)
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
          |ORDER BY query_id, score, vec_id""".stripMargin

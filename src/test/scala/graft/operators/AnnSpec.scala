@@ -143,6 +143,35 @@ class AnnSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("quantizedIvfKnn: prunes cells, scans packed bytes only, top-1 matches the float index") {
+    vectors.register(spark)
+    implicit val s = spark
+    val embs = corpus(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vq3spec-").toString
+    embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = Ann.quantizedIvfKnn(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan.split("PartitionFilters").exists(_.contains("cid")) shouldBe true
+    // the probed scan reads the int8 code + scale, never the float corpus
+    val i8Scan = plan.split("Scan parquet").find(_.contains("qemb"))
+    i8Scan should not be empty
+    i8Scan.get should not include "embedding"
+
+    val got = out.collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id")))
+    got.groupBy(_._1).values.foreach(_.length shouldBe Ann.K)
+    // quantization perturbs scores by ≤ scale/2 per component — far less
+    // than the corpus's inter-vector spacing, so the winner must agree
+    // with the full-precision index per query
+    def top1(rows: Array[(Int, Long)]): Map[Int, Long] =
+      rows.groupBy(_._1).map { case (q, arr) => q -> arr.head._2 }
+    val floatTop = top1(Ann.indexedIvfKnn(spark, dir).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"))))
+    top1(got) shouldBe floatTop
+  }
+
   /** Recursive (path → (length, mtime)) snapshot of the DATA files of
     * an index dir (markers/_SUCCESS excluded — they legitimately
     * update on append). */
