@@ -97,6 +97,34 @@ class SqlSurfaceRobustnessSpec extends SparkSpec {
       " FROM range(3)") shouldBe Right(null)
   }
 
+  test("int8 quantized surface: null in → NULL out, bad types fail analysis, size mismatch dies loudly") {
+    // untyped NULL fails the concrete-type check at analysis (same
+    // contract as the float surface); a TYPED null propagates as NULL
+    eval("int8_pack(NULL)") shouldBe Left("analysis")
+    eval("int8_pack(CAST(NULL AS ARRAY<DOUBLE>))") shouldBe Right(null)
+    eval("int8_pack(array())") shouldBe Left("analysis")
+    eval("int8_pack(array(1, 2))") shouldBe Left("analysis") // int array: no silent cast
+    eval("cosine_distance_i8(CAST(NULL AS BINARY), array(1.0D))") shouldBe Right(null)
+    eval("l2_distance_i8(CAST(NULL AS BINARY), 1.0D, array(1.0D))") shouldBe Right(null)
+    // defined: the all-zero vector packs to n zero bytes (scale 0 guard)
+    eval("octet_length(int8_pack(array(0.0D, 0.0D)))") shouldBe Right(2)
+    // round trip: quantize-then-score self-distance collapses to ~0
+    val rt = spark.sql(
+      "SELECT cosine_distance_i8(int8_pack(array(3.0D, 4.0D)), array(3.0D, 4.0D)) AS x")
+      .head.getDouble(0)
+    rt should be < 1e-4
+    // a code/query length mismatch is a data-contract violation: it must
+    // die LOUDLY at eval (never a silent short fold)
+    val e = intercept[Throwable] {
+      spark.sql(
+        "SELECT cosine_distance_i8(int8_pack(array(1.0D, 2.0D)), array(1.0D)) AS x").head
+    }
+    var c: Throwable = e
+    while (c.getCause != null && !c.getMessage.contains("size mismatch"))
+      c = c.getCause
+    c.getMessage should include("size mismatch")
+  }
+
   test("DESCRIBE FUNCTION serves real usage text for every injected name") {
     GraftExtensions.allBuilders.map(_._1).foreach { n =>
       val txt = spark.sql(s"DESCRIBE FUNCTION $n").collect().map(_.getString(0))
