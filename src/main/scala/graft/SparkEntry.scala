@@ -107,6 +107,7 @@ object SparkEntry {
     "c5_ngram_stats" -> (Curation.c5Query _),
     "c6_contamination" -> (Curation.c6Query _),
     "c7_partitioned_layout" -> (Curation.c7Query _),
+    "c8_pipeline" -> (Curation.c8Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))

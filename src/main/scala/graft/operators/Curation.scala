@@ -249,6 +249,52 @@ object Curation {
     layoutStats(docs, s.read.parquet(dir))
   }
 
+  // ---------------------------------------------------------------- c8
+
+  /** Quality floor for the pipeline gate (on t2's 0.2–1.0 clipped
+    * score; 0.5 keeps docs with some stopword mass or length). */
+  val QualityFloor = 0.5
+
+  /** c8: the end-to-end curation gate a training-data build runs per
+    * corpus snapshot — the composition that turns raw crawl into a
+    * training manifest:
+    *
+    *  1. language-ID (t1's one-pass stopword vote) → keep English;
+    *  2. quality floor (t2's clipped linear score ≥ [[QualityFloor]]);
+    *  3. exact dedup among survivors (d1's rule: keep the smallest
+    *     doc_id per content hash);
+    *  4. deterministic train/val/test assignment (c1's content-hash
+    *     split).
+    *
+    * Scale shape: steps 1, 2, 4 are pure expressions FUSED INTO THE
+    * SCAN (one codegen stage, no shuffle); the only exchange in the
+    * whole pipeline is step 3's hash partition of the SURVIVORS —
+    * strictly less data than the corpus, post-filter. At 100 TB this
+    * is one pass over the corpus plus one shuffle of the kept docs;
+    * there is nothing to cut without changing semantics. Emits the
+    * per-doc manifest (doc_id, quality, split) a trainer consumes. */
+  def pipelineGate(docs: DataFrame, qualityFloor: Double = QualityFloor): DataFrame = {
+    graft.functions.textstats.register(docs.sparkSession)
+    val t = textops.tokens(col("text"))
+    val kept = graft.Spread.ifNarrow(docs)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.predLangCol(t).as("pred_lang"),
+        TextAnalysis.qualityScoreCol(t).as("quality"))
+      .filter(col("pred_lang") === lit("en") &&
+        col("quality") >= lit(qualityFloor))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    kept
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("split", splitCol)
+      .select(col("doc_id"), col("quality"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def c8Query(s: SparkSession, d: String): DataFrame =
+    pipelineGate(Tables.documents(s, d))
+
   // ------------------------------------------------------------ oracles
 
   private val h60text = textops.hash60Sql("text")
@@ -256,6 +302,40 @@ object Curation {
   private val shSql = textops.shinglesSql("t")
 
   val oracles: Map[String, String] = Map(
+    // c8: the composed gate — t1's vote, t2's score (n_stop IS s_en:
+    // both derive from the English stopword list), d1's keep rule,
+    // c1's split, all replayed from the same shared SQL fragments
+    "c8_pipeline" ->
+      s"""WITH counted AS (
+         |  SELECT doc_id, text, len(t)::INTEGER AS n_tokens,
+         |    ${TextAnalysis.countInSql(TextAnalysis.Stopwords(0)._2)} AS s_en,
+         |    ${TextAnalysis.countInSql(TextAnalysis.Stopwords(1)._2)} AS s_de,
+         |    ${TextAnalysis.countInSql(TextAnalysis.Stopwords(2)._2)} AS s_fr,
+         |    ${TextAnalysis.countInSql(TextAnalysis.Stopwords(3)._2)} AS s_es
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents)),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |         WHEN s_fr >= s_es THEN 'fr'
+         |         ELSE 'es' END AS pred_lang,
+         |    round(least(1.0,
+         |      0.2 + 2.0 * (CASE WHEN n_tokens = 0 THEN 0.0
+         |                        ELSE s_en * 1.0 / n_tokens END) +
+         |      least(n_tokens * 1.0, 100.0) / 500.0), 4) AS quality
+         |  FROM counted),
+         |kept AS (
+         |  SELECT * FROM scored
+         |  WHERE pred_lang = 'en' AND quality >= $QualityFloor),
+         |deduped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |                               ORDER BY doc_id) AS rn
+         |  FROM kept)
+         |SELECT doc_id, quality,
+         |  CASE WHEN $h60text % 100 < $TrainPct THEN 'train'
+         |       WHEN $h60text % 100 < ${TrainPct + ValPct} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM deduped WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // c7: the layout contract derives exactly from the dense doc_id
     // domain: ceil(n/bucket) files, full buckets of RowsPerBucket.
     "c7_partitioned_layout" ->

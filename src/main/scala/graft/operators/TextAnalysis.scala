@@ -74,6 +74,33 @@ object TextAnalysis {
   def t1Query(s: SparkSession, d: String): DataFrame =
     langId(Tables.documents(s, d))
 
+  /** t1's stopword-vote winner as a reusable column (same one-pass
+    * native scoring, same en≥de≥fr≥es tie-break) — c8's pipeline gate
+    * composes it without re-deriving the vote. */
+  private[operators] def predLangCol(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val sw = graft.functions.textstats.stopwordCounts(t, Stopwords.map(_._2))
+    val (se, sd, sf, ss) = (element_at(sw, 1), element_at(sw, 2),
+      element_at(sw, 3), element_at(sw, 4))
+    when(se >= sd && se >= sf && se >= ss, "en")
+      .when(sd >= sf && sd >= ss, "de")
+      .when(sf >= ss, "fr")
+      .otherwise("es")
+  }
+
+  /** t2's clipped linear quality score as a reusable column (identical
+    * arithmetic — any drift from t2 fails both oracles). */
+  private[operators] def qualityScoreCol(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val nTok = size(t)
+    val nStop = element_at(
+      graft.functions.textstats.stopwordCounts(t, Seq(Stopwords(0)._2)), 1)
+    round(least(lit(1.0),
+      lit(0.2) + lit(2.0) * when(nTok === 0, 0.0)
+        .otherwise(nStop.cast("double") / nTok) +
+        least(nTok.cast("double"), lit(100.0)) / lit(500.0)), 4)
+  }
+
   // ---------------------------------------------------------------- t2
 
   /** t2: per-doc quality scoring from length / whitespace / stopword
@@ -217,7 +244,7 @@ object TextAnalysis {
   // ------------------------------------------------------------ oracles
 
   private val toksSql = textops.tokensSql("text")
-  private def countInSql(ws: Seq[String]): String =
+  private[operators] def countInSql(ws: Seq[String]): String =
     s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x)))"
 
   val oracles: Map[String, String] = Map(

@@ -186,6 +186,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("c8 pipeline is scan-fused filters + one survivor exchange, no joins") {
+    // lang/quality/split are expressions fused into the scan stage; the
+    // ONLY hash exchange is the content-hash dedup window over the
+    // filtered survivors (plus the presentation sort's range exchange)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("c8_pipeline")
+      p.toLowerCase should not include "join"
+      p should not include "Generate"
+      "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+      "Scan parquet".r.findAllIn(p).size shouldBe 1
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("text analysis queries run on native expressions in codegen'd stages") {
     // an UNEXECUTED AdaptiveSparkPlan never prints codegen markers
     // (stages materialise at runtime); disabling AQE for the plan

@@ -93,4 +93,24 @@ class CurationSpec extends SparkSpec {
     pruned.queryExecution.executedPlan.toString should
       include regex "PartitionFilters: \\[[^\\]]*bucket"
   }
+
+  test("pipelineGate: every stage bites — language, quality floor, dedup, split") {
+    // the, of, and, to, in: 5 en stopwords in 14 tokens → quality
+    // 0.2 + 2·(5/14) + 14/500 = 0.942; vote: en
+    val goodEn = "the storm of the north and the rain to come in a dark night"
+    val pipelineDocs = Seq(
+      (1L, goodEn),
+      (10L, goodEn + " again and again the wind"), // near phrase, distinct text
+      (11L, goodEn + " again and again the wind"), // EXACT duplicate of 10
+      (20L, "der sturm und die nacht ist ein zeichen von der zeit"), // de vote
+      (30L, "alpha beta gamma"), // en by tie-break, quality 0.206 < floor
+    ).toDF("doc_id", "text")
+    val out = Curation.pipelineGate(pipelineDocs).collect()
+    // 20 fails language, 30 fails quality, 11 is deduped behind 10
+    out.map(_.getAs[Long]("doc_id")) shouldBe Array(1L, 10L)
+    out.foreach { r =>
+      r.getAs[Double]("quality") should be >= Curation.QualityFloor
+      Set("train", "val", "test") should contain(r.getAs[String]("split"))
+    }
+  }
 }
