@@ -222,6 +222,47 @@ class DedupSpec extends SparkSpec {
     indexFiles(t1).keySet should not equal f1.keySet
   }
 
+  test("incrementalDedup matches driver-side brute force on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // same dense-collision generator as the d2 property test: 6-word
+    // vocabulary, 8-token docs — every structural path (multi-match,
+    // no-match, repeated shingles within a doc) gets exercised
+    val docGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      .map(_.mkString(" "))
+    val caseGen = for {
+      corpus <- Gen.listOfN(12, docGen)
+      shard <- Gen.listOfN(5, docGen)
+    } yield (corpus, shard)
+    val cases = (0 until 4).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(9876L + i)))
+    cases.foreach { case (corpusTexts, shardTexts) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-d8prop-").toString
+      writeCorpus(dir,
+        corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      val shard = shardTexts.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val got = Dedup.incrementalDedup(shard, spark, dir, threshold = 0.3)
+        .collect()
+        .map(r => (r.getAs[Long]("shard_doc"), r.getAs[Long]("corpus_doc"),
+          r.getAs[Long]("common"), r.getAs[Double]("jaccard"))).toSet
+      // brute force, same semantics: distinct 3-shingles, symmetric
+      // Jaccard, hot cap never hit at n=12
+      def sh(t: String) =
+        t.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (st, si) <- shardTexts.zipWithIndex
+        (ct, ci) <- corpusTexts.zipWithIndex
+        common = (sh(st) & sh(ct)).size if common > 0
+        j = common.toDouble / (sh(st).size + sh(ct).size - common)
+        if j >= 0.3
+      } yield (100L + si, ci.toLong, common.toLong,
+        BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toSet
+      got shouldBe expected
+    }
+  }
+
   test("ensurePostingIndex: a grow-only corpus appends only the new shard's postings") {
     val other = "completely different content about spark catalyst optimizer " +
       "rules rewriting logical plans into physical execution strategies"
