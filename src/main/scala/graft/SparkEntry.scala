@@ -61,6 +61,7 @@ object SparkEntry {
     "q36_bit_agg" -> (Analytics.q36BitAgg _),
     "q37_moments" -> (Analytics.q37Moments _),
     "q38_limit_by" -> (Analytics.q38LimitBy _),
+    "q39_sequence_match" -> (Analytics.q39SequenceMatch _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -402,6 +403,25 @@ object SparkEntry {
         |                            ORDER BY ts DESC, event_id DESC) AS rk
         |  FROM events)
         |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    // q39: greedy-earliest chain — exact for pattern EXISTENCE; the
+    // windows' full-partition mins are replayed as per-user joins
+    "q39_sequence_match" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS tms, event_type
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |u1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN tms END) AS t1
+        |  FROM e GROUP BY user_id),
+        |u2 AS (
+        |  SELECT e.user_id, min(tms) AS t2
+        |  FROM e JOIN u1 USING (user_id)
+        |  WHERE event_type = 'click' AND tms > t1 GROUP BY e.user_id),
+        |u3 AS (
+        |  SELECT e.user_id, min(tms) AS t3
+        |  FROM e JOIN u2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND tms > t2 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM u3) AS matched_users,
+        |       (SELECT count(DISTINCT user_id) FROM e) AS total_users""".stripMargin,
     "q36_bit_agg" ->
       """SELECT event_type,
         |  bit_and(user_id) AS uid_and,

@@ -630,4 +630,42 @@ object Analytics {
         col("ts").cast("long").as("ts_sec"), round(col("value"), 4).as("value"))
       .orderBy(col("event_type"), col("rk"))
   }
+
+  /** q39: ordered event-pattern matching — ClickHouse's
+    * `sequenceMatch('(?1).*(?2).*(?3)')`: per user, does a view, a
+    * click, and a purchase occur in strict time order (any gaps)?
+    * Greedy-earliest chaining is exact for existence: a chain exists
+    * iff the one built from the earliest view, the earliest later
+    * click, and the earliest later purchase exists.
+    *
+    * Plan shape: THREE STACKED whole-partition windows over ONE
+    * partitioning (no orderBy — full-frame mins, so no sort at all),
+    * then a single-row aggregate: one exchange on user_id, O(1) state
+    * per user, no joins, no per-pair work — a bot with a million
+    * events costs that partition a linear scan. Times compare in ms
+    * (floored) in both engines. */
+  /** q39 core over (user_id, tms, event_type) — factored out for the
+    * brute-force property test. */
+  def sequenceMatchCounts(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    e.filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tms"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("tms") > col("t1"),
+          col("tms"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("tms") > col("t2"),
+          col("tms"))).over(w))
+      .groupBy()
+      .agg(
+        count_distinct(when(col("t3").isNotNull, col("user_id")))
+          .as("matched_users"),
+        count_distinct(col("user_id")).as("total_users"))
+  }
+
+  def q39SequenceMatch(s: SparkSession, d: String): DataFrame =
+    sequenceMatchCounts(Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        col("event_type")))
 }

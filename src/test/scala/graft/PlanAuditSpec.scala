@@ -201,6 +201,14 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q39 sequence match is stacked windows over one user partitioning — no joins") {
+    // the greedy chain reads off three whole-partition mins; a join- or
+    // pair-based formulation would be the per-key-quadratic trap
+    val p = plan("q39_sequence_match")
+    p.toLowerCase should not include "join"
+    p should include("Window")
+  }
+
   test("text analysis queries run on native expressions in codegen'd stages") {
     // an UNEXECUTED AdaptiveSparkPlan never prints codegen markers
     // (stages materialise at runtime); disabling AQE for the plan

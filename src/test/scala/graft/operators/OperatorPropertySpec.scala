@@ -109,6 +109,30 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("sequenceMatchCounts equals brute-force chain existence on random logs") {
+    // tiny time domain (0..6) and few users force ties ACROSS types —
+    // the strict-order edge the greedy chain must respect — plus
+    // users missing whole stages and decoy event types
+    val evGen = Gen.zip(
+      Gen.choose(0L, 3L),
+      Gen.oneOf("view", "click", "purchase", "error"),
+      Gen.choose(0L, 6L))
+    samples(Gen.listOfN(18, evGen), 30).foreach { evs =>
+      val df = evs.map { case (u, t, ms) => (u, ms, t) }
+        .toDF("user_id", "tms", "event_type")
+      val row = Analytics.sequenceMatchCounts(df).head
+      val users = evs.filter(e => Set("view", "click", "purchase")(e._2))
+        .map(_._1).distinct
+      val matched = users.count { u =>
+        def of(t: String) = evs.collect { case (`u`, `t`, ms) => ms }
+        of("view").exists(tv => of("click").exists(tc => tc > tv &&
+          of("purchase").exists(tp => tp > tc)))
+      }
+      (row.getAs[Long]("matched_users"), row.getAs[Long]("total_users")) shouldBe
+        ((matched.toLong, users.length.toLong))
+    }
+  }
+
   test("bandedPairs matches driver-side brute force on random inputs") {
     val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 300L))
     val caseGen = Gen.zip(Gen.listOfN(10, rowGen), Gen.listOfN(10, rowGen))
