@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Core SQL/analytics surface (SURVEY §2, q1–q22).
+/** Core SQL/analytics surface (SURVEY §2, q1–q39).
   *
   * The reference drives ClickHouse with declarative SQL
   * (`search.py:24-27` — filter / project / ORDER BY … LIMIT); this is the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.vectors
 
-/** Similarity search / ANN over the embedding corpus (SURVEY §2, a1–a3).
+/** Similarity search / ANN over the embedding corpus (SURVEY §2, a1–a3 + vq3).
   *
   * Three tiers of the same problem:
   *  - a1: exact batch brute force — the correctness baseline. Query set

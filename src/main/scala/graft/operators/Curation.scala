@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.textops
 
-/** Training-data curation operators (SURVEY §2, c1–c7) — the pipeline
+/** Training-data curation operators (SURVEY §2, c1–c8) — the pipeline
   * steps downstream of dedup/quality that a 100 TB corpus build needs:
   * deterministic splits, stratified sampling, canonical selection,
   * PII scrubbing, corpus n-gram statistics, benchmark-contamination

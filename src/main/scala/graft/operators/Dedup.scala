@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{textops, vectors}
 
-/** Training-data deduplication (SURVEY §2, d1–d5).
+/** Training-data deduplication (SURVEY §2, d1–d8).
   *
   * The capability block a large-scale LLM-data pipeline needs on top of
   * the reference's query surface. Every operator is shuffle-conscious:

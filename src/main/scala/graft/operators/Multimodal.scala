@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.textops
 
-/** Training-data multimodal plumbing (SURVEY §2, m1).
+/** Training-data multimodal plumbing (SURVEY §2, m1–m3).
   *
   * Models the reference's wide LAION row — opaque payload bytes plus
   * typed metadata (`process.py` carries width/height/exif beside the

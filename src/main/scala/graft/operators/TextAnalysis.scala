@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.textops
 
-/** Training-data text analysis (SURVEY §2, t1–t4).
+/** Training-data text analysis (SURVEY §2, t1–t5).
   *
   * Everything is built from codegen'd builtin functions — split /
   * regexp / size / md5 / array lambdas — no UDFs, so each per-doc

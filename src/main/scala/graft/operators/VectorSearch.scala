@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{concepts, vectors}
 
-/** LAION vector-search surface (SURVEY §2, v1–v8).
+/** LAION vector-search surface (SURVEY §2, v1–v9 + vq1/vq2).
   *
   * Re-expresses `search.py:20-33` — `SELECT url, caption,
   * L2Distance(column, features) AS score FROM table [WHERE f]

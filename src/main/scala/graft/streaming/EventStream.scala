@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Structured Streaming surface (SURVEY §2, s1–s2).
+/** Structured Streaming surface (SURVEY §2, s1–s6).
   *
   * The reference ingests continuously by looping shards through a
   * writer (`process.py:95-120` — each new shard parquet appended to the
