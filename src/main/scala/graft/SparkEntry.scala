@@ -62,6 +62,7 @@ object SparkEntry {
     "q37_moments" -> (Analytics.q37Moments _),
     "q38_limit_by" -> (Analytics.q38LimitBy _),
     "q39_sequence_match" -> (Analytics.q39SequenceMatch _),
+    "q40_histogram" -> (Analytics.q40Histogram _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -422,6 +423,23 @@ object SparkEntry {
         |  WHERE event_type = 'purchase' AND tms > t2 GROUP BY e.user_id)
         |SELECT (SELECT count(*) FROM u3) AS matched_users,
         |       (SELECT count(DISTINCT user_id) FROM e) AS total_users""".stripMargin,
+    // q40: all bin math in exact integer cents (round-then-cast — the
+    // DOUBLE ×100 is within 1e-9 of an integer, and a bare cast
+    // truncates in Spark but rounds in DuckDB); sum(BIGINT) is HUGEINT
+    // in DuckDB → cast back (the q28 lesson)
+    "q40_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+        |binned AS (
+        |  SELECT ((cents - lo) * 32) // (hi - lo + 1) AS bin, cents, lo, hi
+        |  FROM c, b)
+        |SELECT bin,
+        |  lo + ((hi - lo + 1) * bin) // 32 AS bin_lo_cents,
+        |  lo + ((hi - lo + 1) * (bin + 1)) // 32 - 1 AS bin_hi_cents,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM binned GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
     "q36_bit_agg" ->
       """SELECT event_type,
         |  bit_and(user_id) AS uid_and,

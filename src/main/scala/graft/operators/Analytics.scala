@@ -668,4 +668,47 @@ object Analytics {
     sequenceMatchCounts(Tables.events(s, d)
       .select(col("user_id"), unix_millis(col("ts")).as("tms"),
         col("event_type")))
+
+  /** q40: equi-width histogram — ClickHouse `histogram(32)(x)` pinned
+    * to its deterministic equi-width variant (the adaptive streaming-
+    * merge sketch has engine-defined bin placement, so its output is
+    * not cross-engine checkable; equal-width over the true [min, max]
+    * is the reproducible form).
+    *
+    * All bin math happens in exact integer cents (price × 100 is exact
+    * on DECIMAL(15,2)): `bin = (c − lo) · 32 div (hi − lo + 1)` maps
+    * min→0 and max→31 with no float rounding and no least()-clamp, so
+    * both engines agree bit-for-bit. Bin bounds come back out of the
+    * same integer division.
+    *
+    * Plan shape: the bounds pass is a 1-row full-scan aggregate (the
+    * unavoidable pre-pass of ANY exact equi-width histogram — the
+    * bounds are data-dependent); the 1-row result is broadcast, and the
+    * histogram pass partial-aggregates to ≤32 groups map-side, so the
+    * only exchange ships ≤32·partitions tiny rows. Both scans read ONE
+    * pruned column. At 100 TB: two column scans, zero wide shuffles. */
+  /** q40 core over a single BIGINT `cents` column — factored out for
+    * the brute-force property test. */
+  def histogramCents(cents: DataFrame, bins: Int): DataFrame = {
+    val nb = bins.toLong
+    val bounds = cents.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    cents.join(broadcast(bounds))
+      .withColumn("bin", expr(s"((cents - lo) * $nb) div (hi - lo + 1)"))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("bin"),
+        expr(s"lo + ((hi - lo + 1) * bin) div $nb").as("bin_lo_cents"),
+        expr(s"lo + ((hi - lo + 1) * (bin + 1)) div $nb - 1").as("bin_hi_cents"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("bin"))
+  }
+
+  def q40Histogram(s: SparkSession, d: String): DataFrame =
+    // the file stores price as DOUBLE: ×100 lands within 1e-9 of an
+    // integer, so round-then-cast is exact — a bare cast would TRUNCATE
+    // in Spark but ROUND in DuckDB and skew the cents by ±1
+    histogramCents(
+      Tables.lineitem(s, d)
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+      bins = 32)
 }

@@ -209,6 +209,16 @@ class PlanAuditSpec extends SparkSpec {
     p should include("Window")
   }
 
+  test("q40 histogram broadcasts the 1-row bounds and prunes both scans") {
+    // the bounds row rides a BroadcastNestedLoopJoin (no join key, one
+    // row — NOT a cartesian); every lineitem scan reads only the price
+    val p = plan("q40_histogram")
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "SortMergeJoin"
+    p should not include "l_comment"
+    p should not include "l_orderkey"
+  }
+
   test("text analysis queries run on native expressions in codegen'd stages") {
     // an UNEXECUTED AdaptiveSparkPlan never prints codegen markers
     // (stages materialise at runtime); disabling AQE for the plan

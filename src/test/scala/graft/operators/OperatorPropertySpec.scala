@@ -184,4 +184,29 @@ class OperatorPropertySpec extends SparkSpec {
       got shouldBe label
     }
   }
+
+  test("histogramCents matches driver-side brute force on random inputs") {
+    // adversarial domains: all-equal values (hi == lo), spans smaller
+    // than the bin count (empty bins), negative cents, single row
+    val caseGen = Gen.zip(
+      Gen.choose(1, 20), // rows
+      Gen.oneOf(Gen.const(0L -> 0L), Gen.const(-3L -> 3L),
+        Gen.const(0L -> 1000L), Gen.const(-50L -> 50L)))
+      .flatMap { case (n, (lo, hi)) =>
+        Gen.listOfN(n, Gen.choose(lo, hi)) }
+    val bins = 8
+    samples(caseGen, 30).foreach { cs =>
+      val got = Analytics.histogramCents(cs.toDF("cents"), bins)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val (lo, hi) = (cs.min, cs.max)
+      val w = hi - lo + 1
+      val want = cs.groupBy(c => (c - lo) * bins / w).toSeq
+        .map { case (b, vs) =>
+          (b, lo + w * b / bins, lo + w * (b + 1) / bins - 1,
+            vs.size.toLong, vs.sum) }
+        .sortBy(_._1)
+      got shouldBe want
+    }
+  }
 }
