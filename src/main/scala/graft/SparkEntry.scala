@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, Curation, Dedup, Multimodal, RangeJoin, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, Curation, Dedup, Multimodal, RangeJoin, Rollup, TextAnalysis, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -110,6 +110,7 @@ object SparkEntry {
     "c6_contamination" -> (Curation.c6Query _),
     "c7_partitioned_layout" -> (Curation.c7Query _),
     "c8_pipeline" -> (Curation.c8Query _),
+    "c9_rollup_serve" -> (Rollup.c9Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -599,6 +600,6 @@ object SparkEntry {
          |       list_distance(dq, ${vec(0)}::DOUBLE[]) AS score
          |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-    Ann.oracles(d) ++ Curation.oracles ++ AsofJoin.oracles ++ RangeJoin.oracles ++
-    EventStream.oracles
+    Ann.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++
+    AsofJoin.oracles ++ RangeJoin.oracles ++ EventStream.oracles
 }

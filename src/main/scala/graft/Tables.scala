@@ -26,8 +26,12 @@ object Tables {
     * the ns→µs truncation the oracle engine applies when it reads the
     * same file. Double division would be lossy: epoch-ns (~1.7e18)
     * exceeds double's 2^53 exact-integer range. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** The ns→µs `ts` fix above, exposed for callers that read event
+    * shard files directly (incremental rollup/index appends). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
@@ -35,7 +39,6 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -152,6 +152,21 @@ class PlanAuditSpec extends SparkSpec {
     "Scan parquet".r.findAllIn(p).size shouldBe 2 // layout + source count
   }
 
+  test("c9 served report is partition-pruned rollup scan only — raw events never rescanned") {
+    // materialize once so the rollup exists, then plan the SERVE path
+    SparkEntry.queries("c9_rollup_serve")(spark, SparkSpec.TinySf).collect()
+    val dir = graft.sources.LocalIndex.path("rollup", SparkSpec.TinySf, "")
+    val served = graft.operators.Rollup.serveReport(spark.read.parquet(dir))
+    val p = served.queryExecution.executedPlan.toString
+    p should not include "events.parquet" // rollup only
+    p should include("PartitionFilters") // day range prunes partitions
+    p should include("day#") // ...on the day partition column
+    // the c9 GATE adds one raw scan purely for the users_exact
+    // verification column — exactly one, and only in the gate
+    val gate = plan("c9_rollup_serve")
+    "events\\.parquet".r.findAllIn(gate).size shouldBe 1
+  }
+
   test("d8 incremental dedup exchanges only the shard side of the candidate join") {
     // the 100 TB contract of the posting index: the corpus side is a
     // bucketed table pre-partitioned on the join key, so per-batch
