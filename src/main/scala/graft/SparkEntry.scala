@@ -102,6 +102,7 @@ object SparkEntry {
     "s4_stream_align" -> (EventStream.s4Query _),
     "s5_stream_topk" -> (EventStream.s5Query _),
     "s6_stream_ingest_dedup" -> (EventStream.s6Query _),
+    "s7_stream_rollup" -> (EventStream.s7Query _),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),
     "c3_group_canonical" -> (Curation.c3Query _),

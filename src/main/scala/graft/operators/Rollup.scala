@@ -109,8 +109,15 @@ object Rollup {
     * from raw events. The raw scan exists ONLY for this verification
     * column (the d8/q31 gate pattern) — the served report itself never
     * touches events, which is what PlanAuditSpec pins. */
-  def c9Query(s: SparkSession, d: String): DataFrame = {
-    val served = serveReport(s.read.parquet(ensureRollup(s, d)))
+  def c9Query(s: SparkSession, d: String): DataFrame =
+    servedWithContract(s, d, ensureRollup(s, d))
+
+  /** [[serveReport]] over an arbitrary rollup dir plus the exact
+    * distinct-users verification — shared by the c9 gate and the
+    * streaming-maintained rollup gate (s7), which must produce the
+    * IDENTICAL report from parts written one micro-batch at a time. */
+  def servedWithContract(s: SparkSession, d: String, rollupDir: String): DataFrame = {
+    val served = serveReport(s.read.parquet(rollupDir))
     val exact = Tables.events(s, d)
       .filter(col("ts") >= to_timestamp(lit(s"$ServeFrom 00:00:00")) &&
         col("ts") < to_timestamp(lit(s"$ServeUntil 00:00:00")))

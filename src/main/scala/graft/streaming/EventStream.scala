@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Structured Streaming surface (SURVEY §2, s1–s6).
+/** Structured Streaming surface (SURVEY §2, s1–s7).
   *
   * The reference ingests continuously by looping shards through a
   * writer (`process.py:95-120` — each new shard parquet appended to the
@@ -336,6 +336,52 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** s7: streaming rollup maintenance — the CONTINUOUS form of c9
+    * ([[graft.operators.Rollup]]), i.e. the ClickHouse
+    * materialized-view shape end-to-end: each event micro-batch
+    * aggregates to partial rollup rows (`rollupPart` — count /
+    * integer-cents sum / HLL user sketch per (day, event_type)) that
+    * land as an appended PART in the rollup dir inside `foreachBatch`;
+    * the serve-side merge (sum / sum / hll_union across parts) makes
+    * the report IDENTICAL however the rows were split into batches.
+    * ZERO streaming state: a batch's partials depend only on that
+    * batch, so state stays empty for the stream's whole life, and
+    * per-batch cost is one map-side aggregation of the batch down to
+    * ≤ days × types rows — at 100 TB the stream ships KBs per batch
+    * into the rollup regardless of event volume. */
+  def rollupMaintain(events: DataFrame, rollupDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Rollup.rollupPart(batch.toDF())
+          .write.mode("append").partitionBy("day").parquet(rollupDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** s7 gate: [[rollupMaintain]] over the events parquet arriving as a
+    * real file-source stream into a FRESH scratch rollup (not the c9
+    * cache — that one is fingerprint-managed by `ensureRollup`), then
+    * the SAME served report + exact-verification as c9. Output is
+    * batch-split-invariant by construction (pinned by the two-batch
+    * suite test), so the c9 oracle applies verbatim. */
+  def s7Query(s: SparkSession, d: String): DataFrame = {
+    val root = scratchRoot.resolve(
+      "s7-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    wipe(root)
+    java.nio.file.Files.createDirectories(root)
+    val ss = s.newSession()
+    inheritStreamingConfs(s, ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val out = root.resolve("rollup").toString
+    val q = rollupMaintain(streamEvents(ss, d), out,
+      root.resolve("ckpt").toString)
+    q.awaitTermination()
+    graft.operators.Rollup.servedWithContract(s, d, out)
+  }
+
   /** s6 gate: [[ingestDedup]] over the d8 shard arriving as a real
     * file-source stream. The posting index is built once BEFORE the
     * stream starts (each batch's re-ensure is then a pure metadata
@@ -460,6 +506,10 @@ object EventStream {
     * [[graft.SparkEntry]]). All watermark arithmetic is ms-floored the
     * way Spark's event-time stats floor (epoch_us // 1000). */
   val oracles: Map[String, String] = Map(
+    // s7 emits the SAME report as c9 (batch-split-invariant by
+    // construction) — the oracle is c9's, verbatim
+    "s7_stream_rollup" ->
+      graft.operators.Rollup.oracles("c9_rollup_serve"),
     // emitted = closed-in-batch (not the user's last session) OR timed
     // out (end + gap strictly below the final watermark)
     "s2_stream_sessionize" ->

@@ -341,6 +341,46 @@ abstract class EventStreamSuiteBase extends SparkSpec {
 /** Default provider (HDFS-backed in-memory state store). */
 class EventStreamSpec extends EventStreamSuiteBase {
   protected def store: String = "hdfs"
+
+  test("s7 rollup maintenance is batch-split-invariant: two event files, two batches, same served report") {
+    // s7 is stateless (foreachBatch append of partial rows), so the
+    // provider axis is vacuous — one-store test by design.
+    import spark.implicits._
+    def ev(i: Int, day: Int): (Long, Timestamp, Long, String, Double) =
+      (i.toLong, Timestamp.valueOf(f"2024-01-$day%02d 06:0${i % 6}:07"),
+        (i % 11).toLong, Seq("view", "click", "purchase")(i % 3), i * 2.13)
+    // both files cover overlapping days INSIDE the serve window, so the
+    // same (day, type) grain lands as parts from different batches
+    val rowsA = (0 until 60).map(i => ev(i, 9 + i % 4))
+    val rowsB = (100 until 150).map(i => ev(i, 11 + i % 4))
+    val shardRoot = java.nio.file.Files.createTempDirectory("graft-s7-sh-").toString
+    rowsA.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$shardRoot/ev_a.parquet")
+    rowsB.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$shardRoot/ev_b.parquet")
+    val schema = spark.read.parquet(s"$shardRoot/ev_a.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one micro-batch per file
+      .parquet(s"$shardRoot/ev_*.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-s7-out-").toString
+    val q = EventStream.rollupMaintain(src, s"$out/rollup", s"$out/ckpt")
+    try q.awaitTermination() finally q.stop()
+    q.recentProgress.count(_.numInputRows > 0) shouldBe 2
+    val served = graft.operators.Rollup.serveReport(
+        spark.read.parquet(s"$out/rollup")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("days"),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_cents")))
+    // one-shot batch rollup over the union: the report must be identical
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-s7-b-").toString
+    graft.operators.Rollup.rollupPart(
+        (rowsA ++ rowsB).toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$batchDir/rollup")
+    val want = graft.operators.Rollup.serveReport(
+        spark.read.parquet(s"$batchDir/rollup")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("days"),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_cents")))
+    served shouldBe want
+  }
 }
 
 /** The same behaviors on the RocksDB state store — the provider the
