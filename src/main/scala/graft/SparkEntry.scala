@@ -63,6 +63,7 @@ object SparkEntry {
     "q38_limit_by" -> (Analytics.q38LimitBy _),
     "q39_sequence_match" -> (Analytics.q39SequenceMatch _),
     "q40_histogram" -> (Analytics.q40Histogram _),
+    "q41_fill_interpolate" -> (Analytics.q41FillInterpolate _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -442,6 +443,48 @@ object SparkEntry {
         |  lo + ((hi - lo + 1) * (bin + 1)) // 32 - 1 AS bin_hi_cents,
         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM binned GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
+    // q41: bracket math exact BIGINT; the one double division+addition
+    // is the same IEEE op on both engines → exact hash match. LOCF
+    // state via IGNORE NULLS running windows, mirroring the Spark plan.
+    "q41_fill_interpolate" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 17 = 0),
+        |hourly AS (
+        |  SELECT hour, event_type, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(hour) FROM e), (SELECT max(hour) FROM e),
+        |    INTERVAL '1 hour')) AS hour),
+        |grid AS (
+        |  SELECT s.hour, t.event_type, h.cents,
+        |         CAST(epoch(s.hour) AS BIGINT) // 3600 AS idx
+        |  FROM spine s
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+        |  LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type),
+        |w AS (
+        |  SELECT hour, event_type, cents, idx,
+        |    last_value(cents IGNORE NULLS) OVER bk AS pv,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+        |      OVER bk AS ph,
+        |    first_value(cents IGNORE NULLS) OVER fw AS nv,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+        |      OVER fw AS nh
+        |  FROM grid
+        |  WINDOW
+        |    bk AS (PARTITION BY event_type ORDER BY idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fw AS (PARTITION BY event_type ORDER BY idx
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT hour, event_type, cents IS NOT NULL AS known,
+        |  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+        |       WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+        |       WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+        |       ELSE pv + CAST((nv - pv) * (idx - ph) AS DOUBLE) / (nh - ph)
+        |  END AS filled_cents
+        |FROM w ORDER BY hour, event_type""".stripMargin,
     "q36_bit_agg" ->
       """SELECT event_type,
         |  bit_and(user_id) AS uid_and,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Core SQL/analytics surface (SURVEY §2, q1–q39).
+/** Core SQL/analytics surface (SURVEY §2, q1–q41).
   *
   * The reference drives ClickHouse with declarative SQL
   * (`search.py:24-27` — filter / project / ORDER BY … LIMIT); this is the
@@ -711,4 +711,68 @@ object Analytics {
       Tables.lineitem(s, d)
         .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
       bins = 32)
+
+  /** q41 core: LOCF + linear interpolation over a (possibly gappy)
+    * per-series integer time grid — ClickHouse
+    * `ORDER BY … WITH FILL INTERPOLATE`. Input: one row per
+    * (series, idx) grid cell, `cents` null on missing cells. Two
+    * window passes per series (running `last(ignoreNulls)` backward
+    * state, `first(ignoreNulls)` forward state — the q27/q39 stacked-
+    * window technique): each missing cell sees its bracketing known
+    * points and fills `prev + (next−prev)·(idx−pidx)/(nidx−pidx)`.
+    * Leading/trailing gaps take the single known neighbor (CH's
+    * to-the-edge fill); an all-null series stays null. All bracket
+    * math is exact BIGINT; the single double division+addition is the
+    * same IEEE op on both engines, so results hash-match exactly. */
+  def fillInterpolate(grid: DataFrame): DataFrame = {
+    val back = Window.partitionBy(col("event_type")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("idx"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(when(col("cents").isNotNull, col("idx")),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(when(col("cents").isNotNull, col("idx")),
+        ignoreNulls = true).over(fwd))
+      .withColumn("filled_cents",
+        when(col("cents").isNotNull, col("cents").cast("double"))
+          .when(col("pv").isNull, col("nv").cast("double"))
+          .when(col("nv").isNull, col("pv").cast("double"))
+          .otherwise(col("pv") +
+            ((col("nv") - col("pv")) * (col("idx") - col("ph"))).cast("double") /
+              (col("nh") - col("ph"))))
+      .select(col("event_type"), col("idx"),
+        col("cents").isNotNull.as("known"), col("filled_cents"))
+      .orderBy(col("idx"), col("event_type"))
+  }
+
+  /** q41: `WITH FILL … INTERPOLATE` over hourly revenue — q33's spine
+    * join builds the dense (hour, type) grid, [[fillInterpolate]]
+    * fills the holes. The corpus is deterministically thinned
+    * (`event_id % 17 = 0`) so real gaps exist at every SF — otherwise
+    * a dense corpus never exercises the interpolation path. Scale
+    * shape identical to q33: the only corpus-sized work is the
+    * filter+partial-aggregate into ≤ hours × types rows; the spine
+    * join and both window passes run on that tiny grid. */
+  def q41FillInterpolate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("event_id") % 17 === 0)
+    val hourly = e
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val spine = e
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hour"))
+    val types = e.select(col("event_type")).distinct()
+    val grid = spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .withColumn("idx", expr("CAST(hour AS LONG) div 3600"))
+    fillInterpolate(grid)
+      .withColumn("hour", timestamp_seconds(col("idx") * 3600L))
+      .select(col("hour"), col("event_type"), col("known"), col("filled_cents"))
+      .orderBy(col("hour"), col("event_type"))
+  }
 }

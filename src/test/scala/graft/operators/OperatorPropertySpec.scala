@@ -185,6 +185,41 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("fillInterpolate matches driver-side brute force on random gappy series") {
+    // adversarial shapes: all-null series, single known cell, leading/
+    // trailing gaps, adjacent known cells (gap width 1)
+    val cellGen = Gen.option(Gen.choose(-500L, 500L))
+    val caseGen = for {
+      n <- Gen.choose(1, 12)
+      a <- Gen.listOfN(n, cellGen)
+      b <- Gen.listOfN(n, cellGen)
+    } yield Seq("a" -> a, "b" -> b)
+    samples(caseGen, 25).foreach { series =>
+      val rows = series.flatMap { case (t, cells) =>
+        cells.zipWithIndex.map { case (c, i) => (t, i.toLong, c) } }
+      val got = Analytics.fillInterpolate(
+          rows.toDF("event_type", "idx", "cents"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      val want = rows.sortBy(r => (r._2, r._1)).map { case (t, i, c) =>
+        val known = series.toMap.apply(t).zipWithIndex
+          .collect { case (Some(v), j) => (j.toLong, v) }
+        val filled = c match {
+          case Some(v) => Some(v.toDouble)
+          case None => (known.filter(_._1 < i).lastOption, known.find(_._1 > i)) match {
+            case (None, None) => None
+            case (None, Some((_, nv))) => Some(nv.toDouble)
+            case (Some((_, pv)), None) => Some(pv.toDouble)
+            case (Some((ph, pv)), Some((nh, nv))) =>
+              Some(pv + ((nv - pv) * (i - ph)).toDouble / (nh - ph))
+          }
+        }
+        (t, i, c.isDefined, filled)
+      }
+      got shouldBe want
+    }
+  }
+
   test("histogramCents matches driver-side brute force on random inputs") {
     // adversarial domains: all-equal values (hi == lo), spans smaller
     // than the bin count (empty bins), negative cents, single row
