@@ -64,6 +64,7 @@ object SparkEntry {
     "q39_sequence_match" -> (Analytics.q39SequenceMatch _),
     "q40_histogram" -> (Analytics.q40Histogram _),
     "q41_fill_interpolate" -> (Analytics.q41FillInterpolate _),
+    "q42_sequence_count" -> (Analytics.q42SequenceCount _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -443,6 +444,29 @@ object SparkEntry {
         |  lo + ((hi - lo + 1) * (bin + 1)) // 32 - 1 AS bin_hi_cents,
         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM binned GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
+    // q42: same min-over-cuts windows as the Spark plan; window sums
+    // are HUGEINT in DuckDB → cast the per-user min back to BIGINT
+    "q42_sequence_count" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS tms, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tms, event_type
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tms, event_type
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS cb_after,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id) AS totb
+        |  FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(least(min(ca + cb_after), min(totb)) AS BIGINT) AS n_matches
+        |  FROM w GROUP BY user_id)
+        |SELECT n_matches, count(*) AS n_users
+        |FROM u GROUP BY n_matches ORDER BY n_matches""".stripMargin,
     // q41: bracket math exact BIGINT; the one double division+addition
     // is the same IEEE op on both engines → exact hash match. LOCF
     // state via IGNORE NULLS running windows, mirroring the Spark plan.

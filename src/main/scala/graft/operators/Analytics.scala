@@ -748,6 +748,58 @@ object Analytics {
       .orderBy(col("idx"), col("event_type"))
   }
 
+  /** q42 core: non-overlapping ordered-pair counting — ClickHouse
+    * `sequenceCount('(?1).*(?2)')` (which counts NON-OVERLAPPING
+    * chains) for view→purchase, per user. The greedy left-to-right
+    * count equals a MIN-OVER-CUTS identity, which is what makes it
+    * window-native instead of a sequential state machine:
+    *
+    *   matches(user) = min over every row cut t of
+    *                     (#views ≤ t) + (#purchases > t)
+    *   (plus the empty-prefix cut = total purchases).
+    *
+    * ≤ holds because any matched pair has its view ≤ t or its purchase
+    * > t; the greedy scan achieves the bound — so the min IS the
+    * greedy count (pinned against a greedy simulator in the property
+    * test). Rows order by (tms, event_type): 'purchase' < 'view'
+    * lexicographically, so an equal-timestamp purchase sorts BEFORE
+    * the view and can never consume it — the same strict
+    * time-ordering q39 pins with `>`. Equal-key rows are
+    * interchangeable (cut values depend on position, not identity),
+    * so the min is deterministic.
+    *
+    * Plan shape: ONE exchange on user_id, one sort shared by the
+    * stacked running windows, then two partial-aggregable reductions
+    * (per-user min, then the tiny distribution). O(1) state per row,
+    * no joins, no per-pair work — a bot user costs a linear scan. */
+  def sequenceCountPerUser(e: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tms"), col("event_type"))
+    e.filter(col("event_type").isin("view", "purchase"))
+      .withColumn("cA",
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb_after",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(ord.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+      .withColumn("totB",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(least(min(col("cA") + col("cb_after")), min(col("totB")))
+        .as("n_matches"))
+  }
+
+  /** q42: the per-user non-overlapping view→purchase chain count,
+    * reported as a distribution (chain count → users) so the output
+    * stays O(max-chains) rows at any corpus size. */
+  def q42SequenceCount(s: SparkSession, d: String): DataFrame =
+    sequenceCountPerUser(Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        col("event_type")))
+      .groupBy(col("n_matches")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_matches"))
+
   /** q41: `WITH FILL … INTERPOLATE` over hourly revenue — q33's spine
     * join builds the dense (hour, type) grid, [[fillInterpolate]]
     * fills the holes. The corpus is deterministically thinned

@@ -185,6 +185,33 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("sequenceCountPerUser equals a greedy non-overlap simulator on random streams") {
+    // tiny tms range forces equal-timestamp ties (incl. cross-type);
+    // 'other' rows must be ignored entirely
+    val evGen = Gen.zip(Gen.choose(0L, 6L),
+      Gen.oneOf("view", "purchase", "other"))
+    val caseGen = Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, evGen))
+    def greedy(evs: Seq[(Long, String)]): Long = {
+      var avail = 0L; var m = 0L
+      // purchase sorts before view on tms ties — the strict-order rule
+      evs.filter(e => e._2 == "view" || e._2 == "purchase")
+        .sortBy(e => (e._1, e._2)).foreach {
+          case (_, "view") => avail += 1
+          case _ => if (avail > 0) { avail -= 1; m += 1 }
+        }
+      m
+    }
+    samples(caseGen, 40).zipWithIndex.foreach { case (evs, u) =>
+      val df = evs.map { case (t, ty) => (u.toLong, t, ty) }
+        .toDF("user_id", "tms", "event_type")
+      val got = Analytics.sequenceCountPerUser(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = greedy(evs)
+      // users with zero view/purchase rows are absent from the output
+      got.getOrElse(u.toLong, 0L) shouldBe want
+    }
+  }
+
   test("fillInterpolate matches driver-side brute force on random gappy series") {
     // adversarial shapes: all-null series, single known cell, leading/
     // trailing gaps, adjacent known cells (gap width 1)
