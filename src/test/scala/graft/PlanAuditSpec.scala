@@ -152,6 +152,28 @@ class PlanAuditSpec extends SparkSpec {
     "Scan parquet".r.findAllIn(p).size shouldBe 2 // layout + source count
   }
 
+  test("q41 interpolation runs on the grid: one corpus-sized aggregate, pruned scans, no raw-row windows") {
+    val p = plan("q41_fill_interpolate")
+    // every events scan reads only the 4 needed columns
+    p should not include "props"
+    p should not include "user_id"
+    // the types dim rides a broadcast, never a shuffle join
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "SortMergeJoin"
+    p should include("Window")
+  }
+
+  test("q42 sequence count is one corpus scan, windows + aggregates, no joins") {
+    val p = plan("q42_sequence_count")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+    p should include("Window")
+    // the type filter reaches the scan
+    p should include("PushedFilters")
+    p should not include "props"
+    p should not include "value"
+  }
+
   test("c9 served report is partition-pruned rollup scan only — raw events never rescanned") {
     // materialize once so the rollup exists, then plan the SERVE path
     SparkEntry.queries("c9_rollup_serve")(spark, SparkSpec.TinySf).collect()
