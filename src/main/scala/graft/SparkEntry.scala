@@ -65,6 +65,7 @@ object SparkEntry {
     "q40_histogram" -> (Analytics.q40Histogram _),
     "q41_fill_interpolate" -> (Analytics.q41FillInterpolate _),
     "q42_sequence_count" -> (Analytics.q42SequenceCount _),
+    "q43_map_agg" -> (Analytics.q43MapAgg _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -444,6 +445,17 @@ object SparkEntry {
         |  lo + ((hi - lo + 1) * (bin + 1)) // 32 - 1 AS bin_hi_cents,
         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM binned GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
+    // q43: the map rows are engine-private; the oracle replays both
+    // stages from raw events (per-user-day cents, then key-wise stats)
+    "q43_map_agg" ->
+      """WITH uday AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id, event_type,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT day, event_type,
+        |  CAST(sum(c) AS BIGINT) AS sum_v, min(c) AS min_v,
+        |  max(c) AS max_v, count(*) AS n_contrib
+        |FROM uday GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
     // q42: same min-over-cuts windows as the Spark plan; window sums
     // are HUGEINT in DuckDB → cast the per-user min back to BIGINT
     "q42_sequence_count" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -799,6 +799,43 @@ object Analytics {
         col("event_type")))
       .groupBy(col("n_matches")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_matches"))
+
+  /** q43 core: map-valued aggregation — ClickHouse's Map combinator
+    * family (`sumMap` / `minMap` / `maxMap` over a `Map(K, V)`
+    * column): per group, combine the maps key-wise (sum / min / max
+    * of each key's values across rows; keys missing from a row simply
+    * don't contribute). ONE generate + ONE partial-aggregable
+    * exchange: `explode` unrolls each map in place (no shuffle), the
+    * groupBy ships per-partition partials of (group, key) — at 100 TB
+    * the exchange carries one row per distinct (group, key) per
+    * partition, never the raw maps. Output is exploded canonical rows
+    * (group, key, sum/min/max, contributor count) — the cross-engine-
+    * stable form of a map (in-map entry order is engine-private). */
+  def mapAgg(rows: DataFrame, groupCol: Column, mapCol: Column): DataFrame =
+    rows.select(groupCol.as("g"), explode(mapCol).as(Seq("k", "v")))
+      .groupBy(col("g"), col("k"))
+      .agg(sum(col("v")).as("sum_v"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"), count(lit(1)).as("n_contrib"))
+
+  /** q43: [[mapAgg]] over genuine multi-entry Map rows — each
+    * (day, user) row carries a `Map(event_type -> cents)` feature map
+    * (the shape a CH user stores in a Map column), and the map-wise
+    * day aggregate answers "per day and type: total / min / max
+    * per-user spend and how many users contributed". The map-build
+    * stage is itself partial-aggregable; every stage's exchange is
+    * bounded by distinct key combinations, not raw rows. */
+  def q43MapAgg(s: SparkSession, d: String): DataFrame = {
+    val perUserDay = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"), col("event_type"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("c"))))).as("type_cents"))
+    mapAgg(perUserDay, col("day"), col("type_cents"))
+      .select(col("g").as("day"), col("k").as("event_type"),
+        col("sum_v"), col("min_v"), col("max_v"), col("n_contrib"))
+      .orderBy(col("day"), col("event_type"))
+  }
 
   /** q41: `WITH FILL … INTERPOLATE` over hourly revenue — q33's spine
     * join builds the dense (hour, type) grid, [[fillInterpolate]]

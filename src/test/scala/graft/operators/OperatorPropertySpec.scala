@@ -2,6 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -209,6 +210,27 @@ class OperatorPropertySpec extends SparkSpec {
       val want = greedy(evs)
       // users with zero view/purchase rows are absent from the output
       got.getOrElse(u.toLong, 0L) shouldBe want
+    }
+  }
+
+  test("mapAgg matches driver-side key-wise brute force on random map rows") {
+    // multi-entry maps with overlapping/disjoint key sets, negative
+    // values, and EMPTY maps (which must contribute nothing)
+    val entryGen = Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.choose(-50L, 50L))
+    val rowGen = Gen.zip(Gen.oneOf("g1", "g2"),
+      Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, entryGen).map(_.toMap)))
+    val caseGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, rowGen))
+    samples(caseGen, 30).foreach { rows =>
+      val got = Analytics.mapAgg(rows.toDF("g", "m"), col("g"), col("m"))
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val want = rows
+        .flatMap { case (g, m) => m.toSeq.map { case (k, v) => ((g, k), v) } }
+        .groupBy(_._1).map { case (gk, vs0) =>
+          val vs = vs0.map(_._2)
+          gk -> (vs.sum, vs.min, vs.max, vs.size.toLong) }
+      got shouldBe want
     }
   }
 
