@@ -66,6 +66,7 @@ object SparkEntry {
     "q41_fill_interpolate" -> (Analytics.q41FillInterpolate _),
     "q42_sequence_count" -> (Analytics.q42SequenceCount _),
     "q43_map_agg" -> (Analytics.q43MapAgg _),
+    "q44_max_intersections" -> (Analytics.q44MaxIntersections _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -445,6 +446,29 @@ object SparkEntry {
         |  lo + ((hi - lo + 1) * (bin + 1)) // 32 - 1 AS bin_hi_cents,
         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM binned GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
+    // q44: same sweep (−1-before-+1 tie order = half-open intervals);
+    // argmax via (live DESC, t ASC) row_number mirrors the struct-max
+    "q44_max_intersections" ->
+      """WITH iv AS (
+        |  SELECT event_type AS series, epoch_us(ts) // 1000 AS s,
+        |         epoch_us(ts) // 1000
+        |           + CAST(round(value * 1000) AS BIGINT) * 60 AS e
+        |  FROM events),
+        |ev AS (
+        |  SELECT series, s AS t, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT series, e AS t, -1 AS delta FROM iv),
+        |sw AS (
+        |  SELECT series, t,
+        |    CAST(sum(delta) OVER (PARTITION BY series ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS live
+        |  FROM ev)
+        |SELECT series, max_intersections, at_t FROM (
+        |  SELECT series, live AS max_intersections, t AS at_t,
+        |    row_number() OVER (PARTITION BY series
+        |      ORDER BY live DESC, t ASC) AS rn
+        |  FROM sw) WHERE rn = 1 ORDER BY series""".stripMargin,
     // q43: the map rows are engine-private; the oracle replays both
     // stages from raw events (per-user-day cents, then key-wise stats)
     "q43_map_agg" ->

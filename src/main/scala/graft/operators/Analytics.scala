@@ -837,6 +837,52 @@ object Analytics {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** q44 core: maximum interval overlap — ClickHouse
+    * `maxIntersections(start, end)` / `maxIntersectionsPosition`: the
+    * classic sweep re-expressed declaratively. Each interval unpivots
+    * to a (+1 at start, −1 at end) delta; a running sum ordered by
+    * (time, delta) is the live-interval count, and its max is the
+    * answer. The `delta` tiebreak puts −1 before +1 at equal time, so
+    * half-open [start, end) semantics hold: an interval ending exactly
+    * when another starts does NOT intersect it (CH counts the same
+    * way: its sweep sorts (pos, −delta)… with end exclusive).
+    * Position = the earliest sweep time achieving the max —
+    * deterministic because the running sum at a fixed (time, delta)
+    * prefix is order-independent across equal keys.
+    *
+    * Plan shape: explode ×2 in place (no shuffle), ONE exchange on the
+    * series key, one sort shared by the running window, then a
+    * partial-aggregable argmax (q35's lexicographic struct trick:
+    * max(struct(cnt, −t)) finds max count at earliest time). No joins,
+    * no per-pair work — n² interval overlap tests never happen. */
+  def maxIntersections(intervals: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    intervals
+      .select(col("series"), explode(array(
+        struct(col("start").as("t"), lit(1).as("delta")),
+        struct(col("end").as("t"), lit(-1).as("delta")))).as("ev"))
+      .select(col("series"), col("ev.t").as("t"), col("ev.delta").as("delta"))
+      .withColumn("live", sum(col("delta")).over(w))
+      .groupBy(col("series"))
+      .agg(max(struct(col("live"), (-col("t")).as("negt"))).as("m"))
+      .select(col("series"), col("m.live").as("max_intersections"),
+        (-col("m.negt")).as("at_t"))
+      .orderBy(col("series"))
+  }
+
+  /** q44: [[maxIntersections]] over per-user activity intervals
+    * derived deterministically from events ([ts, ts + value minutes)),
+    * per event_type: the peak number of simultaneously-active
+    * intervals and when it first occurs. Times in epoch ms (the q39
+    * convention). */
+  def q44MaxIntersections(s: SparkSession, d: String): DataFrame =
+    maxIntersections(Tables.events(s, d)
+      .select(col("event_type").as("series"),
+        unix_millis(col("ts")).as("start"),
+        (unix_millis(col("ts")) +
+          expr("CAST(round(value * 1000) AS BIGINT)") * 60L).as("end")))
+
   /** q41: `WITH FILL … INTERPOLATE` over hourly revenue — q33's spine
     * join builds the dense (hour, type) grid, [[fillInterpolate]]
     * fills the holes. The corpus is deterministically thinned

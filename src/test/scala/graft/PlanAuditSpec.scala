@@ -174,6 +174,15 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "value"
   }
 
+  test("q44 interval sweep is one scan + one window — no joins, no pairwise work") {
+    val p = plan("q44_max_intersections")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+    p should include("Window")
+    p should include("Generate") // the in-place ±1 unpivot
+    p should not include "props"
+  }
+
   test("c9 served report is partition-pruned rollup scan only — raw events never rescanned") {
     // materialize once so the rollup exists, then plan the SERVE path
     SparkEntry.queries("c9_rollup_serve")(spark, SparkSpec.TinySf).collect()

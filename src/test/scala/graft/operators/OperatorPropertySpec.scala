@@ -213,6 +213,29 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("maxIntersections equals a driver-side sweep on random interval sets") {
+    // small time range forces shared endpoints: start==start, end==start
+    // (must NOT intersect under half-open), zero-length intervals
+    val ivGen = Gen.zip(Gen.choose(0L, 10L), Gen.choose(0L, 5L))
+      .map { case (s, len) => (s, s + len) }
+    val caseGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, ivGen))
+    samples(caseGen, 30).foreach { ivs =>
+      val df = ivs.map { case (s, e) => ("x", s, e) }
+        .toDF("series", "start", "end")
+      val got = Analytics.maxIntersections(df).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).head
+      // brute force: same sweep, -1 before +1 at equal t
+      val evs = ivs.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+        .sortBy(identity)
+      var live = 0L; var best = Long.MinValue; var at = 0L
+      evs.foreach { case (t, d) =>
+        live += d
+        if (live > best) { best = live; at = t }
+      }
+      got shouldBe (best, at)
+    }
+  }
+
   test("mapAgg matches driver-side key-wise brute force on random map rows") {
     // multi-entry maps with overlapping/disjoint key sets, negative
     // values, and EMPTY maps (which must contribute nothing)
