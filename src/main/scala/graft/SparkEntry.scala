@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, Curation, Dedup, Multimodal, RangeJoin, Rollup, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, Curation, Dedup, Multimodal, RangeJoin, Replacing, Rollup, TextAnalysis, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -67,6 +67,10 @@ object SparkEntry {
     "q42_sequence_count" -> (Analytics.q42SequenceCount _),
     "q43_map_agg" -> (Analytics.q43MapAgg _),
     "q44_max_intersections" -> (Analytics.q44MaxIntersections _),
+    "q45_interval_length_sum" -> (Analytics.q45IntervalLengthSum _),
+    "q46_delta_sum" -> (Analytics.q46DeltaSum _),
+    "q47_bitmap_ops" -> (Analytics.q47BitmapOps _),
+    "q48_sequence_next_node" -> (Analytics.q48SequenceNextNode _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -116,6 +120,7 @@ object SparkEntry {
     "c7_partitioned_layout" -> (Curation.c7Query _),
     "c8_pipeline" -> (Curation.c8Query _),
     "c9_rollup_serve" -> (Rollup.c9Query _),
+    "c10_replacing_upsert" -> (Replacing.c10Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -469,6 +474,85 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY series
         |      ORDER BY live DESC, t ASC) AS rn
         |  FROM sw) WHERE rn = 1 ORDER BY series""".stripMargin,
+    // q45: same intervals, island detection (running max(end) over
+    // start order; strictly-later start opens a new island)
+    "q45_interval_length_sum" ->
+      """WITH iv AS (
+        |  SELECT event_type AS series, epoch_us(ts) // 1000 AS s,
+        |         epoch_us(ts) // 1000
+        |           + CAST(round(value * 1000) AS BIGINT) * 60 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT series, s, e,
+        |    max(e) OVER (PARTITION BY series ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |fl AS (
+        |  SELECT series, s, e,
+        |    CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nf
+        |  FROM m),
+        |isl AS (
+        |  SELECT series, s, e,
+        |    sum(nf) OVER (PARTITION BY series ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM fl),
+        |g AS (
+        |  SELECT series, gid, max(e) - min(s) AS len
+        |  FROM isl GROUP BY series, gid)
+        |SELECT series, count(*) AS islands,
+        |  CAST(sum(len) AS BIGINT) AS covered_ms
+        |FROM g GROUP BY series ORDER BY series""".stripMargin,
+    // q46: positive-delta sum per (user, type) series, rolled up per
+    // type; lag order (ts, event_id) is unique ⇒ deterministic
+    "q46_delta_sum" ->
+      """WITH v AS (
+        |  SELECT user_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         lag(CAST(round(value * 100) AS BIGINT)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND cents > prev
+        |                THEN cents - prev ELSE 0 END) AS BIGINT)
+        |    AS delta_sum_cents,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND cents > prev
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS rises,
+        |  count(*) AS n
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q47: set-algebra cardinalities via per-user membership flags
+    "q47_bitmap_ops" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN v + c + p = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS and_card,
+        |  count(*) AS or_card,
+        |  CAST(sum(CASE WHEN (v + c + p) % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS xor_card,
+        |  CAST(sum(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS andnot_card
+        |FROM f""".stripMargin,
+    // q48: next event after each user's first view; lead + running
+    // view-count in one window, unique event_id tiebreak
+    "q48_sequence_next_node" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS views_so_far
+        |  FROM events)
+        |SELECT coalesce(nxt, '(none)') AS next_type, count(*) AS users
+        |FROM seq WHERE event_type = 'view' AND views_so_far = 1
+        |GROUP BY 1 ORDER BY next_type""".stripMargin,
     // q43: the map rows are engine-private; the oracle replays both
     // stages from raw events (per-user-day cents, then key-wise stats)
     "q43_map_agg" ->
@@ -704,6 +788,6 @@ object SparkEntry {
          |       list_distance(dq, ${vec(0)}::DOUBLE[]) AS score
          |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-    Ann.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++
+    Ann.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
     AsofJoin.oracles ++ RangeJoin.oracles ++ EventStream.oracles
 }

@@ -883,6 +883,133 @@ object Analytics {
         (unix_millis(col("ts")) +
           expr("CAST(round(value * 1000) AS BIGINT)") * 60L).as("end")))
 
+  /** ClickHouse `intervalLengthSum(start, end)`: the total length of
+    * the UNION of a group's intervals, overlaps merged — plus the
+    * merged-island count. Computed by island detection, not pairwise
+    * overlap tests: a running `max(end)` over start-ordered rows marks
+    * a new island exactly when a row starts strictly after everything
+    * seen so far ended, a running sum of those flags numbers the
+    * islands, and each island contributes `max(end) − min(start)`.
+    * Touching half-open intervals ([1,2) + [2,3)) merge, matching the
+    * segment-union semantics.
+    *
+    * Plan shape: ONE exchange on the series key, one sort shared by
+    * both stacked windows (same partition + order ⇒ a single Window
+    * node), then two partial-aggregable groupBys (islands are
+    * start-contiguous, so the island groupBy re-uses the existing
+    * ordering). n² never happens. A series whose interval count
+    * outgrows one task sorts per (series, time-chunk) with boundary
+    * carry — the [[AsofJoin.asofJoinChunked]] shape — at no change to
+    * the identity. */
+  def intervalLengthSum(intervals: DataFrame): DataFrame = {
+    val bySeries = Window.partitionBy(col("series"))
+      .orderBy(col("start"), col("end"))
+    val before = bySeries.rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = bySeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    intervals
+      .withColumn("pme", max(col("end")).over(before))
+      .withColumn("nf",
+        when(col("pme").isNull || col("start") > col("pme"), 1L).otherwise(0L))
+      .withColumn("gid", sum(col("nf")).over(upToHere))
+      .groupBy(col("series"), col("gid"))
+      .agg((max(col("end")) - min(col("start"))).as("len"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("islands"), sum(col("len")).as("covered_ms"))
+      .orderBy(col("series"))
+  }
+
+  /** q45: [[intervalLengthSum]] over the SAME per-user activity
+    * intervals q44 sweeps ([ts, ts + value minutes), epoch ms), per
+    * event_type: how much wall-clock each event type actually covers
+    * once concurrent activity is merged — the ClickHouse
+    * `intervalLengthSum` surface. */
+  def q45IntervalLengthSum(s: SparkSession, d: String): DataFrame =
+    intervalLengthSum(Tables.events(s, d)
+      .select(col("event_type").as("series"),
+        unix_millis(col("ts")).as("start"),
+        (unix_millis(col("ts")) +
+          expr("CAST(round(value * 1000) AS BIGINT)") * 60L).as("end")))
+
+  /** q46: ClickHouse `deltaSum` — the sum of POSITIVE deltas of
+    * consecutive values in series order (the counter-increase idiom:
+    * total rise of a gauge that can reset). Series here are
+    * (user_id, event_type) in (ts, event_id) order — partitioning on
+    * the USER keeps every window partition small and the shuffle even
+    * at any corpus size (a per-type-only series would serialize each
+    * type through one task) — then per-type totals roll the per-user
+    * drifts up in a partial-aggregable groupBy. All math in exact
+    * integer cents (round-then-cast, the q40 lesson); the unique
+    * event_id tiebreak makes `lag` deterministic. */
+  def q46DeltaSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("rise",
+        when(col("prev").isNotNull && col("cents") > col("prev"),
+          col("cents") - col("prev")).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("rise")).as("delta_sum_cents"),
+        sum(when(col("rise") > 0L, 1L).otherwise(0L)).as("rises"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q47: ClickHouse bitmap algebra — `groupBitmapAnd/Or/Xor` and
+    * `bitmapAndnot` cardinalities over the per-event_type user-id sets
+    * (view ∩ click ∩ purchase, ∪, symmetric difference, view \
+    * purchase). A single-node engine materializes roaring bitmaps and
+    * intersects them; the distributed shape that survives 100 TB is
+    * membership-FLAG aggregation: one groupBy on the member key with
+    * conditional-max flags (map-side partials collapse each input
+    * split to its distinct users), then one partial-aggregable count
+    * pass over the flag rows. No set is ever materialized on one heap;
+    * exchange volume is ≤ one row per member, and the flag row is a
+    * fixed few bytes however many sets participate. */
+  def q47BitmapOps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      .agg(
+        sum(when(col("v") + col("c") + col("p") === 3, 1L).otherwise(0L))
+          .as("and_card"),
+        count(lit(1)).as("or_card"),
+        sum(when((col("v") + col("c") + col("p")) % 2 === 1, 1L).otherwise(0L))
+          .as("xor_card"),
+        sum(when(col("v") === 1 && col("p") === 0, 1L).otherwise(0L))
+          .as("andnot_card"))
+
+  /** q48: ClickHouse `sequenceNextNode` — the event that FOLLOWS a
+    * matched chain head, aggregated into a what-happens-next
+    * distribution: for each user's FIRST 'view', which event_type came
+    * strictly next ('(none)' when the view closed the stream). ONE
+    * window pass does everything: `lead(event_type)` and the running
+    * view-count share the user partition and (ts, event_id) order, so
+    * Spark plans a single exchange + single sort; the first view is
+    * the row whose running view-count is 1, no self-joins or
+    * re-filtered second window. The unique event_id tiebreak keeps
+    * both `lead` and "first" deterministic under timestamp ties. */
+  def q48SequenceNextNode(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .withColumn("views_so_far",
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(run))
+      .filter(col("event_type") === "view" && col("views_so_far") === 1L)
+      .groupBy(coalesce(col("nxt"), lit("(none)")).as("next_type"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("next_type"))
+  }
+
   /** q41: `WITH FILL … INTERPOLATE` over hourly revenue — q33's spine
     * join builds the dense (hour, type) grid, [[fillInterpolate]]
     * fills the holes. The corpus is deterministically thinned

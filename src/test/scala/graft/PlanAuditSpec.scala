@@ -183,6 +183,45 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "props"
   }
 
+  test("q45 islands are window passes over one sort — no joins, no pair explosion") {
+    val p = plan("q45_interval_length_sum")
+    p should not include "Join"
+    // gid's input (nf) is computed FROM pme, so the two frames stack as
+    // two Window nodes — but they share the series partitioning and
+    // (start, end) order, so there is exactly ONE window exchange and
+    // ONE local sort; the island groupBy then reuses the partitioning
+    // (no further hash exchange before the final presentation sort).
+    "\\bWindow\\b".r.findAllIn(p).size shouldBe 2
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    ", false, 0".r.findAllIn(p).size shouldBe 1 // one local (window) sort
+    p should not include "props" // scan pruned to ts/type/value
+  }
+
+  test("q46 delta sum is one user-partitioned window, no joins") {
+    val p = plan("q46_delta_sum")
+    p should not include "Join"
+    "Window".r.findAllIn(p).size shouldBe 1
+    p should not include "props"
+  }
+
+  test("q47 bitmap algebra is flag aggregation — no windows, no joins, pushed type filter") {
+    val p = plan("q47_bitmap_ops")
+    p should not include "Join"
+    p should not include "Window"
+    p should include regex """PushedFilters: \[[^\]]"""
+  }
+
+  test("q48 next-node is one window pass (lead + running count share the sort)") {
+    val p = plan("q48_sequence_next_node")
+    p should not include "Join"
+    // lead's offset frame and the running view-count split into two
+    // Window nodes, but both share the user partitioning and
+    // (ts, event_id) order: one window exchange, one local sort.
+    "\\bWindow\\b".r.findAllIn(p).size shouldBe 2
+    ", false, 0".r.findAllIn(p).size shouldBe 1 // one local (window) sort
+    p should not include "props"
+  }
+
   test("c9 served report is partition-pruned rollup scan only — raw events never rescanned") {
     // materialize once so the rollup exists, then plan the SERVE path
     SparkEntry.queries("c9_rollup_serve")(spark, SparkSpec.TinySf).collect()
@@ -196,6 +235,18 @@ class PlanAuditSpec extends SparkSpec {
     // verification column — exactly one, and only in the gate
     val gate = plan("c9_rollup_serve")
     "events\\.parquet".r.findAllIn(gate).size shouldBe 1
+  }
+
+  test("c10 FINAL serve reads compacted parts only — no raw events scan, no window sort") {
+    // materialize once so the parts exist, then audit the gate plan:
+    // merge-on-read FINAL is an aggregation over the compacted parts
+    // (partial-aggregable), never a per-key window sort over raw events
+    SparkEntry.queries("c10_replacing_upsert")(spark, SparkSpec.TinySf).collect()
+    val p = plan("c10_replacing_upsert")
+    p should not include "events.parquet" // parts only
+    p should not include "Window"         // struct-max agg, not row_number
+    p should not include "Join"
+    p should include("graft-replacing")
   }
 
   test("d8 incremental dedup exchanges only the shard side of the candidate join") {

@@ -236,6 +236,31 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("intervalLengthSum equals a driver-side segment union on random interval sets") {
+    // small range forces overlaps, touching intervals (must merge:
+    // segment-union semantics), containment, duplicates, zero-length
+    val ivGen = Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 5L))
+      .map { case (s, len) => (s, s + len) }
+    val caseGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, ivGen))
+    samples(caseGen, 30).foreach { ivs =>
+      val df = ivs.map { case (s, e) => ("x", s, e) }
+        .toDF("series", "start", "end")
+      val got = Analytics.intervalLengthSum(df).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).head
+      // brute force: merge sorted intervals into islands
+      var islands = List.empty[(Long, Long)]
+      ivs.sorted.foreach { case (s, e) =>
+        islands match {
+          case (is, ie) :: rest if s <= ie =>
+            islands = (is, math.max(ie, e)) :: rest
+          case _ => islands = (s, e) :: islands
+        }
+      }
+      got shouldBe ((islands.size.toLong,
+        islands.map { case (s, e) => e - s }.sum))
+    }
+  }
+
   test("mapAgg matches driver-side key-wise brute force on random map rows") {
     // multi-entry maps with overlapping/disjoint key sets, negative
     // values, and EMPTY maps (which must contribute nothing)
