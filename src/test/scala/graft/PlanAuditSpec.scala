@@ -249,6 +249,19 @@ class PlanAuditSpec extends SparkSpec {
     p should include("graft-replacing")
   }
 
+  test("c11 sign-collapsed serve is key-free: no window, no join, no per-user exchange") {
+    // materialize once so the signed parts exist, then audit the gate:
+    // the CollapsingMergeTree payoff is that serve NEVER touches the
+    // entity key — sum(sign·x) grouped by the few-valued dimension
+    SparkEntry.queries("c11_collapsing_upsert")(spark, SparkSpec.TinySf).collect()
+    val p = plan("c11_collapsing_upsert")
+    p should not include "events.parquet" // signed parts only
+    p should not include "Window"
+    p should not include "Join"
+    p should not include "hashpartitioning(user_id" // key-free serve
+    p should include("graft-collapsing")
+  }
+
   test("d8 incremental dedup exchanges only the shard side of the candidate join") {
     // the 100 TB contract of the posting index: the corpus side is a
     // bucketed table pre-partitioned on the join key, so per-batch
