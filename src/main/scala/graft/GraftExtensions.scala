@@ -58,5 +58,6 @@ object GraftExtensions {
     "simhash60" -> "simhash60(hash60s) - 60-bit SimHash bit-vote over a shingle-hash array.",
     "stopword_counts" -> "stopword_counts(tokens, lists) - Occurrences of each stopword list (array of literal string arrays) in a token array.",
     "token_char_sum" -> "token_char_sum(tokens) - Total character count across a token array (NULL if any token is NULL).",
-    "topk_sketch" -> "topk_sketch(key, capacity, k) - Space-Saving approximate top-k of BIGINT keys; returns array<struct<item, cnt, err>>, exact when capacity >= distinct keys.")
+    "topk_sketch" -> "topk_sketch(key, capacity, k) - Space-Saving approximate top-k of BIGINT keys; returns array<struct<item, cnt, err>>, exact when capacity >= distinct keys.",
+    "topk_weighted_sketch" -> "topk_weighted_sketch(key, weight, capacity, k) - Space-Saving approximate top-k of BIGINT keys by summed positive BIGINT weight; returns array<struct<item, w, err>>, exact when capacity >= distinct keys.")
 }

@@ -71,6 +71,7 @@ object SparkEntry {
     "q46_delta_sum" -> (Analytics.q46DeltaSum _),
     "q47_bitmap_ops" -> (Analytics.q47BitmapOps _),
     "q48_sequence_next_node" -> (Analytics.q48SequenceNextNode _),
+    "q49_topk_weighted" -> (Analytics.q49TopKWeighted _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -380,6 +381,23 @@ object SparkEntry {
         |                            ORDER BY cnt DESC, user_id) AS rk
         |  FROM cnts)
         |SELECT event_type, user_id, cnt, rk
+        |FROM r WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
+    // q49: exact weighted top-k — valid against the sketch because
+    // capacity (256) >= per-type distinct users at the gate SF, the
+    // same no-eviction contract q32 pins; (w DESC, user_id) is the
+    // sketch's deterministic output order
+    "q49_topk_weighted" ->
+      """WITH ws AS (
+        |  SELECT event_type, user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS w_cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, w_cents,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY w_cents DESC, user_id) AS rk
+        |  FROM ws)
+        |SELECT event_type, user_id, w_cents, rk
         |FROM r WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
     "q33_gap_fill" ->
       """WITH spine AS (

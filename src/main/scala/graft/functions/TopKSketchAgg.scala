@@ -79,16 +79,23 @@ final class SpaceSavingSummary(val capacity: Int) {
     throw new IllegalStateException("unreachable")
   }
 
-  def update(key: Long): Unit = {
+  def update(key: Long): Unit = update(key, 1L)
+
+  /** Weighted increment (w > 0) — the ClickHouse `topKWeighted` form.
+    * Identical to w unit updates collapsed into one step: a displaced
+    * newcomer inherits the eviction floor as possible overcount, then
+    * adds its whole weight. All [[SpaceSavingSummary]] guarantees hold
+    * with n = total WEIGHT seen. */
+  def update(key: Long, w: Long): Unit = {
     val cur = counts.get(key)
-    if (cur != null) cur(0) += 1
-    else if (counts.size < capacity) counts.put(key, Array(1L, 0L))
+    if (cur != null) cur(0) += w
+    else if (counts.size < capacity) counts.put(key, Array(w, 0L))
     else {
       // evict a min-count entry; the newcomer inherits its count as
       // possible overcount (the classic Space-Saving step)
       val (mk, mv) = evictMin()
       counts.remove(mk)
-      counts.put(key, Array(mv(0) + 1L, mv(0)))
+      counts.put(key, Array(mv(0) + w, mv(0)))
     }
   }
 
@@ -250,6 +257,116 @@ case class TopKSketchAgg(
   override def prettyName: String = "topk_sketch"
 }
 
+/** `topk_weighted_sketch(key, weight, capacity, k)`: the ClickHouse
+  * `topKWeighted(k)(col, weight)` idiom — [[SpaceSavingSummary]] with
+  * weighted increments, so "top keys by summed BIGINT weight" (revenue,
+  * bytes, token counts) ships the same one bounded `capacity`-entry
+  * summary per partition per group instead of a full groupBy(key)
+  * shuffle of every distinct key. Exactness contract and merge rule are
+  * [[TopKSketchAgg]]'s with n = total weight. Rows with NULL key, NULL
+  * weight, or weight <= 0 are skipped (Space-Saving's guarantees need
+  * positive increments; ClickHouse's weight is unsigned by type). */
+case class TopKWeightedSketchAgg(
+    child: Expression,
+    weightExpr: Expression,
+    capacityExpr: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingSummary] {
+
+  private lazy val capacity: Int = capacityExpr.eval().asInstanceOf[Int]
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_weighted_sketch key must be BIGINT, got ${child.dataType.catalogString}")
+    else if (weightExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_weighted_sketch weight must be BIGINT, got ${weightExpr.dataType.catalogString}")
+    else if (capacityExpr.dataType != IntegerType || kExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("topk_weighted_sketch capacity and k must be INT")
+    else if (!capacityExpr.foldable || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "topk_weighted_sketch capacity and k must be literals")
+    else if (capacityExpr.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("topk_weighted_sketch capacity must be >= 1")
+    else if (kExpr.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("topk_weighted_sketch k must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def children: Seq[Expression] =
+    Seq(child, weightExpr, capacityExpr, kExpr)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKWeightedSketchAgg =
+    copy(child = newChildren(0), weightExpr = newChildren(1),
+      capacityExpr = newChildren(2), kExpr = newChildren(3))
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", LongType, nullable = false),
+      StructField("w", LongType, nullable = false),
+      StructField("err", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): SpaceSavingSummary =
+    new SpaceSavingSummary(capacity)
+
+  override def update(
+      buffer: SpaceSavingSummary, input: InternalRow): SpaceSavingSummary = {
+    val v = child.eval(input)
+    val w = weightExpr.eval(input)
+    if (v != null && w != null && w.asInstanceOf[Long] > 0L)
+      buffer.update(v.asInstanceOf[Long], w.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(
+      buffer: SpaceSavingSummary,
+      other: SpaceSavingSummary): SpaceSavingSummary = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: SpaceSavingSummary): Any =
+    new GenericArrayData(buffer.sortedEntries().take(k).map {
+      case (key, cv) => InternalRow(key, cv(0), cv(1))
+    })
+
+  override def serialize(buffer: SpaceSavingSummary): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buffer.counts.size * 24)
+    bb.putInt(buffer.capacity)
+    bb.putInt(buffer.counts.size)
+    val it = buffer.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey); bb.putLong(e.getValue()(0)); bb.putLong(e.getValue()(1))
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingSummary = {
+    val bb = ByteBuffer.wrap(bytes)
+    val summary = new SpaceSavingSummary(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      summary.counts.put(bb.getLong, Array(bb.getLong, bb.getLong))
+      i += 1
+    }
+    summary
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKWeightedSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKWeightedSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "topk_weighted_sketch"
+}
+
 /** SQL registration + Column API for [[TopKSketchAgg]], same pattern as
   * [[vectors]]: one registry entry serves SQL and DataFrame users. */
 object topk {
@@ -265,7 +382,10 @@ object topk {
     else e
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "topk_sketch" -> { es => TopKSketchAgg(widenIntegral(es(0)), es(1), es(2)) })
+    "topk_sketch" -> { es => TopKSketchAgg(widenIntegral(es(0)), es(1), es(2)) },
+    "topk_weighted_sketch" -> { es =>
+      TopKWeightedSketchAgg(widenIntegral(es(0)), widenIntegral(es(1)),
+        es(2), es(3)) })
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     registry.register(spark, builders)
@@ -273,6 +393,14 @@ object topk {
   def topkSketch(key: org.apache.spark.sql.Column, capacity: Int,
       k: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("topk_sketch", key,
+      org.apache.spark.sql.functions.lit(capacity),
+      org.apache.spark.sql.functions.lit(k))
+
+  def topkWeighted(key: org.apache.spark.sql.Column,
+      weight: org.apache.spark.sql.Column, capacity: Int,
+      k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("topk_weighted_sketch",
+      key, weight,
       org.apache.spark.sql.functions.lit(capacity),
       org.apache.spark.sql.functions.lit(k))
 }

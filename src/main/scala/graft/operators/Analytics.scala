@@ -1010,6 +1010,29 @@ object Analytics {
       .orderBy(col("next_type"))
   }
 
+  /** q49: weighted frequent items — ClickHouse `topKWeighted(k)(col,
+    * w)` — via [[graft.functions.TopKWeightedSketchAgg]]: per
+    * event_type, the 10 users with the largest exact-cents revenue
+    * sum. Same 100 TB story as q32 with weight in place of count: the
+    * exact form shuffles every distinct (type, user) pair, the sketch
+    * ships one bounded capacity-entry summary per partition per group.
+    * Capacity 256 ≥ the per-type user count at the gate SF, so the
+    * summary is provably exact (no evictions) — the contract the
+    * DuckDB oracle pins; eviction under skew is property-tested. */
+  def q49TopKWeighted(s: SparkSession, d: String): DataFrame = {
+    graft.functions.topk.register(s)
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.topk.topkWeighted(
+        col("user_id"), col("cents"), 256, 10).as("tk"))
+      .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("event_type"), col("e.item").as("user_id"),
+        col("e.w").as("w_cents"), (col("pos") + 1).as("rk"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   /** q41: `WITH FILL … INTERPOLATE` over hourly revenue — q33's spine
     * join builds the dense (hour, type) grid, [[fillInterpolate]]
     * fills the holes. The corpus is deterministically thinned

@@ -133,4 +133,75 @@ class TopKSketchSpec extends SparkSpec {
       .select(col("e.item"), col("e.cnt")).as[(Long, Long)].collect().toSeq
     got shouldBe Seq((1L, 2L))
   }
+
+  // ------------------------------------------------- weighted variant
+
+  private def weightedTop(rows: Seq[(Long, Long)], capacity: Int, k: Int,
+      partitions: Int): Seq[(Long, Long, Long)] = {
+    topk.register(spark)
+    rows.toDF("key", "w").repartition(partitions)
+      .agg(topk.topkWeighted(col("key"), col("w"), capacity, k).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.w"), col("e.err"))
+      .as[(Long, Long, Long)].collect().toSeq
+  }
+
+  test("weighted: exact summed weights when capacity >= distinct keys, any partitioning") {
+    val rows = Seq((1L, 10L), (2L, 3L), (1L, 5L), (3L, 20L), (2L, 4L))
+    for (parts <- Seq(1, 4)) {
+      weightedTop(rows, 8, 3, parts) shouldBe
+        Seq((3L, 20L, 0L), (1L, 15L, 0L), (2L, 7L, 0L))
+    }
+  }
+
+  test("weighted update is exactly the unit-expanded stream (eviction path included)") {
+    // adjacency-expanded unit stream: update(k, w) is defined as w unit
+    // updates collapsed into one step, so on ONE partition (no merge
+    // reordering) the two sketches must be bit-identical even while
+    // evicting (capacity 4 << 12 distinct keys)
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(1L, 9L)))
+    samples(gen, 15).foreach { rows =>
+      val expanded = rows.flatMap { case (k, w) => Seq.fill(w.toInt)(k) }
+      weightedTop(rows, 4, 4, 1) shouldBe sketchTop(expanded, 4, 4, 1)
+    }
+  }
+
+  test("weighted randomized streams never violate the bounds with n = total weight") {
+    val gen = Gen.listOfN(120, Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(1L, 50L)))
+    samples(gen, 10).foreach { rows =>
+      val truth = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      weightedTop(rows, 8, 8, 3).foreach { case (key, w, err) =>
+        val c = truth.getOrElse(key, 0L)
+        w should be >= c
+        w - err should be <= c
+      }
+    }
+  }
+
+  test("weighted: null and non-positive weights are skipped; null keys skipped") {
+    val got = Seq((Some(1L), Some(5L)), (Some(1L), None), (None, Some(9L)),
+      (Some(2L), Some(0L)), (Some(2L), Some(-3L)), (Some(2L), Some(4L)))
+      .toDF("key", "w")
+      .agg(topk.topkWeighted(col("key"), col("w"), 8, 8).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.w")).as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 5L), (2L, 4L))
+  }
+
+  test("weighted: non-integral weight or key fails analysis; SQL registry path works") {
+    topk.register(spark)
+    Seq((1L, 2L), (1L, 3L)).toDF("key", "w").createOrReplaceTempView("tkw_in")
+    spark.sql(
+      "SELECT explode(topk_weighted_sketch(key, w, 4, 2)) AS e FROM tkw_in")
+      .select("e.item", "e.w").as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 5L))
+    Seq((1L, 1.5)).toDF("key", "dw").createOrReplaceTempView("tkw_dbl")
+    intercept[Exception](
+      spark.sql("SELECT topk_weighted_sketch(key, dw, 4, 1) FROM tkw_dbl")
+        .collect()).getMessage should include("BIGINT")
+    Seq(("a", 1L)).toDF("sk", "w").createOrReplaceTempView("tkw_str")
+    intercept[Exception](
+      spark.sql("SELECT topk_weighted_sketch(sk, w, 4, 1) FROM tkw_str")
+        .collect()).getMessage should include("BIGINT")
+  }
 }
