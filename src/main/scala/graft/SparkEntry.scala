@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Multimodal, RangeJoin, Replacing, Rollup, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Rollup, TextAnalysis, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -123,6 +123,7 @@ object SparkEntry {
     "c9_rollup_serve" -> (Rollup.c9Query _),
     "c10_replacing_upsert" -> (Replacing.c10Query _),
     "c11_collapsing_upsert" -> (Collapsing.c11Query _),
+    "c12_mixture" -> (Mixture.c12Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -808,6 +809,6 @@ object SparkEntry {
          |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
-    Collapsing.oracles ++
+    Collapsing.oracles ++ Mixture.oracles ++
     AsofJoin.oracles ++ RangeJoin.oracles ++ EventStream.oracles
 }

@@ -262,6 +262,20 @@ class PlanAuditSpec extends SparkSpec {
     p should include("graft-collapsing")
   }
 
+  test("c12 mixture: cutoff table broadcasts; the only doc-sized window is the boundary bucket") {
+    val p = plan("c12_mixture")
+    // docs join the few-row cutoff table by broadcast — the corpus is
+    // never shuffled for the join
+    p should include("BroadcastHashJoin")
+    // the doc-sized running sum (drun) must partition on (source, bkt)
+    // — a source-only partition would serialize a whole source through
+    // one task, the skew this operator exists to avoid. (The cutoff
+    // windows DO partition on source alone: they run on the tiny
+    // (source, bkt) aggregate, which is the point.)
+    val drunLine = p.linesIterator.find(_.contains("AS drun#")).get
+    drunLine should include regex """\[source#\d+L?, bkt#\d+L?\], \[h#\d+L?"""
+  }
+
   test("d8 incremental dedup exchanges only the shard side of the candidate join") {
     // the 100 TB contract of the posting index: the corpus side is a
     // bucketed table pre-partitioned on the join key, so per-batch

@@ -261,6 +261,40 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("mixtureTake equals the global take-while rule on random corpora") {
+    // the distributed bucket-cutoff + boundary-window plan must equal
+    // the SEMANTIC definition: per source, scan docs in
+    // (bkt, h, doc_id) order and keep while running tokens <= budget.
+    // Random token masses force boundary buckets everywhere; pct
+    // extremes (0-token keeps nothing at pct still >= floor; tiny
+    // sources fit entirely) come from the generator ranges.
+    val docGen = Gen.zip(Gen.chooseNum(0, 1), Gen.chooseNum(1L, 40L))
+    val caseGen = Gen.choose(5, 60).flatMap(n => Gen.listOfN(n, docGen))
+    samples(caseGen, 12).zipWithIndex.foreach { case (docs, ci) =>
+      val rows = docs.zipWithIndex.map { case ((srcI, tok), i) =>
+        (s"src$srcI", (ci * 1000 + i).toLong, tok, 15 + (srcI * 37) % 71)
+      }
+      val df = rows.toDF("source", "doc_id", "n_tok", "pct")
+      val got = Mixture.mixtureTake(df).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // driver-side brute force of the semantic rule
+      def h60(id: Long): BigInt = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+      }
+      val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val budget = rs.map(_._3.toLong).sum * rs.head._4 / 100
+        var run = 0L
+        rs.map(r => (h60(r._2) % Mixture.NumBuckets, h60(r._2), r._2, r._3))
+          .sortBy { case (b, h, id, _) => (b, h, id) }
+          .takeWhile { case (_, _, _, tok) => { run += tok; run <= budget } }
+          .map(_._3)
+      }.toSet
+      got shouldBe want
+    }
+  }
+
   test("mapAgg matches driver-side key-wise brute force on random map rows") {
     // multi-entry maps with overlapping/disjoint key sets, negative
     // values, and EMPTY maps (which must contribute nothing)
