@@ -106,17 +106,23 @@ object Replacing {
         .filter(col("b") === lit((userId % NumBuckets).toInt) &&
           col("user_id") === lit(userId)))
 
-  /** Gate: FINAL over the persisted parts, reported per latest
-    * event_type. Serves from the compacted parts ONLY (no raw events
-    * scan — pinned in PlanAuditSpec); the oracle recomputes from raw. */
-  def c10Query(s: SparkSession, d: String): DataFrame =
-    finalState(s.read.parquet(ensureReplacing(s, d)))
+  /** The served report over a parts DataFrame: FINAL, grouped per
+    * latest event_type. Shared by the c10 gate and the s8 streaming
+    * maintainer (whose parts accrete per micro-batch). */
+  def finalReport(parts: DataFrame): DataFrame =
+    finalState(parts)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("users"),
         sum(col("cents")).as("sum_cents"),
         max(unix_millis(col("ts"))).as("last_ms"))
       .orderBy(col("event_type"))
+
+  /** Gate: FINAL over the persisted parts, reported per latest
+    * event_type. Serves from the compacted parts ONLY (no raw events
+    * scan — pinned in PlanAuditSpec); the oracle recomputes from raw. */
+  def c10Query(s: SparkSession, d: String): DataFrame =
+    finalReport(s.read.parquet(ensureReplacing(s, d)))
 
   /** DuckDB twin: latest-per-key straight off raw events via a
     * `row_number() = 1` window (ts DESC, event_id DESC — the struct-max

@@ -361,6 +361,53 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** s8: streaming upsert maintenance — the CONTINUOUS form of c10
+    * ([[graft.operators.Replacing]]), i.e. ReplacingMergeTree fed by a
+    * stream: each event micro-batch compacts to ONE part (the batch's
+    * latest version per key, `compactPart` — a map-side-partial
+    * aggregation of the batch) appended into the bucketed parts dir
+    * inside `foreachBatch`; FINAL (newest version per key across all
+    * parts) is applied at read time. ZERO streaming state — a batch's
+    * part depends only on that batch — and the FINAL struct-max is
+    * associative/commutative over versions, so the served report is
+    * IDENTICAL for any split of the events into micro-batches. The
+    * stateful alternative (mapGroupsWithState keyed on user) would pin
+    * every entity in the state store forever; the part/FINAL split
+    * keeps stream memory at zero and pays one bounded merge at read —
+    * the LSM trade c7/c9 document, here under continuous ingest. */
+  def upsertMaintain(events: DataFrame, partsDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Replacing.compactPart(batch.toDF())
+          .write.mode("append").partitionBy("b").parquet(partsDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** s8 gate: [[upsertMaintain]] over the events parquet arriving as a
+    * real file-source stream into a FRESH scratch parts dir (not the
+    * c10 cache — that one is fingerprint-managed by `ensureReplacing`),
+    * then the SAME served FINAL report as c10. Batch-split-invariant by
+    * construction (pinned by the two-batch suite test), so the c10
+    * oracle applies verbatim. */
+  def s8Query(s: SparkSession, d: String): DataFrame = {
+    val root = scratchRoot.resolve(
+      "s8-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    wipe(root)
+    java.nio.file.Files.createDirectories(root)
+    val ss = s.newSession()
+    inheritStreamingConfs(s, ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val parts = root.resolve("parts").toString
+    val q = upsertMaintain(streamEvents(ss, d), parts,
+      root.resolve("ckpt").toString)
+    q.awaitTermination()
+    graft.operators.Replacing.finalReport(s.read.parquet(parts))
+  }
+
   /** s7 gate: [[rollupMaintain]] over the events parquet arriving as a
     * real file-source stream into a FRESH scratch rollup (not the c9
     * cache — that one is fingerprint-managed by `ensureRollup`), then
@@ -510,6 +557,10 @@ object EventStream {
     // construction) — the oracle is c9's, verbatim
     "s7_stream_rollup" ->
       graft.operators.Rollup.oracles("c9_rollup_serve"),
+    // s8 is batch-split-invariant (FINAL struct-max is associative over
+    // versions), so its oracle IS c10's latest-per-key replay
+    "s8_stream_upsert" ->
+      graft.operators.Replacing.oracles("c10_replacing_upsert"),
     // emitted = closed-in-batch (not the user's last session) OR timed
     // out (end + gap strictly below the final watermark)
     "s2_stream_sessionize" ->

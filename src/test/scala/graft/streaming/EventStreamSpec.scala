@@ -381,6 +381,52 @@ class EventStreamSpec extends EventStreamSuiteBase {
         r.getAs[Long]("n"), r.getAs[Long]("sum_cents")))
     served shouldBe want
   }
+
+  test("s8 upsert maintenance is batch-split-invariant: cross-batch key updates FINAL to the newest version") {
+    // s8 is stateless (foreachBatch part append), so the provider axis
+    // is vacuous — one-store test by design.
+    import spark.implicits._
+    def ev(i: Int, month: Int): (Long, Timestamp, Long, String, Double) =
+      (i.toLong, Timestamp.valueOf(f"2024-$month%02d-${1 + i % 27}%02d 06:0${i % 6}:07"),
+        (i % 11).toLong, Seq("view", "click", "purchase")(i % 3), i * 2.13)
+    // file B's later-month events UPDATE users file A already wrote
+    // (ids overlap mod 11) — FINAL must pick B's versions across parts
+    val rowsA = (0 until 60).map(i => ev(i, 1))
+    val rowsB = (100 until 150).map(i => ev(i, 2))
+    val shardRoot = java.nio.file.Files.createTempDirectory("graft-s8-sh-").toString
+    rowsA.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$shardRoot/ev_a.parquet")
+    rowsB.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$shardRoot/ev_b.parquet")
+    val schema = spark.read.parquet(s"$shardRoot/ev_a.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one micro-batch per file
+      .parquet(s"$shardRoot/ev_*.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-s8-out-").toString
+    val q = EventStream.upsertMaintain(src, s"$out/parts", s"$out/ckpt")
+    try q.awaitTermination() finally q.stop()
+    q.recentProgress.count(_.numInputRows > 0) shouldBe 2
+    val served = graft.operators.Replacing.finalReport(
+        spark.read.parquet(s"$out/parts")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("users"),
+        r.getAs[Long]("sum_cents"), r.getAs[Long]("last_ms")))
+    // one-shot compaction over the union: the report must be identical
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-s8-b-").toString
+    graft.operators.Replacing.compactPart(
+        (rowsA ++ rowsB).toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$batchDir/parts")
+    val want = graft.operators.Replacing.finalReport(
+        spark.read.parquet(s"$batchDir/parts")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("users"),
+        r.getAs[Long]("sum_cents"), r.getAs[Long]("last_ms")))
+    served shouldBe want
+    // and every user with a month-2 update serves a month-2 version
+    val fin = graft.operators.Replacing.finalState(
+      spark.read.parquet(s"$out/parts"))
+    fin.filter(org.apache.spark.sql.functions.col("event_id") < 100L).collect()
+      .map(_.getAs[Long]("user_id")).toSet
+      .intersect(rowsB.map(_._3).toSet) shouldBe Set.empty
+  }
 }
 
 /** The same behaviors on the RocksDB state store — the provider the
