@@ -37,7 +37,8 @@ object GraftExtensions {
     functions.vectors.builders ++
       functions.texthash.builders ++
       functions.textstats.builders ++
-      functions.topk.builders
+      functions.topk.builders ++
+      functions.uniqupto.builders
 
   /** `DESCRIBE FUNCTION` text for the SQL surface. */
   private[graft] val usages: Map[String, String] = Map(
@@ -59,5 +60,6 @@ object GraftExtensions {
     "stopword_counts" -> "stopword_counts(tokens, lists) - Occurrences of each stopword list (array of literal string arrays) in a token array.",
     "token_char_sum" -> "token_char_sum(tokens) - Total character count across a token array (NULL if any token is NULL).",
     "topk_sketch" -> "topk_sketch(key, capacity, k) - Space-Saving approximate top-k of BIGINT keys; returns array<struct<item, cnt, err>>, exact when capacity >= distinct keys.",
-    "topk_weighted_sketch" -> "topk_weighted_sketch(key, weight, capacity, k) - Space-Saving approximate top-k of BIGINT keys by summed positive BIGINT weight; returns array<struct<item, w, err>>, exact when capacity >= distinct keys.")
+    "topk_weighted_sketch" -> "topk_weighted_sketch(key, weight, capacity, k) - Space-Saving approximate top-k of BIGINT keys by summed positive BIGINT weight; returns array<struct<item, w, err>>, exact when capacity >= distinct keys.",
+    "uniq_upto" -> "uniq_upto(key, n) - Exact distinct count of BIGINT keys while <= n, else n + 1; per-group state bounded at n + 1 keys.")
 }

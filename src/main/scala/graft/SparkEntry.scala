@@ -72,6 +72,8 @@ object SparkEntry {
     "q47_bitmap_ops" -> (Analytics.q47BitmapOps _),
     "q48_sequence_next_node" -> (Analytics.q48SequenceNextNode _),
     "q49_topk_weighted" -> (Analytics.q49TopKWeighted _),
+    "q50_quantile_sketch" -> (Analytics.q50QuantileSketch _),
+    "q51_uniq_upto" -> (Analytics.q51UniqUpTo _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -401,6 +403,36 @@ object SparkEntry {
         |  FROM ws)
         |SELECT event_type, user_id, w_cents, rk
         |FROM r WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
+    // q50: the exact discrete quantiles replay in pure integer rank
+    // arithmetic (target = ceil(n*qm/1000) in integers); the sketch's
+    // rank-window contract is TRUE by the summary's published bound
+    "q50_quantile_sketch" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, cents, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT b.event_type, cents,
+        |    sum(cnt) OVER (PARTITION BY b.event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    t.n
+        |  FROM b JOIN t ON b.event_type = t.event_type),
+        |q AS (SELECT unnest([500, 900, 990]) AS qm)
+        |SELECT event_type, qm, min(cents) AS exact_cents,
+        |  TRUE AS approx_ok
+        |FROM c, q WHERE cum >= (n * qm + 999) // 1000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q51: least(count distinct, n + 1) — the uniq_upto contract is
+    // exact on both sides of the cap
+    "q51_uniq_upto" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(least(count(DISTINCT user_id), 51) AS BIGINT) AS users_upto,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q33_gap_fill" ->
       """WITH spine AS (
         |  SELECT unnest(generate_series(

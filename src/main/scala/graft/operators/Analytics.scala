@@ -1033,6 +1033,74 @@ object Analytics {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** q50: mergeable quantile sketch — the ClickHouse
+    * `quantileTDigest` / `quantilesTDigest` surface, served by Spark's
+    * NATIVE mergeable quantile summary (`approx_percentile`, a
+    * Greenwald-Khanna variant: bounded state per partition, partials
+    * merge associatively — the same reason ClickHouse ships t-digest
+    * next to exact `quantile`). At 100 TB only the sketch pass runs:
+    * one bounded summary per partition per group, no distinct-value
+    * shuffle. The gate ALSO replays the exact discrete quantiles in
+    * pure integer arithmetic (rank target `ceil(n·qm/1000)` over the
+    * compact (type, cents, count) table — distinct cents is bounded by
+    * the price domain, not the corpus) and pins the q9-style contract:
+    * the sketch value's true rank window must cover the target rank
+    * within the summary's published `n/accuracy` bound. The oracle
+    * recomputes the exact side bit-for-bit and asserts TRUE. */
+  def q50QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val qms = Seq(500, 900, 990) // permille targets: integer math only
+    val e = Tables.events(s, d).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val b = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = b.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = b.withColumn("cum", sum(col("cnt")).over(wc))
+      .join(broadcast(t), "event_type")
+      .select(col("event_type"), col("cents"), col("cum"), col("n"),
+        explode(array(qms.map(lit): _*)).as("qm"))
+      .filter(col("cum") >= expr("(n * qm + 999) div 1000"))
+      .groupBy(col("event_type"), col("qm"))
+      .agg(min(col("cents")).as("exact_cents"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(percentile_approx(col("cents"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("av"))
+      .select(col("event_type"), posexplode(col("av")).as(Seq("pos", "av")))
+      .withColumn("qm", element_at(array(qms.map(lit): _*), col("pos") + 1))
+      .drop("pos")
+    val checked = b.join(broadcast(sk), "event_type")
+      .groupBy(col("event_type"), col("qm"), col("av"))
+      .agg(
+        sum(when(col("cents") < col("av"), col("cnt")).otherwise(0L)).as("rank_lo"),
+        sum(when(col("cents") <= col("av"), col("cnt")).otherwise(0L)).as("rank_hi"))
+      .join(broadcast(t), "event_type")
+      .select(col("event_type"), col("qm"),
+        (col("rank_hi") >= expr("(n * qm + 999) div 1000 - (n div 10000 + 1)") &&
+          col("rank_lo") < expr("(n * qm + 999) div 1000 + (n div 10000 + 1)"))
+          .as("approx_ok"))
+    exact.join(checked, Seq("event_type", "qm"))
+      .orderBy(col("event_type"), col("qm"))
+  }
+
+  /** q51: capped exact distinct — ClickHouse `uniqUpTo(N)(col)` via
+    * [[graft.functions.UniqUpToAgg]]: per (event_type, day), the exact
+    * distinct user count when ≤ 50, else 51 ("more than 50"). The
+    * corpus' 42–67 users/day/type straddles the cap, so both the exact
+    * and the saturated path are live in the gate. 100 TB story: a
+    * `count(DISTINCT user)` shuffles every distinct (group, user)
+    * pair; this ships ≤ n + 1 longs per partition per group — bounded
+    * state for the "did it exceed N?" questions (fan-out caps, abuse
+    * thresholds) that never need the full cardinality. */
+  def q51UniqUpTo(s: SparkSession, d: String): DataFrame = {
+    graft.functions.uniqupto.register(s)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(graft.functions.uniqupto.uniqUpTo(col("user_id"), 50)
+        .as("users_upto"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** q41: `WITH FILL … INTERPOLATE` over hourly revenue — q33's spine
     * join builds the dense (hour, type) grid, [[fillInterpolate]]
     * fills the holes. The corpus is deterministically thinned

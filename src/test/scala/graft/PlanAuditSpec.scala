@@ -108,6 +108,22 @@ class PlanAuditSpec extends SparkSpec {
     plan("q35_argmax") should not include "Window"
   }
 
+  test("q51 uniq_upto aggregates with map-side partials (bounded per-partition state)") {
+    val hits = "ObjectHashAggregate".r.findAllIn(plan("q51_uniq_upto")).size
+    hits should be >= 2
+  }
+
+  test("q50 quantile sketch: the summary pass has map-side partials; small sides broadcast") {
+    val p = plan("q50_quantile_sketch")
+    // approx_percentile partials merge per partition (ObjectHashAgg
+    // partial + final), and the few-row sketch/totals tables join the
+    // compact (type, cents) table by broadcast — no sort-merge join of
+    // corpus-derived sides
+    "ObjectHashAggregate".r.findAllIn(p).size should be >= 2
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
   test("q33 gap fill broadcasts the generated spine, never sort-merges it") {
     // the (day × type) spine is bounded by the time range, not the
     // corpus — it must broadcast against the aggregated dailies
