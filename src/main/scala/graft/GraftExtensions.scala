@@ -23,13 +23,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * name either way).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.allBuilders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
           GraftExtensions.usages.getOrElse(name,
             s"$name(...) - graft function"), ""), b))
     }
+    // ClickHouse PROJECTION auto-selection: a covered raw-events
+    // aggregate silently serves from the fresh c9 rollup (c13)
+    ext.injectOptimizerRule(graft.plans.RollupProjection.apply)
+  }
 }
 
 object GraftExtensions {

@@ -127,6 +127,7 @@ object SparkEntry {
     "c10_replacing_upsert" -> (Replacing.c10Query _),
     "c11_collapsing_upsert" -> (Collapsing.c11Query _),
     "c12_mixture" -> (Mixture.c12Query _),
+    "c13_projection_rewrite" -> (Rollup.c13Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))

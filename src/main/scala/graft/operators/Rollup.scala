@@ -131,10 +131,31 @@ object Rollup {
       .orderBy(col("event_type"))
   }
 
+  /** c13: the PROJECTION-rewrite gate. The query is the NATURAL daily
+    * aggregate over raw events — no rollup in sight at the API level;
+    * [[graft.plans.RollupProjection]] (installed by GraftExtensions)
+    * rewrites it onto the freshly-ensured rollup, so the optimized
+    * plan reads the few-KB rollup and never scans events (pinned in
+    * PlanAuditSpec). The DuckDB oracle IS the raw aggregate — the
+    * whole point is that the rewrite is invisible to results. */
+  def c13Query(s: SparkSession, d: String): DataFrame = {
+    ensureRollup(s, d)
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** DuckDB twin: the report recomputed from RAW events — proving the
     * rollup-served path lossless. `sum(BIGINT)` is HUGEINT in DuckDB →
     * cast back (the q28 lesson); cents replay Spark's round-then-cast. */
   val oracles: Map[String, String] = Map(
+    "c13_projection_rewrite" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "c9_rollup_serve" ->
       s"""WITH e AS (
          |  SELECT CAST(ts AS DATE) AS day, event_type, user_id,

@@ -95,6 +95,25 @@ object LocalIndex {
     ()
   }
 
+  /** Read-only freshness probe for an [[ensureIncremental]]-managed
+    * cache: Some(dir) iff the cache exists, is complete, and its stored
+    * `extra ## manifest` marker matches the sources' CURRENT data-file
+    * manifest exactly. Never builds — callers that can serve from the
+    * cache opportunistically (the projection-rewrite optimizer rule)
+    * use this; anything that must HAVE the cache calls
+    * [[ensureIncremental]]. */
+  def freshDir(kind: String, d: String, suffix: String,
+               sources: Seq[String], extra: String): Option[String] = {
+    val dir = path(kind, d, suffix)
+    val src = Paths.get(dir, "_GRAFT_SRC")
+    if (!new java.io.File(dir, "_SUCCESS").exists() || !Files.exists(src)) None
+    else {
+      val marker = extra + "##" + dataManifest(sources).mkString("|")
+      if (new String(Files.readAllBytes(src), "UTF-8") == marker) Some(dir)
+      else None
+    }
+  }
+
   /** [[ensure]] with an INCREMENTAL-APPEND fast path — the 100 TB shard
     * pattern (the reference appends shard batches continuously,
     * process.py:95-120; rebuilding a corpus-sized index per shard is

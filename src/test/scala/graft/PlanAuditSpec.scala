@@ -292,6 +292,16 @@ class PlanAuditSpec extends SparkSpec {
     drunLine should include regex """\[source#\d+L?, bkt#\d+L?\], \[h#\d+L?"""
   }
 
+  test("c13 projection rewrite serves the raw-events aggregate from the rollup scan") {
+    // the query is the natural daily aggregate over raw events; the
+    // injected RollupProjection rule must have replaced the corpus
+    // scan with the few-KB rollup read
+    val p = plan("c13_projection_rewrite")
+    p should include("graft-rollup")
+    p should not include "events.parquet"
+    p should not include "Join"
+  }
+
   test("d8 incremental dedup exchanges only the shard side of the candidate join") {
     // the 100 TB contract of the posting index: the corpus side is a
     // bucketed table pre-partitioned on the join key, so per-batch
