@@ -128,6 +128,7 @@ object SparkEntry {
     "c11_collapsing_upsert" -> (Collapsing.c11Query _),
     "c12_mixture" -> (Mixture.c12Query _),
     "c13_projection_rewrite" -> (Rollup.c13Query _),
+    "m4_phash_neardup" -> (Multimodal.m4Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))

@@ -151,7 +151,7 @@ object Dedup {
     * two full sorts and a join for pairs the bucket already holds
     * locally. Measured at sf0.1 this rewrite is ~35–40% of the
     * d2/d3/d7 wall clock. */
-  private def bucketedPairs(exIn: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+  private[operators] def bucketedPairs(exIn: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     // size-less callers (d3 bands, d5 LSH buckets) omit `n`; carry a
     // zero instead of making every call site bolt on a dummy column
     val ex = if (exIn.columns.contains("n")) exIn

@@ -134,7 +134,85 @@ object Multimodal {
   def m3Query(s: SparkSession, d: String): DataFrame =
     frameSample(Tables.documents(s, d))
 
+  // ---------------------------------------------------------------- m4
+
+  /** Bucket-occupancy cap for pHash chunk buckets — same skew rationale
+    * as [[Dedup.MaxChunkBucket]]: low-entropy payload regions
+    * (boilerplate headers, solid-color images) must not degenerate a
+    * chunk bucket to all-pairs. */
+  val MaxPhashBucket = 200
+
+  /** Perceptual hash of the binary payload — the pHash STUB: SimHash
+    * over byte 8-grams (the byte-level analog of pixel-block pHash:
+    * near-identical payloads vote near-identical bits, so hamming
+    * distance tracks payload similarity — which a raw content hash
+    * deliberately destroys). A real deployment swaps the byte-gram
+    * base for DCT-block features out of the actual decoder; the
+    * 60-bit hash, chunk split, and candidate physics are unchanged.
+    * All expression work ([[textops.hash60]] per gram, the codegen'd
+    * [[graft.functions.SimHash60]] bit-vote) — no UDFs. */
+  def phash(docs: DataFrame): DataFrame = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+      i => textops.hash60(col("text").substr(i, lit(8))))
+    docs.select(col("doc_id"),
+      coalesce(graft.functions.texthash.simhash60(grams), lit(0L)).as("ph"))
+  }
+
+  /** m4: payload near-dup — image-dedup physics over the multimodal
+    * binary column. The d4 pigeonhole: split the 60-bit pHash into 4
+    * chunks of 15 bits; any pair within hamming 3 shares an exact
+    * chunk, so pairing inside (chunk, value) buckets finds every such
+    * pair with NO all-pairs comparison; wider radii (the 12 here)
+    * trade recall exactly as published. Candidate generation is the
+    * shared occupancy-capped [[Dedup.bucketedPairs]] — the pHash rides
+    * the posting row as `n`, so the pair row's na/nb ARE the two
+    * hashes and verification is one `bit_count(xor)` with no join
+    * back. At 100 TB this is the image near-dup pass every multimodal
+    * training pipeline runs; cost is Σ capped-bucket² — never n². */
+  def phashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val chunks = phash(docs)
+      .select(col("doc_id"), col("ph").as("n"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("ck", expr("shiftright(n, c * 15) & 32767"))
+    Dedup.bucketedPairs(chunks, Seq("c", "ck"), MaxPhashBucket)
+      .withColumn("hamming", expr("CAST(bit_count(na ^ nb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def m4Query(s: SparkSession, d: String): DataFrame =
+    phashPairs(Tables.documents(s, d))
+
   val oracles: Map[String, String] = Map(
+    // m4 replays the byte-gram SimHash, chunk split, occupancy cap and
+    // hamming verify (the d4 oracle pattern over payload 8-grams)
+    "m4_phash_neardup" ->
+      s"""WITH g AS (SELECT doc_id, text,
+         |       unnest(range(1, greatest(length(text) - 6, 2))) AS i
+         |     FROM documents),
+         |hx AS (SELECT doc_id,
+         |         ${textops.hash60Sql("substr(text, i::INTEGER, 8)")} AS th
+         |       FROM g),
+         |bits AS (SELECT doc_id, b,
+         |           sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |         FROM hx CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+         |         GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS p
+         |       FROM bits GROUP BY 1),
+         |chunks AS (SELECT doc_id, p, c, (p >> (c * 15)) & 32767 AS ck
+         |           FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+         |sized AS (SELECT *, count(*) OVER (PARTITION BY c, ck) AS bn FROM chunks),
+         |keep AS (SELECT * FROM sized WHERE bn <= $MaxPhashBucket),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.p AS pa, b.p AS pb
+         |         FROM keep a JOIN keep b
+         |           ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(pa, pb))::INTEGER AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= 12
+         |ORDER BY 1, 2""".stripMargin,
     "m1_binary_meta" ->
       s"""SELECT doc_id,
          |  octet_length(text::BLOB)::INTEGER AS n_bytes,

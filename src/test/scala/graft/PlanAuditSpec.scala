@@ -77,7 +77,7 @@ class PlanAuditSpec extends SparkSpec {
     // are separate equi-joins and may plan as the optimizer likes, so
     // it only pins the ShuffledHashJoin presence)
     Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-      "d7_containment").foreach { q =>
+      "d7_containment", "m4_phash_neardup").foreach { q =>
       withClue(q) {
         val p = plan(q)
         p should include("ShuffledHashJoin")
@@ -89,7 +89,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dedup candidate joins stay on equi-keys (no nested-loop fallback)") {
     Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-      "d5_embedding_neardup", "d7_containment").foreach { q =>
+      "d5_embedding_neardup", "d7_containment", "m4_phash_neardup").foreach { q =>
       withClue(q) {
         plan(q) should not include "BroadcastNestedLoopJoin"
       }

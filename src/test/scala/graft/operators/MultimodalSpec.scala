@@ -60,4 +60,44 @@ class MultimodalSpec extends SparkSpec {
       .sortBy(_._1)
     decoded shouldBe viaExpr
   }
+
+  test("phash is LOCAL: identical payloads hamming 0, small edits small hamming, unrelated payloads far") {
+    val base = ("the quick brown fox jumps over the lazy dog, " * 8).trim
+    val edited = base.replace("lazy dog", "lazy cat") // one small edit
+    val unrelated = ("completely different content with other bytes entirely; " * 8).trim
+    val rows = Seq((0L, base), (1L, base), (2L, edited), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val ph = Multimodal.phash(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    ham(ph(0L), ph(1L)) shouldBe 0 // identical payloads
+    // a small edit flips few bit votes: the hash stays NEAR (a raw
+    // content hash would be ~30 bits away on average)
+    ham(ph(0L), ph(2L)) should be <= 12
+    ham(ph(0L), ph(3L)) should be > 12 // unrelated content is far
+  }
+
+  test("phashPairs finds guaranteed-radius pairs through the chunk buckets, drops far content") {
+    // the pigeonhole GUARANTEE is hamming <= 3 (4 chunks of 15 bits:
+    // 3 flips leave >= 1 chunk intact); wider matches are best-effort
+    // recall, exactly as published — so pin the guaranteed cases:
+    // identical payloads (hamming 0) and a tail-append tiny edit IF
+    // its measured hamming is within the guarantee
+    val base = ("the quick brown fox jumps over the lazy dog, " * 8).trim
+    val edited = base + " xx"
+    val rows = Seq((0L, base), (1L, base), (2L, edited),
+      (3L, ("completely different content with other bytes entirely; " * 8).trim))
+      .toDF("doc_id", "text")
+    val ph = Multimodal.phash(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Multimodal.phashPairs(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pairs = got.map(t => (t._1, t._2))
+    pairs should contain((0L, 1L)) // identical: always found, hamming 0
+    got.find(t => t._1 == 0L && t._2 == 1L).get._3 shouldBe 0
+    if (java.lang.Long.bitCount(ph(0L) ^ ph(2L)) <= 3)
+      pairs should contain((0L, 2L)) // inside the pigeonhole guarantee
+    got.foreach { case (_, _, h) => h should be <= 12 }
+    pairs should not contain ((0L, 3L)) // unrelated content is far
+  }
 }
