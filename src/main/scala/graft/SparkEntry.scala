@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Rollup, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Rollup, Stats, TextAnalysis, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -74,6 +74,11 @@ object SparkEntry {
     "q49_topk_weighted" -> (Analytics.q49TopKWeighted _),
     "q50_quantile_sketch" -> (Analytics.q50QuantileSketch _),
     "q51_uniq_upto" -> (Analytics.q51UniqUpTo _),
+    "q52_entropy" -> (Stats.q52Entropy _),
+    "q53_welch_ttest" -> (Stats.q53WelchTTest _),
+    "q54_cramers_v" -> (Stats.q54CramersV _),
+    "q55_corr_matrix" -> (Stats.q55CorrMatrix _),
+    "q56_moving_agg" -> (Stats.q56MovingAgg _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -844,6 +849,6 @@ object SparkEntry {
          |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
-    Collapsing.oracles ++ Mixture.oracles ++
+    Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++
     AsofJoin.oracles ++ RangeJoin.oracles ++ EventStream.oracles
 }

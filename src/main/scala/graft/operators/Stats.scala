@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical-aggregate surface (SURVEY §2, q52–q56) — the ClickHouse
+  * statistics family (`entropy`, `welchTTest`, `cramersV`,
+  * `corrMatrix`, `groupArrayMovingSum/Avg`) re-expressed as declarative
+  * Spark aggregations.
+  *
+  * Everything here follows the q37 discipline: when two engines'
+  * built-in estimators could disagree (bias conventions, streaming
+  * vs two-pass variance), BOTH sides compute one pinned published
+  * formula from exact integer counts / explicitly centered sums, and
+  * order-dependent double folds are rounded to 4 decimals on both
+  * sides. Every aggregation is partial (map-side combine) and group
+  * counts are bounded (event types, languages, column pairs), so each
+  * executor ships a handful of rows whatever the corpus size.
+  */
+object Stats {
+
+  /** q52: Shannon entropy — ClickHouse `entropy(x)` — of each event
+    * type's user-id distribution, in bits.
+    *
+    * Identity used on both engines: H = log2(n) − Σ c·log2(c) / n over
+    * the per-user counts c. The inner groupBy is exact integer
+    * counting (map-side partial, shuffle keyed by (type, user)); the
+    * outer fold ships two doubles per type. No per-key state grows
+    * with the corpus — at 100 TB this is two hash aggregates and a
+    * 5-row result. */
+  def q52Entropy(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log2(col("c"))).as("clg"),
+        count(lit(1)).as("n_users"))
+      .select(col("event_type"), col("n"), col("n_users"),
+        round(log2(col("n")) - col("clg") / col("n"), 4).as("entropy_bits"))
+      .orderBy(col("event_type"))
+
+  /** q53: Welch's unequal-variance t-test — ClickHouse
+    * `welchTTest(value, sample)` — between the 'click' and 'view'
+    * value populations.
+    *
+    * Sample variance is computed q37-style from explicitly centered
+    * sums against a broadcast of the two group means (one pinned
+    * formula, not two engines' variance estimators), then
+    * t = (μa−μb)/√(sa²/na + sb²/nb) and the Welch–Satterthwaite df.
+    * Two scans of the filtered fact, zero wide shuffles: the only
+    * exchange carries ≤ 2 partial rows per partition. */
+  def q53WelchTTest(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value"))
+    val m = e.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), count(lit(1)).as("n"))
+    val v = e.join(broadcast(m), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("mu")).as("mu"), first(col("n")).as("n"),
+        sum((col("value") - col("mu")) * (col("value") - col("mu"))).as("ss"))
+      .withColumn("s2", col("ss") / (col("n") - lit(1)))
+    val a = col("a"); val b = col("b")
+    val sea = a("s2") / a("n"); val seb = b("s2") / b("n")
+    v.agg(
+      max(when(col("event_type") === "click",
+        struct(col("n"), col("mu"), col("s2")))).as("a"),
+      max(when(col("event_type") === "view",
+        struct(col("n"), col("mu"), col("s2")))).as("b"))
+      .select(
+        a("n").as("n_click"), b("n").as("n_view"),
+        round(a("mu"), 4).as("mean_click"),
+        round(b("mu"), 4).as("mean_view"),
+        round((a("mu") - b("mu")) / sqrt(sea + seb), 4).as("t_stat"),
+        round((sea + seb) * (sea + seb) /
+          (sea * sea / (a("n") - lit(1)) + seb * seb / (b("n") - lit(1))), 4)
+          .as("welch_df"))
+  }
+
+  /** q54: Cramér's V association — ClickHouse `cramersV(a, b)` —
+    * between document language and source.
+    *
+    * χ² needs EVERY cell of the contingency table including empty
+    * ones (an absent (lang, source) cell still contributes its
+    * expected count), so the dense grid is built by crossing the two
+    * marginal tables — both bounded by the category counts, never by
+    * the corpus — and left-joining the observed counts. All counts are
+    * exact integers; the χ² fold is the only double sum and lands in
+    * one row. V = √(χ²/n / min(r−1, c−1)). */
+  def q54CramersV(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val ct = obs.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).as("n"))
+    val ex = col("rt").cast("double") * col("ct") / col("n")
+    val cell = (col("o") - ex) * (col("o") - ex) / ex
+    rt.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+      .join(obs, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .agg(first(col("n")).as("n_docs"),
+        countDistinct(col("lang")).as("r_levels"),
+        countDistinct(col("source")).as("c_levels"),
+        sum(cell).as("chi2"))
+      .select(col("n_docs"), col("r_levels"), col("c_levels"),
+        round(col("chi2"), 4).as("chi2"),
+        round(sqrt(col("chi2") / col("n_docs") /
+          (least(col("r_levels"), col("c_levels")) - lit(1))), 4)
+          .as("cramers_v"))
+  }
+
+  /** q55: pairwise correlation matrix — ClickHouse `corrMatrix(x…)` —
+    * over lineitem's four numeric measures.
+    *
+    * ONE scan computes all six Pearson coefficients as independent
+    * `corr` aggregates (each a 6-double partial state, map-side
+    * combined), then the 1-row result unpivots to matrix form on the
+    * driver side of the plan. The alternative — unpivot first,
+    * self-join on row id — would shuffle the corpus twice; this ships
+    * 36 doubles per partition total, any scale. */
+  def q55CorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (x, y) =>
+      corr(col(x), col(y)).as(s"c_${x}_$y") }
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (x, y) =>
+        struct(lit(x).as("col_a"), lit(y).as("col_b"),
+          round(col(s"c_${x}_$y"), 4).as("corr_v"))
+      }: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.corr_v"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** q56: trailing moving aggregates — ClickHouse
+    * `groupArrayMovingSum(7)` / `groupArrayMovingAvg(7)` — 7-day
+    * moving sum/avg of daily revenue per event type.
+    *
+    * The corpus collapses to ≤ days × types rows in one partial
+    * aggregate (exact integer cents) BEFORE the window; the ROWS
+    * frame then runs per type over that tiny series. The moving sum
+    * stays exact-integer; the moving avg is one division per row,
+    * rounded on both engines. */
+  def q56MovingAgg(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily.select(col("event_type"), col("day"), col("cents"),
+      sum(col("cents")).over(w).as("mov_sum_7"),
+      round(avg(col("cents")).over(w), 4).as("mov_avg_7"),
+      count(lit(1)).over(w).as("win_n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  val oracles: Map[String, String] = Map(
+    "q52_entropy" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, sum(c)::BIGINT AS n, count(*) AS n_users,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_welch_ttest" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |m AS (
+        |  SELECT event_type, avg(value) AS mu, count(*) AS n
+        |  FROM e GROUP BY 1),
+        |v AS (
+        |  SELECT e.event_type, any_value(mu) AS mu, any_value(n) AS n,
+        |    sum((value - mu) * (value - mu)) / (any_value(n) - 1) AS s2
+        |  FROM e JOIN m USING (event_type) GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN event_type = 'click' THEN n END) AS na,
+        |    max(CASE WHEN event_type = 'view' THEN n END) AS nb,
+        |    max(CASE WHEN event_type = 'click' THEN mu END) AS mua,
+        |    max(CASE WHEN event_type = 'view' THEN mu END) AS mub,
+        |    max(CASE WHEN event_type = 'click' THEN s2 END) AS s2a,
+        |    max(CASE WHEN event_type = 'view' THEN s2 END) AS s2b
+        |  FROM v)
+        |SELECT na::BIGINT AS n_click, nb::BIGINT AS n_view,
+        |  round(mua, 4) AS mean_click, round(mub, 4) AS mean_view,
+        |  round((mua - mub) / sqrt(s2a / na + s2b / nb), 4) AS t_stat,
+        |  round((s2a / na + s2b / nb) * (s2a / na + s2b / nb) /
+        |    ((s2a / na) * (s2a / na) / (na - 1) +
+        |     (s2b / nb) * (s2b / nb) / (nb - 1)), 4) AS welch_df
+        |FROM w""".stripMargin,
+    "q54_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT lang, source, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM obs),
+        |grid AS (
+        |  SELECT lang, source, rt, ct, n, coalesce(o, 0) AS o
+        |  FROM rt CROSS JOIN ct CROSS JOIN n
+        |  LEFT JOIN obs USING (lang, source)),
+        |agg AS (
+        |  SELECT any_value(n)::BIGINT AS n_docs,
+        |    count(DISTINCT lang) AS r_levels,
+        |    count(DISTINCT source) AS c_levels,
+        |    sum((o - rt * 1.0 * ct / n) * (o - rt * 1.0 * ct / n) /
+        |        (rt * 1.0 * ct / n)) AS chi2
+        |  FROM grid)
+        |SELECT n_docs, r_levels, c_levels, round(chi2, 4) AS chi2,
+        |  round(sqrt(chi2 / n_docs / (least(r_levels, c_levels) - 1)), 4)
+        |    AS cramers_v
+        |FROM agg""".stripMargin,
+    "q55_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT corr(l_quantity, l_extendedprice) AS c0,
+        |         corr(l_quantity, l_discount) AS c1,
+        |         corr(l_quantity, l_tax) AS c2,
+        |         corr(l_extendedprice, l_discount) AS c3,
+        |         corr(l_extendedprice, l_tax) AS c4,
+        |         corr(l_discount, l_tax) AS c5
+        |  FROM lineitem)
+        |SELECT col_a, col_b, corr_v FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    round(c0, 4) AS corr_v FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', round(c1, 4) FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', round(c2, 4) FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c3, 4) FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c4, 4) FROM c
+        |  UNION ALL SELECT 'l_discount', 'l_tax', round(c5, 4) FROM c)
+        |ORDER BY col_a, col_b""".stripMargin,
+    "q56_moving_agg" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cents,
+        |  sum(cents) OVER w::BIGINT AS mov_sum_7,
+        |  round(avg(cents) OVER w, 4) AS mov_avg_7,
+        |  count(*) OVER w AS win_n
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+  )
+}

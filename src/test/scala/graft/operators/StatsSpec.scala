@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The q52–q56 statistics family: each pinned formula is re-derived
+  * brute-force on the driver from the same tiny corpus, so a formula
+  * drift (bias convention, wrong marginal, off-by-one frame) fails
+  * here before the cross-engine gate ever runs. */
+class StatsSpec extends SparkSpec {
+  private val d = SparkSpec.TinySf
+
+  test("q52 entropy matches the driver-side Shannon formula per type") {
+    val got = Stats.q52Entropy(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val counts = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"), col("user_id")).count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    counts.foreach { case (t, cs) =>
+      val n = cs.sum.toDouble
+      val h = cs.map { c => val p = c / n; -p * math.log(p) / math.log(2) }.sum
+      got(t)._1 shouldBe cs.sum
+      got(t)._2 shouldBe (h +- 1e-3)
+    }
+  }
+
+  test("q53 welch t-test matches a driver-side two-sample computation") {
+    val r = Stats.q53WelchTTest(spark, d).collect().head
+    val vals = graft.Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), x.getDouble(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    def mv(xs: Array[Double]): (Int, Double, Double) = {
+      val n = xs.length; val mu = xs.sum / n
+      (n, mu, xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    }
+    val (na, mua, s2a) = mv(vals("click")); val (nb, mub, s2b) = mv(vals("view"))
+    val se = s2a / na + s2b / nb
+    val t = (mua - mub) / math.sqrt(se)
+    val df = se * se / (math.pow(s2a / na, 2) / (na - 1) + math.pow(s2b / nb, 2) / (nb - 1))
+    r.getLong(0) shouldBe na.toLong
+    r.getLong(1) shouldBe nb.toLong
+    r.getDouble(4) shouldBe (t +- 1e-3)
+    r.getDouble(5) shouldBe (df +- 1e-3)
+  }
+
+  test("q54 cramers v matches a driver-side chi-square incl. empty cells") {
+    val r = Stats.q54CramersV(spark, d).collect().head
+    val obs = graft.Tables.documents(spark, d)
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val langs = obs.keys.map(_._1).toSeq.distinct
+    val srcs = obs.keys.map(_._2).toSeq.distinct
+    val n = obs.values.sum.toDouble
+    val rt = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val chi2 = (for { l <- langs; sr <- srcs } yield {
+      val e = rt(l) * ct(sr) / n
+      val o = obs.getOrElse((l, sr), 0L).toDouble
+      (o - e) * (o - e) / e
+    }).sum
+    val v = math.sqrt(chi2 / n / math.min(langs.size - 1, srcs.size - 1))
+    r.getLong(0) shouldBe obs.values.sum
+    r.getDouble(3) shouldBe (chi2 +- 1e-3)
+    r.getDouble(4) shouldBe (v +- 1e-3)
+    r.getDouble(4) should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("q55 corr matrix matches per-pair Pearson and stays in [-1, 1]") {
+    val rows = Stats.q55CorrMatrix(spark, d).collect()
+    rows.length shouldBe 6
+    rows.foreach { r =>
+      val (a, b, v) = (r.getString(0), r.getString(1), r.getDouble(2))
+      v should (be >= -1.0 and be <= 1.0)
+      val direct = graft.Tables.lineitem(spark, d)
+        .agg(corr(col(a), col(b))).collect().head.getDouble(0)
+      v shouldBe (direct +- 1e-3)
+    }
+  }
+
+  test("q56 moving agg equals a driver-side trailing-7 fold") {
+    val got = Stats.q56MovingAgg(spark, d).collect()
+    val daily = got.map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    got.zipWithIndex.foreach { case (r, i) =>
+      val (t, day) = (r.getString(0), r.getDate(1).toString)
+      // trailing ROWS frame: last ≤7 day-rows of THIS type up to current
+      val win = daily.filter(x => x._1 == t && x._2 <= day).sortBy(_._2).takeRight(7)
+      val expSum = win.map(_._3).sum
+      r.getLong(3) shouldBe expSum
+      r.getLong(5) shouldBe win.length.toLong
+      r.getDouble(4) shouldBe (expSum.toDouble / win.length +- 1e-3)
+    }
+  }
+}
