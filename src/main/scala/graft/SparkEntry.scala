@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Rollup, Stats, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Dictionary, Rollup, Stats, TextAnalysis, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -103,6 +103,8 @@ object SparkEntry {
     "t3_tokens" -> (TextAnalysis.t3Query _),
     "t4_fingerprint" -> (TextAnalysis.t4Query _),
     "t5_repetition" -> (TextAnalysis.t5Query _),
+    "t6_ngram_search" -> (TextAnalysis.t6Query _),
+    "t7_edit_distance" -> (TextAnalysis.t7Query _),
     "m1_binary_meta" -> (Multimodal.m1Query _),
     "m2_resize" -> (Multimodal.m2Query _),
     "m3_frame_sample" -> (Multimodal.m3Query _),
@@ -133,6 +135,7 @@ object SparkEntry {
     "c11_collapsing_upsert" -> (Collapsing.c11Query _),
     "c12_mixture" -> (Mixture.c12Query _),
     "c13_projection_rewrite" -> (Rollup.c13Query _),
+    "c14_dictget" -> (Dictionary.c14Query _),
     "m4_phash_neardup" -> (Multimodal.m4Query _),
   )
 
@@ -849,6 +852,6 @@ object SparkEntry {
          |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
-    Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++
+    Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++ Dictionary.oracles ++
     AsofJoin.oracles ++ RangeJoin.oracles ++ EventStream.oracles
 }

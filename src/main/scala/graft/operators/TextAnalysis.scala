@@ -241,6 +241,84 @@ object TextAnalysis {
   def t5Query(s: SparkSession, d: String): DataFrame =
     repetition(Tables.documents(s, d))
 
+  // ---------------------------------------------------------------- t6
+
+  /** Needle for t6/t7 — vocabulary words from the synthetic corpus, so
+    * gram overlap is dense and both match branches are exercised. One
+    * Scala constant feeds the Spark plan AND the oracle SQL. */
+  val NgramNeedle = "table value part hash"
+  /** t7's comparison prefix length (chars of the normal form). */
+  val EditPrefixLen = 24
+
+  /** Distinct character 4-grams of a (normalized) string column —
+    * ClickHouse's ngram tokenizer. Pure codegen'd transform over a
+    * char-index sequence; empty for strings shorter than one gram
+    * (the guard matters: Spark's `sequence(1, len-3)` runs DESCENDING
+    * when len < 4 and would fabricate grams). */
+  private[operators] def charGrams(c: Column): Column =
+    when(length(c) >= 4,
+      array_distinct(transform(sequence(lit(1), length(c) - lit(3)),
+        i => c.substr(i, lit(4)))))
+      .otherwise(array().cast("array<string>"))
+
+  private def charGramsSql(t: String): String =
+    s"CASE WHEN length($t) >= 4 THEN list_distinct([substr($t, i, 4) for i in range(1, length($t) - 2)]) ELSE []::VARCHAR[] END"
+
+  /** t6: n-gram similarity search — ClickHouse `ngramSearch` /
+    * `ngramDistance(haystack, needle)` — every document scored against
+    * the constant needle by distinct-char-4-gram overlap:
+    *  - `search_frac` = |hay ∩ needle| / |needle| (asymmetric: how much
+    *    of the needle the document covers — ngramSearch);
+    *  - `ngram_dist` = 1 − 2·|∩| / (|hay| + |needle|) (symmetric —
+    *    ngramDistance).
+    * The needle's gram set is the SAME expression over a literal, so
+    * Catalyst constant-folds it; the per-doc work is one codegen'd
+    * array pass, no shuffle. Single integer divisions — bit-identical
+    * across engines, no rounding. */
+  def ngramSearch(docs: DataFrame): DataFrame = {
+    val hay = charGrams(textops.normalizeText(col("text")))
+    val needle = charGrams(textops.normalizeText(lit(NgramNeedle)))
+    spread(docs)
+      .select(col("doc_id"), hay.as("hg"), needle.as("ng"))
+      .select(col("doc_id"),
+        size(col("hg")).as("n_gram_hay"),
+        size(array_intersect(col("hg"), col("ng"))).as("n_hit"))
+      .select(col("doc_id"), col("n_gram_hay"), col("n_hit"),
+        (col("n_hit").cast("double") /
+          size(charGrams(textops.normalizeText(lit(NgramNeedle)))))
+          .as("search_frac"),
+        (lit(1.0) - lit(2.0) * col("n_hit") /
+          (col("n_gram_hay") +
+            size(charGrams(textops.normalizeText(lit(NgramNeedle))))))
+          .as("ngram_dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t6Query(s: SparkSession, d: String): DataFrame =
+    ngramSearch(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------- t7
+
+  /** t7: edit distance — ClickHouse `editDistance(a, b)` — Levenshtein
+    * between each document's normalized [[EditPrefixLen]]-char prefix
+    * and the constant needle. Bounded-prefix comparison is the shape
+    * that survives scale: Levenshtein is O(|a|·|b|) per row, so an
+    * unbounded doc-length distance would be quadratic in document
+    * size; clamping one side caps per-row cost at prefix×needle.
+    * Exact integer result — both engines implement classic
+    * Wagner-Fischer, no fp contract needed. */
+  def editDistance(docs: DataFrame): DataFrame =
+    spread(docs)
+      .select(col("doc_id"),
+        textops.normalizeText(col("text")).substr(1, EditPrefixLen)
+          .as("prefix"))
+      .select(col("doc_id"), col("prefix"),
+        levenshtein(col("prefix"), lit(NgramNeedle)).as("edit_dist"))
+      .orderBy(col("doc_id"))
+
+  def t7Query(s: SparkSession, d: String): DataFrame =
+    editDistance(Tables.documents(s, d))
+
   // ------------------------------------------------------------ oracles
 
   private val toksSql = textops.tokensSql("text")
@@ -314,5 +392,26 @@ object TextAnalysis {
          |        THEN 1.0 - n_shingles_uniq::DOUBLE / n_shingles_total
          |        ELSE 0.0 END) > $DupShingleFlag AS repetitive
          |FROM m ORDER BY doc_id""".stripMargin,
+    "t6_ngram_search" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, ${textops.normalizeSql("text")} AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, ${charGramsSql("t")} AS hg,
+         |    ${charGramsSql(s"'$NgramNeedle'")} AS ng
+         |  FROM nrm),
+         |m AS (
+         |  SELECT doc_id, len(hg)::INTEGER AS n_gram_hay, len(ng) AS n_ng,
+         |    len(list_filter(hg, x -> list_contains(ng, x)))::INTEGER AS n_hit
+         |  FROM g)
+         |SELECT doc_id, n_gram_hay, n_hit,
+         |  n_hit::DOUBLE / n_ng AS search_frac,
+         |  1.0 - 2.0 * n_hit / (n_gram_hay + n_ng) AS ngram_dist
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "t7_edit_distance" ->
+      s"""SELECT doc_id,
+         |  substr(${textops.normalizeSql("text")}, 1, $EditPrefixLen) AS prefix,
+         |  levenshtein(substr(${textops.normalizeSql("text")}, 1, $EditPrefixLen),
+         |    '$NgramNeedle')::INTEGER AS edit_dist
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -377,7 +377,7 @@ class PlanAuditSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       Seq("t1_langid", "t2_quality", "t3_tokens", "t4_fingerprint",
-        "t5_repetition").foreach { q =>
+        "t5_repetition", "t6_ngram_search", "t7_edit_distance").foreach { q =>
         val p = plan(q)
         withClue(q) {
           p should include("*(") // whole-stage codegen spans present
@@ -386,5 +386,21 @@ class PlanAuditSpec extends SparkSpec {
         }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("c14 dictGet enriches with ZERO joins — the dictionary rides the plan") {
+    // the ClickHouse-dictionary claim: nation/region lookups are map
+    // literals probed in the projection, so the plan has no join node
+    // of any kind and no broadcast exchange for the dims
+    val p = plan("c14_dictget")
+    p should not include "Join"
+    p should not include "BroadcastExchange"
+  }
+
+  test("q55 corr matrix is one scan with all six pair states in one aggregate") {
+    val p = plan("q55_corr_matrix")
+    "FileScan".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+    p should not include "l_orderkey" // column pruning: only the 4 measures
   }
 }

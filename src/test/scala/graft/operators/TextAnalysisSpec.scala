@@ -88,4 +88,37 @@ class TextAnalysisSpec extends SparkSpec {
     out(1L) shouldBe ((1.0, 0.0, false))
     out(2L) shouldBe ((1.0, 0.0, false))
   }
+
+  test("ngramSearch: needle-identical doc scores 1/0, disjoint doc 0/1, short doc empty") {
+    val df = Seq(
+      (0L, TextAnalysis.NgramNeedle),   // exactly the needle
+      (1L, "zzzz qqqq wwww xxxx yyyy"), // no 4-gram shared with needle
+      (2L, "ab"),                       // shorter than one gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramSearch(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_gram_hay"), r.getAs[Double]("search_frac"),
+          r.getAs[Double]("ngram_dist")))).toMap
+    out(0L)._2 shouldBe 1.0
+    out(0L)._3 shouldBe 0.0
+    out(1L)._2 shouldBe 0.0
+    out(1L)._3 shouldBe 1.0
+    out(2L)._1 shouldBe 0
+    out(2L)._2 shouldBe 0.0
+  }
+
+  test("editDistance: classic Levenshtein on the normalized prefix") {
+    val needle = TextAnalysis.NgramNeedle // "table value part hash"
+    val df = Seq(
+      (0L, "Table, VALUE part hash"),    // normalizes to the needle → 0
+      (1L, "cable value part hash"),     // one substitution → 1
+      (2L, "value part hash"),           // 'table ' deleted → 6
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.editDistance(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("edit_dist")).toMap
+    needle.length should be <= TextAnalysis.EditPrefixLen // prefix covers it
+    out(0L) shouldBe 0
+    out(1L) shouldBe 1
+    out(2L) shouldBe 6
+  }
 }
