@@ -47,6 +47,14 @@ object GraftSession {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // parquet timestamps written without isAdjustedToUTC (pandas/
+      // pyarrow default for tz-naive frames) must read as TIMESTAMP
+      // (UTC instant, this engine's wire type — the session zone above
+      // makes the two interpretations identical), not TIMESTAMP_NTZ:
+      // NTZ forbids the numeric casts the event-time operators use
+      // (epoch bucketing, gap arithmetic) and DuckDB oracles read the
+      // same files as plain TIMESTAMP.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
