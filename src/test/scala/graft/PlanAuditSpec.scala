@@ -403,4 +403,41 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "Join"
     p should not include "l_orderkey" // column pruning: only the 4 measures
   }
+
+  test("q52 entropy is two stacked hash aggregates — no window, no join") {
+    val p = plan("q52_entropy")
+    p should include("HashAggregate")
+    p should not include "Join"
+    p should not include "Window"
+  }
+
+  test("q53 welch t-test broadcasts the 2-row means — no sort-merge, no window") {
+    // the means table is bounded (one row per compared population);
+    // re-sorting the corpus to merge-join it would be the scale bug
+    val p = plan("q53_welch_ttest")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
+  test("q54 cramers V builds the dense grid from broadcast marginals") {
+    // rt × ct × n crossing is category-bounded and explicitly
+    // broadcast; the corpus-sized work is only the obs aggregate
+    val p = plan("q54_cramers_v")
+    p should include("BroadcastExchange")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
+  test("q56 moving agg windows the aggregated daily series, not raw events") {
+    // the Window node must CONSUME the partial aggregate (appear above
+    // it in the printed tree): a window over raw event rows would sort
+    // the corpus instead of the ≤ days × types series
+    val p = plan("q56_moving_agg")
+    p should include("Window")
+    p should not include "Join"
+    withClue(p) {
+      assert(p.indexOf("Window") < p.indexOf("HashAggregate"))
+    }
+  }
 }
