@@ -79,6 +79,9 @@ object SparkEntry {
     "q54_cramers_v" -> (Stats.q54CramersV _),
     "q55_corr_matrix" -> (Stats.q55CorrMatrix _),
     "q56_moving_agg" -> (Stats.q56MovingAgg _),
+    "q57_rank_corr" -> (Stats.q57RankCorr _),
+    "q58_mann_whitney" -> (Stats.q58MannWhitney _),
+    "q62_ks_test" -> (Stats.q62KsTest _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),

@@ -161,9 +161,219 @@ object Stats {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Domain-quantized (cents) per-value counts of the 'click' vs 'view'
+    * value populations — the shared substrate of the rank tests (q58
+    * Mann-Whitney, q62 Kolmogorov-Smirnov).
+    *
+    * Rank statistics need a GLOBAL ordering, which naively is a global
+    * sort of the corpus. Quantizing to cents first makes the distinct-
+    * value table DOMAIN-bounded (value ≤ ~$560 → ≤ 56k cent values —
+    * fixed by the measurement's resolution, not the corpus), so the
+    * corpus contributes one partial-aggregable groupBy and ALL rank
+    * math runs on the tiny counts table. The unpartitioned window over
+    * it is a single-partition sort of ≤ domain-size rows at any SF. */
+  private def clickViewCents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("isa"))
+      .groupBy(col("cents"))
+      .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
+
+  /** q57: Spearman rank correlation — ClickHouse `rankCorr(x, y)` —
+    * between quantity and discount per return flag.
+    *
+    * Average-tied ranks are computed on the DISTINCT-value tables
+    * (≤ 50 quantities × ≤ 11 discount levels per flag — domain-sized),
+    * doubled to stay integral (r2 = 2·cum_before + c + 1), then
+    * broadcast-joined back onto the rows. Centering: Σ r2 = n(n+1)
+    * exactly, so mean(r2) = n+1 and the centered ranks are integers
+    * bounded by n. ρ = Σxy/√(Σx²·Σy²) from exact decimal(38,0) sums —
+    * one IEEE division on both engines (exact while n ≤ ~1e12 per
+    * flag; normalize ranks beyond). One corpus scan for the counts,
+    * one for the product sums; everything else is domain-sized. */
+  def q57RankCorr(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"))
+    def rank2(valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("flag")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      li.groupBy(col("flag"), col(valueCol)).agg(count(lit(1)).as("c"))
+        .select(col("flag"), col(valueCol),
+          (lit(2L) * coalesce(sum(col("c")).over(w), lit(0L))
+            + col("c") + lit(1L)).as(out))
+    }
+    val nf = li.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+    val dec = "decimal(19,0)"
+    val xc = (col("rq2") - (col("n") + lit(1L))).cast(dec)
+    val yc = (col("rd2") - (col("n") + lit(1L))).cast(dec)
+    li.join(broadcast(rank2("q", "rq2")), Seq("flag", "q"))
+      .join(broadcast(rank2("disc", "rd2")), Seq("flag", "disc"))
+      .join(broadcast(nf), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(first(col("n")).as("n"),
+        sum(xc * yc).as("sxy"),
+        sum(xc * xc).as("sxx"),
+        sum(yc * yc).as("syy"))
+      .select(col("flag"), col("n"),
+        round(col("sxy").cast("double") /
+          sqrt(col("sxx").cast("double") * col("syy").cast("double")), 4)
+          .as("rho_spearman"))
+      .orderBy(col("flag"))
+  }
+
+  /** q58: Mann-Whitney U — ClickHouse `mannWhitneyUTest(v, sample)` —
+    * click vs view value populations, tie-corrected z (no continuity
+    * correction; pinned on both engines).
+    *
+    * Doubled average ranks over the cents counts table keep everything
+    * integral: R2a = Σ ca·r2 = 2·(rank sum of clicks), so
+    * 2U_a = R2a − na(na+1). Tie correction ΣT = Σ(t³−t) over the tie
+    * group sizes t = ca+cb. Var(U) = na·nb/12·[(N+1) − ΣT/(N(N−1))].
+    * The corpus ships one (cents → two counts) partial aggregate; the
+    * U/z fold is a one-row computation from exact decimal sums. */
+  def q58MannWhitney(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("ca") + col("cb")
+    val dec = "decimal(19,0)"
+    val r2 = (lit(2L) * coalesce(sum(t).over(w), lit(0L)) + t + lit(1L)).cast(dec)
+    val g = clickViewCents(s, d)
+      .select(col("ca"), col("cb"), r2.as("r2"), t.cast(dec).as("t"))
+      .agg(sum(col("ca")).cast(dec).as("na"), sum(col("cb")).cast(dec).as("nb"),
+        sum(col("ca").cast(dec) * col("r2")).as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val na = col("na").cast("double"); val nb = col("nb").cast("double")
+    val bigN = na + nb
+    val uClick = (col("r2a").cast("double") - na * (na + lit(1.0))) / lit(2.0)
+    val varU = na * nb / lit(12.0) *
+      ((bigN + lit(1.0)) - col("ties").cast("double") / (bigN * (bigN - lit(1.0))))
+    g.select(col("na").cast("long").as("n_click"), col("nb").cast("long").as("n_view"),
+      uClick.as("u_click"), (na * nb - uClick).as("u_view"),
+      round((uClick - na * nb / lit(2.0)) / sqrt(varU), 4).as("z_stat"))
+  }
+
+  /** q62: two-sample Kolmogorov-Smirnov D — ClickHouse
+    * `kolmogorovSmirnovTest(v, sample)` — click vs view, ties handled
+    * by evaluating both ECDFs at each distinct observed value
+    * (inclusive step points).
+    *
+    * D = max |Fa − Fb| is found in CROSS-MULTIPLIED exact integers
+    * (|cuma·nb − cumb·na| as decimal — no per-value division, so the
+    * argmax is deterministic), then divided ONCE. The struct-max
+    * carries (−cents) so ties break to the earliest value, q35-style.
+    * Corpus cost: the one counts aggregate; the sweep runs on the
+    * domain-sized table. */
+  def q62KsTest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(19,0)"
+    val g = clickViewCents(s, d)
+      .select(col("cents"),
+        sum(col("ca")).over(w).cast(dec).as("cuma"),
+        sum(col("cb")).over(w).cast(dec).as("cumb"),
+        sum(col("ca")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).cast(dec).as("na"),
+        sum(col("cb")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).cast(dec).as("nb"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        max(struct(abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("d2"),
+          (-col("cents")).as("negc"))).as("m"))
+    g.select(col("na").cast("long").as("n_click"), col("nb").cast("long").as("n_view"),
+      round(col("m.d2").cast("double") /
+        (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_d"),
+      (-col("m.negc")).cast("long").as("at_cents"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
+    // q57: doubled average ranks on the distinct-value tables, centered
+    // by the exact mean n+1; HUGEINT mirrors Spark's decimal(38,0)
+    "q57_rank_corr" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS disc
+        |  FROM lineitem),
+        |rq AS (
+        |  SELECT flag, q,
+        |    2 * coalesce(sum(c) OVER (PARTITION BY flag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rq2
+        |  FROM (SELECT flag, q, count(*) AS c FROM li GROUP BY 1, 2)),
+        |rd AS (
+        |  SELECT flag, disc,
+        |    2 * coalesce(sum(c) OVER (PARTITION BY flag ORDER BY disc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rd2
+        |  FROM (SELECT flag, disc, count(*) AS c FROM li GROUP BY 1, 2)),
+        |nf AS (SELECT flag, count(*) AS n FROM li GROUP BY 1),
+        |j AS (
+        |  SELECT li.flag, n,
+        |    CAST(rq2 - (n + 1) AS HUGEINT) AS xc,
+        |    CAST(rd2 - (n + 1) AS HUGEINT) AS yc
+        |  FROM li JOIN rq USING (flag, q) JOIN rd USING (flag, disc)
+        |       JOIN nf USING (flag))
+        |SELECT flag, any_value(n) AS n,
+        |  round(CAST(sum(xc * yc) AS DOUBLE) /
+        |    sqrt(CAST(sum(xc * xc) AS DOUBLE) * CAST(sum(yc * yc) AS DOUBLE)), 4)
+        |    AS rho_spearman
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q58: same doubled-rank discipline; all stats exact integers until
+    // the final z division (identical IEEE inputs on both engines)
+    "q58_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |cnt AS (SELECT cents, sum(isa) AS ca, sum(1 - isa) AS cb
+        |        FROM e GROUP BY 1),
+        |r AS (
+        |  SELECT ca, cb, CAST(ca + cb AS HUGEINT) AS t,
+        |    2 * coalesce(sum(ca + cb) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + ca + cb + 1 AS r2
+        |  FROM cnt),
+        |g AS (
+        |  SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb,
+        |    CAST(sum(CAST(ca AS HUGEINT) * r2) AS DOUBLE) AS r2a,
+        |    CAST(sum(t * t * t - t) AS DOUBLE) AS ties
+        |  FROM r),
+        |u AS (SELECT *, na + nb AS bign,
+        |        (r2a - na * (na + 1.0)) / 2.0 AS u_click FROM g)
+        |SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view,
+        |  u_click, na * nb - u_click AS u_view,
+        |  round((u_click - na * nb / 2.0) /
+        |    sqrt(na * nb / 12.0 *
+        |      ((bign + 1.0) - ties / (bign * (bign - 1.0)))), 4) AS z_stat
+        |FROM u""".stripMargin,
+    // q62: D located in cross-multiplied exact integers (no per-value
+    // division); row_number mirrors the (d2 DESC, cents ASC) struct-max
+    "q62_ks_test" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |cnt AS (SELECT cents, sum(isa) AS ca, sum(1 - isa) AS cb
+        |        FROM e GROUP BY 1),
+        |sw AS (
+        |  SELECT cents,
+        |    CAST(sum(ca) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS HUGEINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS HUGEINT) AS cumb,
+        |    CAST(sum(ca) OVER () AS HUGEINT) AS na,
+        |    CAST(sum(cb) OVER () AS HUGEINT) AS nb
+        |  FROM cnt),
+        |d AS (
+        |  SELECT cents, na, nb, abs(cuma * nb - cumb * na) AS d2,
+        |    row_number() OVER (ORDER BY abs(cuma * nb - cumb * na) DESC,
+        |                       cents ASC) AS rn
+        |  FROM sw)
+        |SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view,
+        |  round(CAST(d2 AS DOUBLE) /
+        |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_d,
+        |  cents AS at_cents
+        |FROM d WHERE rn = 1""".stripMargin,
     "q52_entropy" ->
       """WITH c AS (
         |  SELECT event_type, user_id, count(*) AS c
