@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Dictionary, Rollup, Stats, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Dictionary, Rollup, Stats, TextAnalysis, TimeSeries, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -81,6 +81,9 @@ object SparkEntry {
     "q56_moving_agg" -> (Stats.q56MovingAgg _),
     "q57_rank_corr" -> (Stats.q57RankCorr _),
     "q58_mann_whitney" -> (Stats.q58MannWhitney _),
+    "q59_ema" -> (TimeSeries.q59Ema _),
+    "q60_lttb" -> (TimeSeries.q60Lttb _),
+    "q61_linreg" -> (TimeSeries.q61LinReg _),
     "q62_ks_test" -> (Stats.q62KsTest _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
@@ -855,6 +858,7 @@ object SparkEntry {
          |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
-    Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++ Dictionary.oracles ++
+    Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++
+    TimeSeries.oracles ++ Dictionary.oracles ++
     AsofJoin.oracles ++ RangeJoin.oracles ++ EventStream.oracles
 }
