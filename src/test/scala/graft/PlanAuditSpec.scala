@@ -440,4 +440,61 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.indexOf("Window") < p.indexOf("HashAggregate"))
     }
   }
+
+  test("q57 rank corr broadcasts the rank tables back onto the corpus") {
+    // ranks live on the domain-sized distinct-value tables; re-sorting
+    // the corpus to merge-join them back would be the scale bug, and
+    // every rank window must consume an aggregate, never raw rows
+    val p = plan("q57_rank_corr")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    withClue(p) {
+      assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"))
+    }
+  }
+
+  test("q58 mann-whitney: one corpus aggregate, no join, tiny-table window") {
+    val p = plan("q58_mann_whitney")
+    p should not include "Join"
+    withClue(p) {
+      assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"))
+    }
+  }
+
+  test("q62 KS: one corpus aggregate, no join, tiny-table window") {
+    val p = plan("q62_ks_test")
+    p should not include "Join"
+    withClue(p) {
+      assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"))
+    }
+  }
+
+  test("q59 EMA bands the aggregated daily series, not raw events") {
+    // the self-join input must be the ≤ days × types aggregate — the
+    // Join sits ABOVE both HashAggregates in the tree
+    val p = plan("q59_ema")
+    withClue(p) {
+      assert(p.indexOf("Join") < p.lastIndexOf("HashAggregate"))
+    }
+    p should not include "CartesianProduct"
+  }
+
+  test("q60 LTTB joins the corpus only against broadcast stats") {
+    // bounds (1 row) and bucket stats (≤ types × 20 rows) come back as
+    // broadcasts; any sort-merge join or corpus-side Window would mean
+    // the downsample re-sorts what it is meant to be summarizing
+    val p = plan("q60_lttb")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    withClue(p) {
+      assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"))
+    }
+  }
+
+  test("q61 linreg is one partial-aggregable pass — no window, no join") {
+    val p = plan("q61_linreg")
+    p should include("HashAggregate")
+    p should not include "Join"
+    p should not include "Window"
+  }
 }

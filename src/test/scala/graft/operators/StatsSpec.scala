@@ -82,6 +82,74 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  // doubled average rank of each value in xs (2·below + eq + 1)
+  private def rank2(xs: Seq[Long]): Map[Long, Long] =
+    xs.distinct.map { v =>
+      v -> (2L * xs.count(_ < v) + xs.count(_ == v) + 1L)
+    }.toMap
+
+  test("q57 rank corr matches driver-side Spearman with average tied ranks") {
+    val got = Stats.q57RankCorr(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = graft.Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val (qs, ds) = (rs.map(_._2).toSeq, rs.map(_._3).toSeq)
+      val (rq, rd) = (rank2(qs), rank2(ds))
+      val n = rs.length
+      val xs = qs.map(rq(_) - (n + 1.0)); val ys = ds.map(rd(_) - (n + 1.0))
+      val rho = xs.lazyZip(ys).map(_ * _).sum /
+        math.sqrt(xs.map(x => x * x).sum * ys.map(y => y * y).sum)
+      got(flag)._1 shouldBe n.toLong
+      got(flag)._2 shouldBe (rho +- 1e-3)
+    }
+  }
+
+  private def clickViewCentsDriver(): (Seq[Long], Seq[Long]) = {
+    val rows = graft.Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    (rows.filter(_._1 == "click").map(_._2).toSeq,
+      rows.filter(_._1 == "view").map(_._2).toSeq)
+  }
+
+  test("q58 mann-whitney U matches the O(n²) pair count with half ties") {
+    val r = Stats.q58MannWhitney(spark, d).collect().head
+    val (a, b) = clickViewCentsDriver()
+    // U_click = #(a > b) + ½·#(a == b), the definition the rank-sum
+    // formula is meant to reproduce
+    val u = a.iterator.map { x =>
+      b.count(x > _) + 0.5 * b.count(x == _)
+    }.sum
+    r.getLong(0) shouldBe a.length.toLong
+    r.getLong(1) shouldBe b.length.toLong
+    r.getDouble(2) shouldBe (u +- 1e-6)
+    r.getDouble(3) shouldBe (a.length.toDouble * b.length - u +- 1e-6)
+  }
+
+  test("q62 KS D matches the driver-side ECDF sweep, earliest argmax") {
+    val r = Stats.q62KsTest(spark, d).collect().head
+    val (a, b) = clickViewCentsDriver()
+    val points = (a ++ b).distinct.sorted
+    val ds = points.map { v =>
+      (v, math.abs(a.count(_ <= v).toDouble / a.length -
+        b.count(_ <= v).toDouble / b.length))
+    }
+    val dMax = ds.map(_._2).max
+    r.getDouble(2) shouldBe (dMax +- 1e-6)
+    // argmax ties break to the earliest value; exact-integer compare on
+    // the driver too (cross-multiplied), matching the operator
+    val na = a.length.toLong; val nb = b.length.toLong
+    val exact = points.map { v =>
+      (v, (a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na).abs)
+    }
+    val best = exact.maxBy(_._2)._2
+    r.getLong(3) shouldBe exact.filter(_._2 == best).map(_._1).min
+  }
+
   test("q56 moving agg equals a driver-side trailing-7 fold") {
     val got = Stats.q56MovingAgg(spark, d).collect()
     val daily = got.map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
