@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Dictionary, Rollup, Stats, TextAnalysis, TimeSeries, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Dictionary, Rollup, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -85,6 +85,8 @@ object SparkEntry {
     "q60_lttb" -> (TimeSeries.q60Lttb _),
     "q61_linreg" -> (TimeSeries.q61LinReg _),
     "q62_ks_test" -> (Stats.q62KsTest _),
+    "q63_weighted_quantile" -> (Stats.q63WeightedQuantile _),
+    "c15_ttl" -> (Ttl.c15Query _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),
     "v3_knn_dot" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnDot(s, d))),
@@ -859,6 +861,6 @@ object SparkEntry {
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
     Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++
-    TimeSeries.oracles ++ Dictionary.oracles ++
+    TimeSeries.oracles ++ Ttl.oracles ++ Dictionary.oracles ++
     AsofJoin.oracles ++ RangeJoin.oracles ++ EventStream.oracles
 }

@@ -286,6 +286,42 @@ object Stats {
       (-col("m.negc")).cast("long").as("at_cents"))
   }
 
+  /** q63: exact weighted quantiles — ClickHouse
+    * `quantilesExactWeighted(0.25,0.5,0.75,0.9)(x, w)` — of extended
+    * price (cents) weighted by quantity, per return flag.
+    *
+    * Pinned rule: the level-q weighted quantile is the SMALLEST value
+    * whose cumulative weight reaches q of the total — decided in exact
+    * integers via cross-multiplication (cumw·den ≥ num·totw), so no
+    * level ever compares approximate doubles. The corpus pays one
+    * (flag, cents) partial aggregate; the cumulative sweep runs per
+    * flag over the distinct-price table (bounded by the price domain's
+    * cent resolution — orders below the corpus at 100 TB; pre-bucket
+    * q40-style if a domain ever outgrows one partition). */
+  def q63WeightedQuantile(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(19,0)"
+    val cnt = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_quantity").cast("long").as("wt"))
+      .groupBy(col("flag"), col("cents")).agg(sum(col("wt")).as("w"))
+    val wcum = Window.partitionBy(col("flag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(col("flag"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sw = cnt.select(col("flag"), col("cents"),
+      sum(col("w")).over(wcum).cast(dec).as("cumw"),
+      sum(col("w")).over(wtot).cast(dec).as("totw"))
+    def pick(num: Int, den: Int): org.apache.spark.sql.Column =
+      min(when(col("cumw") * lit(den) >= col("totw") * lit(num),
+        col("cents")))
+    sw.groupBy(col("flag"))
+      .agg(first(col("totw")).cast("long").as("total_weight"),
+        pick(1, 4).as("p25_cents"), pick(1, 2).as("p50_cents"),
+        pick(3, 4).as("p75_cents"), pick(9, 10).as("p90_cents"))
+      .orderBy(col("flag"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
@@ -346,6 +382,27 @@ object Stats {
         |    sqrt(na * nb / 12.0 *
         |      ((bign + 1.0) - ties / (bign * (bign - 1.0)))), 4) AS z_stat
         |FROM u""".stripMargin,
+    // q63: the smallest-value-reaching-q rule, decided by the same
+    // cross-multiplied integer comparison on both engines
+    "q63_weighted_quantile" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    sum(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |sw AS (
+        |  SELECT flag, cents,
+        |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS HUGEINT) AS cumw,
+        |    CAST(sum(w) OVER (PARTITION BY flag) AS HUGEINT) AS totw
+        |  FROM cnt)
+        |SELECT flag, CAST(any_value(totw) AS BIGINT) AS total_weight,
+        |  min(CASE WHEN cumw * 4 >= totw * 1 THEN cents END) AS p25_cents,
+        |  min(CASE WHEN cumw * 2 >= totw * 1 THEN cents END) AS p50_cents,
+        |  min(CASE WHEN cumw * 4 >= totw * 3 THEN cents END) AS p75_cents,
+        |  min(CASE WHEN cumw * 10 >= totw * 9 THEN cents END) AS p90_cents
+        |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin,
     // q62: D located in cross-multiplied exact integers (no per-value
     // division); row_number mirrors the (d2 DESC, cents ASC) struct-max
     "q62_ks_test" ->

@@ -497,4 +497,21 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "Join"
     p should not include "Window"
   }
+
+  test("q63 weighted quantiles sweep the aggregated distinct-value table") {
+    val p = plan("q63_weighted_quantile")
+    p should not include "Join"
+    withClue(p) {
+      assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"))
+    }
+  }
+
+  test("c15 TTL serve path is a scan of the surviving partitions only") {
+    // the gate query must READ the post-expiry layout — one parquet
+    // scan, no write job in the serve plan, no join
+    val p = plan("c15_ttl")
+    p should not include "InsertInto"
+    p.toLowerCase should not include "join"
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
 }

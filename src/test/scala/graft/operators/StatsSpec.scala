@@ -150,6 +150,31 @@ class StatsSpec extends SparkSpec {
     r.getLong(3) shouldBe exact.filter(_._2 == best).map(_._1).min
   }
 
+  test("q63 weighted quantiles match the driver-side smallest-reaching rule") {
+    val got = Stats.q63WeightedQuantile(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rows = graft.Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        col("l_quantity").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      def pick(num: Long, den: Long): Long = {
+        var cum = 0L
+        byV.find { case (_, w) => cum += w; cum * den >= tot * num }.get._1
+      }
+      val (gTot, p25, p50, p75, p90) = got(flag)
+      gTot shouldBe tot
+      (p25, p50, p75, p90) shouldBe
+        ((pick(1, 4), pick(1, 2), pick(3, 4), pick(9, 10)))
+      p25 should be <= p50; p50 should be <= p75; p75 should be <= p90
+    }
+  }
+
   test("q56 moving agg equals a driver-side trailing-7 fold") {
     val got = Stats.q56MovingAgg(spark, d).collect()
     val daily = got.map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
