@@ -130,6 +130,7 @@ object SparkEntry {
     "s6_stream_ingest_dedup" -> (EventStream.s6Query _),
     "s7_stream_rollup" -> (EventStream.s7Query _),
     "s8_stream_upsert" -> (EventStream.s8Query _),
+    "s9_stream_ttl" -> (EventStream.s9Query _),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),
     "c3_group_canonical" -> (Curation.c3Query _),

@@ -83,16 +83,34 @@ object Ttl {
       applyTtl(out, cutoffFor(events))
       ()
     }
+    servedDaily(s, dir)
+  }
+
+  /** The per-(day, type) daily report over a (post-expiry) layout —
+    * shared by the batch gate (c15) and its streaming twin (s9). */
+  def servedDaily(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dir)
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
       .orderBy(col("day"), col("event_type"))
-  }
 
   val oracles: Map[String, String] = Map(
     // the cutoff predicate replayed over raw events: newest day − 13
     "c15_ttl" ->
+      s"""WITH cutoff AS (
+         |  SELECT max(CAST(date_trunc('day', ts) AS DATE))
+         |    - ${TtlDays - 1} AS c
+         |  FROM events)
+         |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |FROM events, cutoff
+         |WHERE CAST(date_trunc('day', ts) AS DATE) >= c
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s9 is c15 maintained per micro-batch (appends + idempotent
+    // expiry on the same pinned cutoff) — the oracle applies verbatim
+    "s9_stream_ttl" ->
       s"""WITH cutoff AS (
          |  SELECT max(CAST(date_trunc('day', ts) AS DATE))
          |    - ${TtlDays - 1} AS c

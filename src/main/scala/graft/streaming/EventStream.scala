@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Structured Streaming surface (SURVEY §2, s1–s7).
+/** Structured Streaming surface (SURVEY §2, s1–s9).
   *
   * The reference ingests continuously by looping shards through a
   * writer (`process.py:95-120` — each new shard parquet appended to the
@@ -360,6 +360,53 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** s9: streaming TTL maintenance — the CONTINUOUS form of c15
+    * ([[graft.operators.Ttl]]): each micro-batch appends its rows as
+    * day-partitioned part files, then expiry drops whole expired day
+    * directories (pure filesystem metadata — no surviving file is
+    * rewritten). The cutoff is FIXED for the stream's life (pinned
+    * data-derived "now"), so append + expiry commute across any batch
+    * split: a day directory survives iff the day is within the TTL
+    * window, whatever batches fed it. ZERO streaming state — the
+    * stateful alternative (tracking per-day liveness in the store)
+    * would re-implement what the directory listing already is. */
+  def ttlMaintain(events: DataFrame, layoutDir: String,
+      cutoff: java.time.LocalDate,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF()
+          .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+          .select(col("event_type"), col("value"), col("day"))
+          .write.mode("append").partitionBy("day").parquet(layoutDir)
+        graft.operators.Ttl.applyTtl(layoutDir, cutoff)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** s9 gate: [[ttlMaintain]] over the events parquet arriving as a
+    * real file-source stream into a fresh scratch layout, cutoff
+    * computed once from the SOURCE corpus (the same pinned rule as
+    * c15), then c15's served daily report — the oracle applies
+    * verbatim. */
+  def s9Query(s: SparkSession, d: String): DataFrame = {
+    val root = scratchRoot.resolve(
+      "s9-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    wipe(root)
+    java.nio.file.Files.createDirectories(root)
+    val ss = s.newSession()
+    inheritStreamingConfs(s, ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val cutoff = graft.operators.Ttl.cutoffFor(graft.Tables.events(ss, d))
+    val layout = root.resolve("layout").toString
+    val q = ttlMaintain(streamEvents(ss, d), layout, cutoff,
+      root.resolve("ckpt").toString)
+    q.awaitTermination()
+    graft.operators.Ttl.servedDaily(s, layout)
+  }
 
   /** s8: streaming upsert maintenance — the CONTINUOUS form of c10
     * ([[graft.operators.Replacing]]), i.e. ReplacingMergeTree fed by a

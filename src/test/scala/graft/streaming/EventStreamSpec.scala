@@ -382,6 +382,51 @@ class EventStreamSpec extends EventStreamSuiteBase {
     served shouldBe want
   }
 
+  test("s9 TTL maintenance is batch-split-invariant and drops expired days across batches") {
+    // s9 is stateless (foreachBatch append + metadata expiry), so the
+    // provider axis is vacuous — one-store test by design.
+    import spark.implicits._
+    def ev(i: Int, month: Int): (Long, Timestamp, Long, String, Double) =
+      (i.toLong, Timestamp.valueOf(f"2024-$month%02d-${1 + i % 27}%02d 06:0${i % 6}:07"),
+        (i % 11).toLong, Seq("view", "click", "purchase")(i % 3), i * 2.13)
+    // file A is an OLD month (every day expires); file B the recent one
+    val rowsA = (0 until 60).map(i => ev(i, 1))
+    val rowsB = (100 until 150).map(i => ev(i, 2))
+    val shardRoot = java.nio.file.Files.createTempDirectory("graft-s9-sh-").toString
+    rowsA.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$shardRoot/ev_a.parquet")
+    rowsB.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$shardRoot/ev_b.parquet")
+    val schema = spark.read.parquet(s"$shardRoot/ev_a.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one micro-batch per file
+      .parquet(s"$shardRoot/ev_*.parquet")
+    val union = (rowsA ++ rowsB)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val cutoff = graft.operators.Ttl.cutoffFor(union)
+    val out = java.nio.file.Files.createTempDirectory("graft-s9-out-").toString
+    val q = EventStream.ttlMaintain(src, s"$out/layout", cutoff, s"$out/ckpt")
+    try q.awaitTermination() finally q.stop()
+    q.recentProgress.count(_.numInputRows > 0) shouldBe 2
+    // every month-1 day dir expired; only in-window month-2 days remain
+    val days = new java.io.File(s"$out/layout").listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).toSeq
+    days should not be empty
+    all(days.map(n => java.time.LocalDate.parse(n.stripPrefix("day=")))) should
+      be >= cutoff
+    val served = graft.operators.Ttl.servedDaily(spark, s"$out/layout")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    // one-shot batch build + expiry over the union: identical report
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-s9-b-").toString
+    graft.operators.Ttl.buildDailyLayout(union, s"$batchDir/layout")
+    graft.operators.Ttl.applyTtl(s"$batchDir/layout", cutoff)
+    val want = graft.operators.Ttl.servedDaily(spark, s"$batchDir/layout")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    served shouldBe want
+  }
+
   test("s8 upsert maintenance is batch-split-invariant: cross-batch key updates FINAL to the newest version") {
     // s8 is stateless (foreachBatch part append), so the provider axis
     // is vacuous — one-store test by design.
