@@ -303,6 +303,55 @@ case class ShingleHash60s(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** string → array<string>: the DISTINCT character n-grams of the
+  * input, first-occurrence order — ClickHouse's ngram tokenizer
+  * (`ngramSearch`/`ngramDistance` substrate).
+  *
+  * Exists for the same reason as [[WordShingles]], plus one sharper:
+  * the HOF form `transform(sequence(1, length(x) - 3), i ->
+  * substr(x, i, 4))` INLINES the child expression into the lambda, so
+  * when `x` is a computed value (t6 normalizes with two regex passes)
+  * the optimizer re-evaluates it PER GRAM INDEX — O(len) regex passes
+  * per row, which measured 18× slower than the raw-column form at
+  * sf0.1. A native expression evaluates its child exactly once per
+  * row by construction, then one char loop builds the distinct set. */
+case class CharGrams(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "char_grams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    // ASCII-safe by construction downstream (normalize_text emits
+    // [a-z0-9 ]); String.substring counts chars like SQL substr, so
+    // the semantics match the HOF form it replaces on any input
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i <= s.length - n) {
+      seen.add(UTF8String.fromString(s.substring(i, i + n)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** SQL registration + Column API, mirroring [[vectors]]. Besides the
   * native signature expressions, the [[textops]] building blocks are
   * registered as composite expression trees so SQL users get the whole
@@ -315,6 +364,7 @@ object texthash {
     "simhash60" -> { es => SimHash60(es.head) },
     "word_shingles" -> { es => WordShingles(es.head, 3) },
     "shingle_hash60s" -> { es => ShingleHash60s(es.head, 3) },
+    "char_grams" -> { es => CharGrams(es.head, 4) },
     // textops twins (same trees the Column API builds)
     "hash60" -> { es =>
       Cast(Conv(Substring(Md5(Cast(es.head, BinaryType)),
@@ -332,4 +382,5 @@ object texthash {
   def simhash60(c: Column): Column = call_function("simhash60", c)
   def wordShingles(c: Column): Column = call_function("word_shingles", c)
   def shingleHash60s(c: Column): Column = call_function("shingle_hash60s", c)
+  def charGrams4(c: Column): Column = call_function("char_grams", c)
 }

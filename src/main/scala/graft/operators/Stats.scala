@@ -322,6 +322,41 @@ object Stats {
       .orderBy(col("flag"))
   }
 
+  /** q64: Theil's U (uncertainty coefficient) — ClickHouse
+    * `theilsU(a, b)` — how much knowing the source tells about the
+    * language: U(lang|source) = (H(lang) − H(lang|source)) / H(lang).
+    *
+    * Same contingency substrate as q54 (one corpus partial aggregate
+    * to the bounded (lang, source) grid), same entropy identity as q52
+    * (H from exact integer counts, c·log2 c folds). H(lang|source) =
+    * Σ_s p(s)·H(lang|s) expands to (Σ_s ns·log2 ns − Σ_cells
+    * o·log2 o)/n, so the whole statistic is three log-folds over
+    * domain-sized tables and one division. Asymmetric by definition —
+    * U(lang|source) ≠ U(source|lang) — both directions emitted. */
+  def q64TheilsU(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    def plogp(c: org.apache.spark.sql.Column) =
+      c.cast("double") * log2(c)
+    val g = obs.agg(sum(col("o")).as("n"),
+      sum(plogp(col("o"))).as("cell_lg"))
+    val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+      .agg(sum(plogp(col("c"))).as("lang_lg"), count(lit(1)).as("n_langs"))
+    val ct = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+      .agg(sum(plogp(col("c"))).as("src_lg"), count(lit(1)).as("n_sources"))
+    val n = col("n").cast("double")
+    val hLang = log2(col("n")) - col("lang_lg") / n
+    val hSrc = log2(col("n")) - col("src_lg") / n
+    val hLangGivenSrc = (col("src_lg") - col("cell_lg")) / n
+    val hSrcGivenLang = (col("lang_lg") - col("cell_lg")) / n
+    g.crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+      .select(col("n").cast("long").as("n_docs"),
+        col("n_langs"), col("n_sources"),
+        round(hLang, 4).as("h_lang_bits"),
+        round((hLang - hLangGivenSrc) / hLang, 4).as("u_lang_given_source"),
+        round((hSrc - hSrcGivenLang) / hSrc, 4).as("u_source_given_lang"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
@@ -382,6 +417,26 @@ object Stats {
         |    sqrt(na * nb / 12.0 *
         |      ((bign + 1.0) - ties / (bign * (bign - 1.0)))), 4) AS z_stat
         |FROM u""".stripMargin,
+    // q64: q52's entropy identity over q54's contingency substrate;
+    // H(a|b) = (Σ_b nb·log2 nb − Σ_cells o·log2 o)/n
+    "q64_theils_u" ->
+      """WITH obs AS (
+        |  SELECT lang, source, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT sum(o) AS n, sum(o * log2(o)) AS cell_lg FROM obs),
+        |rt AS (
+        |  SELECT sum(c * log2(c)) AS lang_lg, count(*) AS n_langs
+        |  FROM (SELECT lang, sum(o) AS c FROM obs GROUP BY 1)),
+        |ct AS (
+        |  SELECT sum(c * log2(c)) AS src_lg, count(*) AS n_sources
+        |  FROM (SELECT source, sum(o) AS c FROM obs GROUP BY 1))
+        |SELECT CAST(n AS BIGINT) AS n_docs, n_langs, n_sources,
+        |  round(log2(n) - lang_lg / n, 4) AS h_lang_bits,
+        |  round(((log2(n) - lang_lg / n) - (src_lg - cell_lg) / n) /
+        |        (log2(n) - lang_lg / n), 4) AS u_lang_given_source,
+        |  round(((log2(n) - src_lg / n) - (lang_lg - cell_lg) / n) /
+        |        (log2(n) - src_lg / n), 4) AS u_source_given_lang
+        |FROM g, rt, ct""".stripMargin,
     // q63: the smallest-value-reaching-q rule, decided by the same
     // cross-multiplied integer comparison on both engines
     "q63_weighted_quantile" ->

@@ -506,6 +506,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q64 theils U folds domain-sized marginals — broadcasts only, no window") {
+    val p = plan("q64_theils_u")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+    p should include("HashAggregate")
+  }
+
   test("c15 TTL serve path is a scan of the surviving partitions only") {
     // the gate query must READ the post-expiry layout — one parquet
     // scan, no write job in the serve plan, no join

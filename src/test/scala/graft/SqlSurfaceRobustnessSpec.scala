@@ -38,6 +38,15 @@ class SqlSurfaceRobustnessSpec extends SparkSpec {
     eval("hash60(NULL)") shouldBe Right(null)
     eval("tokenize(NULL)") shouldBe Right(null)
     eval("normalize_text(NULL)") shouldBe Right(null)
+    eval("char_grams(CAST(NULL AS STRING))") shouldBe Right(null)
+  }
+
+  test("char_grams: short/empty inputs yield empty arrays, non-strings fail analysis") {
+    eval("size(char_grams(''))") shouldBe Right(0)
+    eval("size(char_grams('abc'))") shouldBe Right(0) // below one gram
+    eval("size(char_grams('abcd'))") shouldBe Right(1)
+    eval("size(char_grams('aaaaa'))") shouldBe Right(1) // distinct dedup
+    eval("char_grams(array(1))") shouldBe Left("analysis")
   }
 
   test("untyped NULL / empty-array literals fail at ANALYSIS where a concrete array type is required") {

@@ -175,6 +175,33 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q64 theils U matches driver-side conditional entropy, in [0, 1]") {
+    val r = Stats.q64TheilsU(spark, d).collect().head
+    val obs = graft.Tables.documents(spark, d)
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2)))
+    val n = obs.map(_._2).sum.toDouble
+    def h(groups: Iterable[Long]): Double =
+      -groups.map { c => val p = c / n; p * math.log(p) / math.log(2) }.sum
+    val hLang = h(obs.groupBy(_._1._1).values.map(_.map(_._2).sum))
+    val hSrc = h(obs.groupBy(_._1._2).values.map(_.map(_._2).sum))
+    // H(lang|source) = Σ_s p(s) H(lang | s), the definition
+    val hLangGivenSrc = obs.groupBy(_._1._2).values.map { cells =>
+      val ns = cells.map(_._2).sum.toDouble
+      (ns / n) * -cells.map { case (_, c) =>
+        val p = c / ns; p * math.log(p) / math.log(2) }.sum
+    }.sum
+    r.getLong(0) shouldBe n.toLong
+    r.getDouble(3) shouldBe (hLang +- 1e-3)
+    r.getDouble(4) shouldBe ((hLang - hLangGivenSrc) / hLang +- 1e-3)
+    r.getDouble(4) should (be >= 0.0 and be <= 1.0)
+    r.getDouble(5) should (be >= 0.0 and be <= 1.0)
+    // the mutual information in both directions is the SAME quantity,
+    // so U(a|b)·H(a) == U(b|a)·H(b)
+    val hSrcGot = r.getDouble(5)
+    (r.getDouble(4) * hLang) shouldBe (hSrcGot * hSrc +- 1e-2)
+  }
+
   test("q56 moving agg equals a driver-side trailing-7 fold") {
     val got = Stats.q56MovingAgg(spark, d).collect()
     val daily = got.map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
