@@ -42,7 +42,8 @@ object GraftExtensions {
       functions.texthash.builders ++
       functions.textstats.builders ++
       functions.topk.builders ++
-      functions.uniqupto.builders
+      functions.uniqupto.builders ++
+      functions.thetasketch.builders
 
   /** `DESCRIBE FUNCTION` text for the SQL surface. */
   private[graft] val usages: Map[String, String] = Map(
@@ -65,5 +66,7 @@ object GraftExtensions {
     "token_char_sum" -> "token_char_sum(tokens) - Total character count across a token array (NULL if any token is NULL).",
     "topk_sketch" -> "topk_sketch(key, capacity, k) - Space-Saving approximate top-k of BIGINT keys; returns array<struct<item, cnt, err>>, exact when capacity >= distinct keys.",
     "topk_weighted_sketch" -> "topk_weighted_sketch(key, weight, capacity, k) - Space-Saving approximate top-k of BIGINT keys by summed positive BIGINT weight; returns array<struct<item, w, err>>, exact when capacity >= distinct keys.",
-    "uniq_upto" -> "uniq_upto(key, n) - Exact distinct count of BIGINT keys while <= n, else n + 1; per-group state bounded at n + 1 keys.")
+    "uniq_upto" -> "uniq_upto(key, n) - Exact distinct count of BIGINT keys while <= n, else n + 1; per-group state bounded at n + 1 keys.",
+    "char_grams" -> "char_grams(s) - Distinct character 4-grams of a string, first-occurrence order; child evaluated once per row.",
+    "theta_sketch" -> "theta_sketch(key, k) - KMV distinct sketch of BIGINT keys: the k smallest distinct values as a sorted array<bigint>; exact set algebra below capacity, (k-1)/u_k estimation above.")
 }

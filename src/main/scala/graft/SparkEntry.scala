@@ -87,6 +87,7 @@ object SparkEntry {
     "q62_ks_test" -> (Stats.q62KsTest _),
     "q63_weighted_quantile" -> (Stats.q63WeightedQuantile _),
     "q64_theils_u" -> (Stats.q64TheilsU _),
+    "q65_set_sketch" -> (Stats.q65SetSketch _),
     "c15_ttl" -> (Ttl.c15Query _),
     "v1_knn_l2" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnL2(s, d))),
     "v2_knn_cosine" -> ((s: SparkSession, d: String) => VectorSearch.withEmbeddingComponents(VectorSearch.knnCosine(s, d))),

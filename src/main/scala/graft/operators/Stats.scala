@@ -357,6 +357,45 @@ object Stats {
         round((hSrc - hSrcGivenLang) / hSrc, 4).as("u_source_given_lang"))
   }
 
+  /** q65 sketch capacity: above every per-type distinct-user count at
+    * the gate SFs, so the gate exercises the EXACT regime (sketch ==
+    * the full distinct hash set) and the DuckDB oracle replays it
+    * bit-for-bit; the estimation regime is property-tested in
+    * ThetaSketchSpec. */
+  val ThetaK = 4096
+
+  /** q65: sketched set algebra across segments — ClickHouse
+    * `uniqTheta` + `uniqThetaIntersect`/`uniqThetaUnion` — audience
+    * overlap between every pair of event types from ONE sketch per
+    * type.
+    *
+    * The exact alternative (q47's bitmap flags) ships one row per
+    * distinct member through the exchange; the sketch path aggregates
+    * each partition to ≤ k longs per type (mergeable KMV — see
+    * [[graft.functions.ThetaSketchAgg]] for the merge-order-invariance
+    * argument), so the pairwise set ops run on 5 bounded arrays
+    * whatever the corpus size. Keys are hash60 of the user id, the
+    * cross-engine-reproducible hash the oracle replays. */
+  def q65SetSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{textops, thetasketch}
+    val sk = Tables.events(s, d)
+      .select(col("event_type"),
+        textops.hash60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(thetasketch.thetaSketch(col("h"), ThetaK).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    val inter = size(array_intersect(col("ska"), col("skb")))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        size(col("ska")).as("n_a"), size(col("skb")).as("n_b"),
+        inter.as("n_common"),
+        (size(col("ska")) + size(col("skb")) - inter).as("n_union"),
+        round(inter.cast("double") /
+          (size(col("ska")) + size(col("skb")) - inter), 6).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
@@ -417,6 +456,27 @@ object Stats {
         |    sqrt(na * nb / 12.0 *
         |      ((bign + 1.0) - ties / (bign * (bign - 1.0)))), 4) AS z_stat
         |FROM u""".stripMargin,
+    // q65: exact-regime replay — the sketch IS the distinct hash60
+    // set below capacity, so DuckDB set-ops the same hashes
+    "q65_set_sketch" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${graft.functions.textops.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |c AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    count(*) AS n_common
+         |  FROM h a JOIN h b
+         |    ON a.h = b.h AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |n AS (SELECT event_type, count(*) AS n FROM h GROUP BY 1)
+         |SELECT type_a, type_b, na.n AS n_a, nb.n AS n_b, n_common,
+         |  na.n + nb.n - n_common AS n_union,
+         |  round(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6)
+         |    AS jaccard
+         |FROM c JOIN n na ON c.type_a = na.event_type
+         |       JOIN n nb ON c.type_b = nb.event_type
+         |ORDER BY type_a, type_b""".stripMargin,
     // q64: q52's entropy identity over q54's contingency substrate;
     // H(a|b) = (Σ_b nb·log2 nb − Σ_cells o·log2 o)/n
     "q64_theils_u" ->

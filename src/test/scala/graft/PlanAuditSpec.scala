@@ -513,6 +513,17 @@ class PlanAuditSpec extends SparkSpec {
     p should include("HashAggregate")
   }
 
+  test("q65 sketch aggregates with map-side partials; pair algebra joins no corpus") {
+    // TypedImperativeAggregate → ObjectHashAggregate partial + final:
+    // each partition ships one ≤ k-long sketch per type, never the
+    // member set (q47's exchange); the pairwise set ops join only the
+    // 5-row sketch table against itself
+    val p = plan("q65_set_sketch")
+    "ObjectHashAggregate".r.findAllIn(p).size should be >= 2
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("c15 TTL serve path is a scan of the surviving partitions only") {
     // the gate query must READ the post-expiry layout — one parquet
     // scan, no write job in the serve plan, no join
