@@ -333,16 +333,27 @@ case class CharGrams(child: Expression, n: Int) extends UnaryExpression
     }
 
   override def nullSafeEval(v: Any): Any = {
-    // ASCII-safe by construction downstream (normalize_text emits
-    // [a-z0-9 ]); String.substring counts chars like SQL substr, so
-    // the semantics match the HOF form it replaces on any input
+    // Grams are counted in CODEPOINTS (one pass records each
+    // codepoint's char offset, so supplementary characters never split
+    // surrogate pairs) — matching the `substr(x, i, n)` HOF form this
+    // expression replaces on ANY input, not just the ASCII-normalized
+    // t6 path. Still O(len) overall: one boundary walk + O(n) slices.
     val s = v.asInstanceOf[UTF8String].toString
-    if (s.length < n)
+    val charLen = s.length
+    val starts = new Array[Int](charLen + 1)
+    var ci = 0; var k = 0
+    while (ci < charLen) {
+      starts(k) = ci
+      ci += Character.charCount(s.codePointAt(ci))
+      k += 1
+    }
+    starts(k) = charLen
+    if (k < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]
     var i = 0
-    while (i <= s.length - n) {
-      seen.add(UTF8String.fromString(s.substring(i, i + n)))
+    while (i <= k - n) {
+      seen.add(UTF8String.fromString(s.substring(starts(i), starts(i + n))))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(

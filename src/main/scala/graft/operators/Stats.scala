@@ -349,12 +349,18 @@ object Stats {
     val hSrc = log2(col("n")) - col("src_lg") / n
     val hLangGivenSrc = (col("src_lg") - col("cell_lg")) / n
     val hSrcGivenLang = (col("lang_lg") - col("cell_lg")) / n
+    // Degenerate-domain guard: a single-language (or single-source)
+    // corpus makes the denominator entropy 0 and the ratio 0/0. U is
+    // PINNED to 0.0 there (zero uncertainty to begin with → zero
+    // reduction), mirrored in the oracle, so the statistic is total.
     g.crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
       .select(col("n").cast("long").as("n_docs"),
         col("n_langs"), col("n_sources"),
         round(hLang, 4).as("h_lang_bits"),
-        round((hLang - hLangGivenSrc) / hLang, 4).as("u_lang_given_source"),
-        round((hSrc - hSrcGivenLang) / hSrc, 4).as("u_source_given_lang"))
+        when(hLang > 0, round((hLang - hLangGivenSrc) / hLang, 4))
+          .otherwise(lit(0.0)).as("u_lang_given_source"),
+        when(hSrc > 0, round((hSrc - hSrcGivenLang) / hSrc, 4))
+          .otherwise(lit(0.0)).as("u_source_given_lang"))
   }
 
   /** q65 sketch capacity: above every per-type distinct-user count at
@@ -382,7 +388,19 @@ object Stats {
       .select(col("event_type"),
         textops.hash60(col("user_id").cast("string")).as("h"))
       .groupBy(col("event_type"))
-      .agg(thetasketch.thetaSketch(col("h"), ThetaK).as("sk"))
+      .agg(thetasketch.thetaSketch(col("h"), ThetaK).as("sk0"))
+      // Exact-regime guard: the gate's set algebra (size/array_intersect
+      // on the raw KMV arrays) is only valid while every sketch holds
+      // its FULL distinct set. If a type's distinct users ever reach
+      // capacity the arrays are capped samples and the jaccard below
+      // would be silently meaningless — fail loudly instead, pointing
+      // at the estimator path (ThetaSketchSpec's (k-1)/u_k regime).
+      .select(col("event_type"),
+        when(size(col("sk0")) >= ThetaK, raise_error(concat(
+          lit(s"q65: theta sketch at capacity ($ThetaK) for type "),
+          col("event_type"),
+          lit(" — exact set-algebra regime broken; use the KMV estimator"))))
+          .otherwise(col("sk0")).as("sk"))
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
     val inter = size(array_intersect(col("ska"), col("skb")))
@@ -492,10 +510,14 @@ object Stats {
         |  FROM (SELECT source, sum(o) AS c FROM obs GROUP BY 1))
         |SELECT CAST(n AS BIGINT) AS n_docs, n_langs, n_sources,
         |  round(log2(n) - lang_lg / n, 4) AS h_lang_bits,
-        |  round(((log2(n) - lang_lg / n) - (src_lg - cell_lg) / n) /
-        |        (log2(n) - lang_lg / n), 4) AS u_lang_given_source,
-        |  round(((log2(n) - src_lg / n) - (lang_lg - cell_lg) / n) /
-        |        (log2(n) - src_lg / n), 4) AS u_source_given_lang
+        |  CASE WHEN log2(n) - lang_lg / n > 0 THEN
+        |    round(((log2(n) - lang_lg / n) - (src_lg - cell_lg) / n) /
+        |          (log2(n) - lang_lg / n), 4) ELSE 0.0 END
+        |    AS u_lang_given_source,
+        |  CASE WHEN log2(n) - src_lg / n > 0 THEN
+        |    round(((log2(n) - src_lg / n) - (lang_lg - cell_lg) / n) /
+        |          (log2(n) - src_lg / n), 4) ELSE 0.0 END
+        |    AS u_source_given_lang
         |FROM g, rt, ct""".stripMargin,
     // q63: the smallest-value-reaching-q rule, decided by the same
     // cross-multiplied integer comparison on both engines

@@ -17,6 +17,7 @@ import graft.Tables
 object TimeSeries {
 
   private val D19 = "decimal(19,0)"
+  private val D38 = "decimal(38,0)"
 
   /** Daily revenue series per event type, exact integer cents — the
     * q56 substrate: ≤ days × types rows whatever the corpus size. */
@@ -115,7 +116,17 @@ object TimeSeries {
     val r = d19(col("sxp")) - d19(col("rx")) * d19(col("np"))
     val sS = d19(col("syn")) * d19(col("np")) - d19(col("syp")) * d19(col("nn"))
     val a2 = abs(d38(p) * d38(q) - d38(r) * d38(sS))
-    val s1 = when(col("kind") === "interior", a2).otherwise(lit(0L).cast(D19))
+    // Exactness-bound enforcement: past ~1e8 rows/bucket the d38
+    // products overflow and non-ANSI Spark yields NULL (DuckDB's
+    // HUGEINT raises instead) — a silent mis-rank. p/q/r/s are never
+    // null for interior buckets, so a null a2 IS the overflow signal:
+    // fail loudly rather than let the struct-max rank on NULL s1.
+    val a2Checked = coalesce(a2, assert_true(lit(false),
+      lit("q60: LTTB area overflow — bucket stats exceed the " +
+        "decimal(38,0) exactness bound (~1e8 rows/bucket); " +
+        "shrink buckets or normalize the area terms")).cast(D38))
+    val s1 = when(col("kind") === "interior", a2Checked)
+      .otherwise(lit(0L).cast(D19))
     val s2 = when(col("kind") === "last", col("rx")).otherwise(-col("rx"))
     val s3 = when(col("kind") === "last", col("event_id"))
       .otherwise(-col("event_id"))

@@ -44,9 +44,21 @@ object Ttl {
 
   /** The expiry operation: delete partition directories strictly older
     * than `cutoff`. Pure filesystem metadata — no surviving file is
-    * opened, rewritten, or moved. Returns (kept, dropped) day counts. */
+    * opened, rewritten, or moved. Returns (kept, dropped) day counts.
+    *
+    * LOCAL-FILESYSTEM contract: `dir` must be an existing, listable
+    * local directory (the `java.io.File` layout this module writes).
+    * A cluster layout on hdfs:// or s3a:// needs the
+    * `org.apache.hadoop.fs.FileSystem` twin of this loop — the same
+    * O(expired partitions) metadata walk; expiry must never silently
+    * no-op because the path wasn't visible to `java.io`. */
   def applyTtl(dir: String, cutoff: LocalDate): (Int, Int) = {
-    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+    val listed = new java.io.File(dir).listFiles()
+    require(listed != null,
+      s"applyTtl: cannot list '$dir' — expiry requires an existing " +
+        "listable local directory (nonexistent path, URI scheme, or " +
+        "permission error would otherwise silently expire nothing)")
+    val parts = listed
       .filter(f => f.isDirectory && f.getName.startsWith("day="))
     val (keep, drop) = parts.partition { f =>
       !LocalDate.parse(f.getName.stripPrefix("day=")).isBefore(cutoff)
