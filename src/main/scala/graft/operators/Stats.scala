@@ -186,37 +186,52 @@ object Stats {
     * Average-tied ranks are computed on the DISTINCT-value tables
     * (≤ 50 quantities × ≤ 11 discount levels per flag — domain-sized),
     * doubled to stay integral (r2 = 2·cum_before + c + 1), then
-    * broadcast-joined back onto the rows. Centering: Σ r2 = n(n+1)
+    * weighted by the JOINT cell counts. Centering: Σ r2 = n(n+1)
     * exactly, so mean(r2) = n+1 and the centered ranks are integers
     * bounded by n. ρ = Σxy/√(Σx²·Σy²) from exact decimal(38,0) sums —
     * one IEEE division on both engines (exact while n ≤ ~1e12 per
-    * flag; normalize ranks beyond). One corpus scan for the counts,
-    * one for the product sums; everything else is domain-sized. */
+    * flag; normalize ranks beyond).
+    *
+    * The corpus is scanned ONCE, into the joint (flag, q, disc) counts
+    * table (≤ 50×11 cells per flag — domain-sized): every product sum
+    * is a fold Σ c·xc·yc over those cells, so no rank table is ever
+    * joined back onto lineitem. The marginal tables, doubled-rank
+    * windows, and the three sums all run on derivations of the one
+    * joint aggregate, which is CACHED: the four consumers (joint +
+    * two marginals + n) read the ≤ flags×50×11-row in-memory table,
+    * never the corpus — exchange reuse alone still re-planned extra
+    * scans, so the materialization is explicit. Cache cost is the
+    * domain size, not the corpus (CacheManager dedupes the entry by
+    * canonicalized plan across calls). */
   def q57RankCorr(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(
+    val joint = Tables.lineitem(s, d).select(
       col("l_returnflag").as("flag"),
       col("l_quantity").cast("long").as("q"),
       expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"))
+      .groupBy(col("flag"), col("q"), col("disc"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
     def rank2(valueCol: String, out: String): DataFrame = {
       val w = Window.partitionBy(col("flag")).orderBy(col(valueCol))
         .rowsBetween(Window.unboundedPreceding, -1)
-      li.groupBy(col("flag"), col(valueCol)).agg(count(lit(1)).as("c"))
+      joint.groupBy(col("flag"), col(valueCol)).agg(sum(col("c")).as("cc"))
         .select(col("flag"), col(valueCol),
-          (lit(2L) * coalesce(sum(col("c")).over(w), lit(0L))
-            + col("c") + lit(1L)).as(out))
+          (lit(2L) * coalesce(sum(col("cc")).over(w), lit(0L))
+            + col("cc") + lit(1L)).as(out))
     }
-    val nf = li.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+    val nf = joint.groupBy(col("flag")).agg(sum(col("c")).as("n"))
     val dec = "decimal(19,0)"
     val xc = (col("rq2") - (col("n") + lit(1L))).cast(dec)
     val yc = (col("rd2") - (col("n") + lit(1L))).cast(dec)
-    li.join(broadcast(rank2("q", "rq2")), Seq("flag", "q"))
+    val cc = col("c").cast(dec)
+    joint.join(broadcast(rank2("q", "rq2")), Seq("flag", "q"))
       .join(broadcast(rank2("disc", "rd2")), Seq("flag", "disc"))
       .join(broadcast(nf), Seq("flag"))
       .groupBy(col("flag"))
       .agg(first(col("n")).as("n"),
-        sum(xc * yc).as("sxy"),
-        sum(xc * xc).as("sxx"),
-        sum(yc * yc).as("syy"))
+        sum(cc * xc * yc).as("sxy"),
+        sum(cc * xc * xc).as("sxx"),
+        sum(cc * yc * yc).as("syy"))
       .select(col("flag"), col("n"),
         round(col("sxy").cast("double") /
           sqrt(col("sxx").cast("double") * col("syy").cast("double")), 4)

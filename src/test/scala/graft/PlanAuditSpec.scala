@@ -441,11 +441,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q57 rank corr broadcasts the rank tables back onto the corpus") {
-    // ranks live on the domain-sized distinct-value tables; re-sorting
-    // the corpus to merge-join them back would be the scale bug, and
-    // every rank window must consume an aggregate, never raw rows
-    val p = plan("q57_rank_corr")
+  test("q57 rank corr runs entirely on the cached joint counts table") {
+    // one corpus scan, period: the joint (flag, q, disc) aggregate is
+    // cached, and every consumer (product sums, both rank marginals,
+    // n) must read the InMemoryRelation — a LogicalRelation leaf in
+    // the statistic's own plan would mean a rank table got re-joined
+    // onto lineitem (the round-12 shape this replaced)
+    val df = SparkEntry.queries("q57_rank_corr")(spark, SparkSpec.TinySf)
+    val lp = df.queryExecution.optimizedPlan
+    val fileRels = lp.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+    withClue(lp.toString) { assert(fileRels.isEmpty) }
+    val cached = lp.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m }
+    assert(cached.nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
     withClue(p) {
