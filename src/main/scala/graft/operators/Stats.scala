@@ -171,7 +171,10 @@ object Stats {
     * fixed by the measurement's resolution, not the corpus), so the
     * corpus contributes one partial-aggregable groupBy and ALL rank
     * math runs on the tiny counts table. The unpartitioned window over
-    * it is a single-partition sort of ≤ domain-size rows at any SF. */
+    * it parallelizes via [[bucketedCumsum]]. CACHED (domain-sized, like
+    * q57's joint table): both rank tests and their bucket/total
+    * derivations read the in-memory counts, so the corpus is scanned
+    * once across q58 AND q62. */
   private def clickViewCents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .filter(col("event_type").isin("click", "view"))
@@ -179,6 +182,7 @@ object Stats {
         when(col("event_type") === "click", 1L).otherwise(0L).as("isa"))
       .groupBy(col("cents"))
       .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
+      .cache()
 
   /** q57: Spearman rank correlation — ClickHouse `rankCorr(x, y)` —
     * between quantity and discount per return flag.
@@ -239,6 +243,48 @@ object Stats {
       .orderBy(col("flag"))
   }
 
+  /** Two-level (bucketed) cumulative sums over a domain-quantized
+    * counts table — the q40-style escape hatch that keeps the rank
+    * sweeps PARALLEL instead of one task per partition key.
+    *
+    * A naive `Window.orderBy(value)` runs the whole cumulative walk in
+    * a single task. Instead: (1) coarse bucket = value div `width`;
+    * (2) per-bucket subtotals, whose exclusive prefix (the bucket
+    * OFFSET) is the only unpartitioned window — over ≤ domain/width
+    * rows, never the counts table; (3) the intra-bucket prefix runs
+    * partitioned by (keys…, bucket), so the corpus-fed sweep fans out
+    * across width-sized slices. Offsets broadcast-join back (the
+    * bucket table is tiny by construction). All sums are exact
+    * integers, so the split changes nothing numerically.
+    *
+    * Emits, per entry (c, out) of `sums`: `out` = the cumulative sum
+    * of column c — inclusive of the current row when `inclusive`,
+    * else the strict prefix. */
+  private def bucketedCumsum(df: DataFrame, keys: Seq[String],
+      orderCol: String, sums: Seq[(String, String)], width: Int,
+      inclusive: Boolean): DataFrame = {
+    val kc = keys.map(col)
+    val bucket = expr(s"$orderCol div $width")
+    val bt = df.groupBy((kc :+ bucket.as("bucket")): _*)
+      .agg(sum(col(sums.head._1)).as(s"bt_${sums.head._1}"),
+        sums.tail.map { case (c, _) => sum(col(c)).as(s"bt_$c") }: _*)
+    val wOff = Window.partitionBy(kc: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = bt.select((kc :+ col("bucket")) ++ sums.map { case (c, _) =>
+      coalesce(sum(col(s"bt_$c")).over(wOff), lit(0L)).as(s"off_$c") }: _*)
+    val wIn = Window.partitionBy((kc :+ col("bucket")): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+    df.withColumn("bucket", bucket)
+      .join(broadcast(boff), keys :+ "bucket")
+      .select(df.columns.map(col) ++ sums.map { case (c, out) =>
+        (col(s"off_$c") +
+          coalesce(sum(col(c)).over(wIn), lit(0L))).as(out) }: _*)
+  }
+
+  /** Bucket width for the event-value cents sweeps (domain ≤ ~56k
+    * cents → ~55 buckets) and, scaled up, the price sweeps. */
+  private val SweepWidth = 1024
+
   /** q58: Mann-Whitney U — ClickHouse `mannWhitneyUTest(v, sample)` —
     * click vs view value populations, tie-corrected z (no continuity
     * correction; pinned on both engines).
@@ -250,12 +296,13 @@ object Stats {
     * The corpus ships one (cents → two counts) partial aggregate; the
     * U/z fold is a one-row computation from exact decimal sums. */
   def q58MannWhitney(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, -1)
-    val t = col("ca") + col("cb")
     val dec = "decimal(19,0)"
-    val r2 = (lit(2L) * coalesce(sum(t).over(w), lit(0L)) + t + lit(1L)).cast(dec)
-    val g = clickViewCents(s, d)
-      .select(col("ca"), col("cb"), r2.as("r2"), t.cast(dec).as("t"))
+    val cnt = clickViewCents(s, d).withColumn("t", col("ca") + col("cb"))
+    val swept = bucketedCumsum(cnt, Nil, "cents", Seq("t" -> "cumt"),
+      SweepWidth, inclusive = false)
+    val r2 = (lit(2L) * col("cumt") + col("t") + lit(1L)).cast(dec)
+    val g = swept
+      .select(col("ca"), col("cb"), r2.as("r2"), col("t").cast(dec).as("t"))
       .agg(sum(col("ca")).cast(dec).as("na"), sum(col("cb")).cast(dec).as("nb"),
         sum(col("ca").cast(dec) * col("r2")).as("r2a"),
         sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
@@ -281,19 +328,16 @@ object Stats {
     * Corpus cost: the one counts aggregate; the sweep runs on the
     * domain-sized table. */
   def q62KsTest(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dec = "decimal(19,0)"
-    val g = clickViewCents(s, d)
-      .select(col("cents"),
-        sum(col("ca")).over(w).cast(dec).as("cuma"),
-        sum(col("cb")).over(w).cast(dec).as("cumb"),
-        sum(col("ca")).over(Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)).cast(dec).as("na"),
-        sum(col("cb")).over(Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)).cast(dec).as("nb"))
+    val cnt = clickViewCents(s, d)
+    val tot = cnt.agg(sum(col("ca")).cast(dec).as("na"),
+      sum(col("cb")).cast(dec).as("nb"))
+    val g = bucketedCumsum(cnt, Nil, "cents",
+      Seq("ca" -> "cuma", "cb" -> "cumb"), SweepWidth, inclusive = true)
+      .crossJoin(broadcast(tot))
       .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
-        max(struct(abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("d2"),
+        max(struct(abs(col("cuma").cast(dec) * col("nb")
+          - col("cumb").cast(dec) * col("na")).as("d2"),
           (-col("cents")).as("negc"))).as("m"))
     g.select(col("na").cast("long").as("n_click"), col("nb").cast("long").as("n_view"),
       round(col("m.d2").cast("double") /
@@ -310,9 +354,11 @@ object Stats {
     * integers via cross-multiplication (cumw·den ≥ num·totw), so no
     * level ever compares approximate doubles. The corpus pays one
     * (flag, cents) partial aggregate; the cumulative sweep runs per
-    * flag over the distinct-price table (bounded by the price domain's
-    * cent resolution — orders below the corpus at 100 TB; pre-bucket
-    * q40-style if a domain ever outgrows one partition). */
+    * (flag, bucket) slice via [[bucketedCumsum]] — the sweep fans out
+    * over ~domain/width tasks instead of one per flag, so a price
+    * domain outgrowing a partition can't serialize the walk. The
+    * counts table is cached (domain-sized): the bucket subtotals, the
+    * join-back, and the per-flag totals all read it in memory. */
   def q63WeightedQuantile(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(19,0)"
     val cnt = Tables.lineitem(s, d)
@@ -320,13 +366,13 @@ object Stats {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
         col("l_quantity").cast("long").as("wt"))
       .groupBy(col("flag"), col("cents")).agg(sum(col("wt")).as("w"))
-    val wcum = Window.partitionBy(col("flag")).orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wtot = Window.partitionBy(col("flag"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val sw = cnt.select(col("flag"), col("cents"),
-      sum(col("w")).over(wcum).cast(dec).as("cumw"),
-      sum(col("w")).over(wtot).cast(dec).as("totw"))
+      .cache()
+    val tot = cnt.groupBy(col("flag")).agg(sum(col("w")).as("totw"))
+    val sw = bucketedCumsum(cnt, Seq("flag"), "cents",
+      Seq("w" -> "cumw"), SweepWidth * 64, inclusive = true)
+      .join(broadcast(tot), Seq("flag"))
+      .select(col("flag"), col("cents"),
+        col("cumw").cast(dec).as("cumw"), col("totw").cast(dec).as("totw"))
     def pick(num: Int, den: Int): org.apache.spark.sql.Column =
       min(when(col("cumw") * lit(den) >= col("totw") * lit(num),
         col("cents")))

@@ -463,17 +463,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q58 mann-whitney: one corpus aggregate, no join, tiny-table window") {
+  test("q58 mann-whitney: rank sweep fans out over bucket-partitioned windows") {
+    // the counts-table prefix walk must be PARTITIONED by the coarse
+    // bucket (parallel, not one global task); offsets come back as a
+    // broadcast of the tiny bucket table, never a sort-merge join
     val p = plan("q58_mann_whitney")
-    p should not include "Join"
+    p should include regex """\[bucket#\d+L\]"""
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
     withClue(p) {
       assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"))
     }
   }
 
-  test("q62 KS: one corpus aggregate, no join, tiny-table window") {
+  test("q62 KS: rank sweep fans out over bucket-partitioned windows") {
     val p = plan("q62_ks_test")
-    p should not include "Join"
+    p should include regex """\[bucket#\d+L\]"""
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
     withClue(p) {
       assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"))
     }
@@ -510,7 +517,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q63 weighted quantiles sweep the aggregated distinct-value table") {
     val p = plan("q63_weighted_quantile")
-    p should not include "Join"
+    // per-(flag, bucket) partitioned sweep over the cached counts table
+    p should include regex """\[flag#\d+, bucket#\d+L\]"""
+    p should not include "SortMergeJoin"
     withClue(p) {
       assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"))
     }
