@@ -43,7 +43,8 @@ object GraftExtensions {
       functions.textstats.builders ++
       functions.topk.builders ++
       functions.uniqupto.builders ++
-      functions.thetasketch.builders
+      functions.thetasketch.builders ++
+      functions.tdigest.builders
 
   /** `DESCRIBE FUNCTION` text for the SQL surface. */
   private[graft] val usages: Map[String, String] = Map(

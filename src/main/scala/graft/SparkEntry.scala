@@ -73,6 +73,7 @@ object SparkEntry {
     "q48_sequence_next_node" -> (Analytics.q48SequenceNextNode _),
     "q49_topk_weighted" -> (Analytics.q49TopKWeighted _),
     "q50_quantile_sketch" -> (Analytics.q50QuantileSketch _),
+    "q50b_tdigest" -> (Analytics.q50bTDigest _),
     "q51_uniq_upto" -> (Analytics.q51UniqUpTo _),
     "q52_entropy" -> (Stats.q52Entropy _),
     "q53_welch_ttest" -> (Stats.q53WelchTTest _),
@@ -428,6 +429,28 @@ object SparkEntry {
     // arithmetic (target = ceil(n*qm/1000) in integers); the sketch's
     // rank-window contract is TRUE by the summary's published bound
     "q50_quantile_sketch" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, cents, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT b.event_type, cents,
+        |    sum(cnt) OVER (PARTITION BY b.event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    t.n
+        |  FROM b JOIN t ON b.event_type = t.event_type),
+        |q AS (SELECT unnest([500, 900, 990]) AS qm)
+        |SELECT event_type, qm, min(cents) AS exact_cents,
+        |  TRUE AS approx_ok
+        |FROM c, q WHERE cum >= (n * qm + 999) // 1000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q50b: same exact-replay shape as q50; the t-digest estimate's
+    // rank-window contract is TRUE by the k1 envelope (TDigestSpec)
+    "q50b_tdigest" ->
       """WITH e AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events),

@@ -1083,6 +1083,62 @@ object Analytics {
       .orderBy(col("event_type"), col("qm"))
   }
 
+  /** q50b: TRUE mergeable t-digest — ClickHouse `quantilesTDigest` on
+    * its own sketch (vs q50, which rides Spark's GK summary). Same
+    * gate contract as q50: emit the EXACT integer quantiles (rank
+    * arithmetic over the bounded (type, cents, count) table) plus a
+    * rank-window boolean for the [[graft.functions.TDigestAgg]]
+    * estimate — true iff the estimate's real rank lies within the k1
+    * envelope ±(16·n·q(1−q)/δ + 4) — cluster-weight bound with
+    * headroom for merge-tree variance and the O(1)-cluster tail
+    * interpolation — the bound TDigestSpec
+    * property-tests across random merge trees. The oracle replays the
+    * exact side and asserts TRUE, so the hash never touches the
+    * (merge-order-sensitive) centroid values themselves. */
+  def q50bTDigest(s: SparkSession, d: String): DataFrame = {
+    graft.functions.tdigest.register(s)
+    val qms = Seq(500, 900, 990) // permille targets: integer math only
+    val delta = 100
+    val e = Tables.events(s, d).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val b = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = b.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = b.withColumn("cum", sum(col("cnt")).over(wc))
+      .join(broadcast(t), "event_type")
+      .select(col("event_type"), col("cents"), col("cum"), col("n"),
+        explode(array(qms.map(lit): _*)).as("qm"))
+      .filter(col("cum") >= expr("(n * qm + 999) div 1000"))
+      .groupBy(col("event_type"), col("qm"))
+      .agg(min(col("cents")).as("exact_cents"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(graft.functions.tdigest.tdigestQuantiles(col("cents"),
+        qms.map(_ / 1000.0), delta.toDouble).as("av"))
+      .select(col("event_type"), posexplode(col("av")).as(Seq("pos", "av")))
+      .withColumn("qm", element_at(array(qms.map(lit): _*), col("pos") + 1))
+      .drop("pos")
+    // rank-error envelope: ±(16·n·q(1−q)/δ + 4), in exact integers.
+    // The estimate snaps to the integer cent domain first: an
+    // interpolated float in the gap beside a tie block must carry the
+    // NEIGHBOR's rank window, not the unachievable midpoint's.
+    val band = expr(s"(16 * n * qm * (1000 - qm)) div ${1000000L * delta} + 4")
+    val checked = b.join(broadcast(sk), "event_type")
+      .withColumn("avs", expr("CAST(round(av) AS BIGINT)"))
+      .groupBy(col("event_type"), col("qm"), col("avs"))
+      .agg(
+        sum(when(col("cents") < col("avs"), col("cnt")).otherwise(0L)).as("rank_lo"),
+        sum(when(col("cents") <= col("avs"), col("cnt")).otherwise(0L)).as("rank_hi"))
+      .join(broadcast(t), "event_type")
+      .select(col("event_type"), col("qm"),
+        (col("rank_hi") >= expr("(n * qm + 999) div 1000") - band &&
+          col("rank_lo") < expr("(n * qm + 999) div 1000") + band)
+          .as("approx_ok"))
+    exact.join(checked, Seq("event_type", "qm"))
+      .orderBy(col("event_type"), col("qm"))
+  }
+
   /** q51: capped exact distinct — ClickHouse `uniqUpTo(N)(col)` via
     * [[graft.functions.UniqUpToAgg]]: per (event_type, day), the exact
     * distinct user count when ≤ 50, else 51 ("more than 50"). The
