@@ -32,31 +32,152 @@ object Multimodal {
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString.substring(0, 15), 16)
 
+  /** The decode seam: one interface, two implementations. The gates
+    * run [[StubDecoder]] (deterministic, oracle-replayable — the
+    * corpus ships text payloads, not image bytes); a real pipeline
+    * flips `spark.graft.multimodal.decoder=imageio` and the SAME
+    * partition-batched plumbing decodes real bytes (unit-tested with
+    * in-memory PNG/JPEG in ImageIoDecodeSpec). */
+  trait ImageDecoder extends Serializable {
+    def decode(docId: Long, payload: Array[Byte]): ImageMeta
+  }
+
   /** STUB decode: derives deterministic fake dimensions from
     * hash60(payload‖suffix) — the SAME formulas as [[binaryMeta]]'s
-    * expression path, so the two paths agree bit for bit (unit-tested).
-    * A real deployment swaps `decodeOne` for an actual image decode
-    * (e.g. javax.imageio / JNI) — the partition-batched call pattern,
-    * schema and shuffle behavior stay identical. */
-  private[operators] def decodeOne(docId: Long, payload: Array[Byte]): ImageMeta = {
-    // ??? <- real decode goes here; deterministic fake below
-    val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-    ImageMeta(docId, payload.length,
-      width = (64 + hash60(text + "|w") % 1856).toInt,
-      height = (64 + hash60(text + "|h") % 1016).toInt,
-      channels = (1 + hash60(text + "|c") % 4).toInt,
-      format = if (docId % 3 == 0) "png" else if (docId % 3 == 1) "jpeg" else "webp")
+    * expression path, so the two paths agree bit for bit (unit-tested). */
+  object StubDecoder extends ImageDecoder {
+    def decode(docId: Long, payload: Array[Byte]): ImageMeta = {
+      val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      ImageMeta(docId, payload.length,
+        width = (64 + hash60(text + "|w") % 1856).toInt,
+        height = (64 + hash60(text + "|h") % 1016).toInt,
+        channels = (1 + hash60(text + "|c") % 4).toInt,
+        format = if (docId % 3 == 0) "png" else if (docId % 3 == 1) "jpeg" else "webp")
+    }
+  }
+
+  /** REAL decode via `javax.imageio` (in the JDK — no external libs):
+    * width/height/channels from the decoded raster, format from the
+    * matching reader's name. Fails loudly on undecodable bytes — a
+    * silent fake would poison dedup downstream. */
+  object ImageIoDecoder extends ImageDecoder {
+    def decode(docId: Long, payload: Array[Byte]): ImageMeta = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        require(readers.hasNext, s"doc $docId: no image reader for payload")
+        val reader = readers.next()
+        reader.setInput(in)
+        try {
+          val img = reader.read(0)
+          ImageMeta(docId, payload.length, img.getWidth, img.getHeight,
+            channels = img.getColorModel.getNumComponents,
+            format = reader.getFormatName.toLowerCase)
+        } finally reader.dispose()
+      } finally in.close()
+    }
+  }
+
+  /** Stub kept under its round-11 name for the equivalence test. */
+  private[operators] def decodeOne(docId: Long, payload: Array[Byte]): ImageMeta =
+    StubDecoder.decode(docId, payload)
+
+  def decoderFor(name: String): ImageDecoder = name match {
+    case "imageio" => ImageIoDecoder
+    case _ => StubDecoder
   }
 
   /** Batch decode over (doc_id, payload) rows — one decoder instance
     * per partition, rows streamed through it (the mapInPandas shape:
-    * amortised per-batch setup, no per-row driver involvement). */
-  def decodeImages(payloads: Dataset[(Long, Array[Byte])]): Dataset[ImageMeta] = {
+    * amortised per-batch setup, no per-row driver involvement). The
+    * decoder defaults to the session conf
+    * `spark.graft.multimodal.decoder` (stub | imageio). */
+  def decodeImages(payloads: Dataset[(Long, Array[Byte])],
+      decoder: ImageDecoder = null): Dataset[ImageMeta] = {
     import payloads.sparkSession.implicits._
+    val dec = Option(decoder).getOrElse(decoderFor(
+      payloads.sparkSession.conf.get("spark.graft.multimodal.decoder", "stub")))
     payloads.mapPartitions { it =>
       // per-partition decoder setup would go here (model load, etc.)
-      it.map { case (id, bytes) => decodeOne(id, bytes) }
+      it.map { case (id, bytes) => dec.decode(id, bytes) }
     }
+  }
+
+  /** REAL perceptual hash: the classic DCT pHash over a decoded image
+    * — 32×32 luminance downsample, 2-D DCT-II, the first 60 AC
+    * coefficients (zig-free row-major of the top-left 8×8, DC and the
+    * 3 highest dropped to fit the 60-bit chunk split) thresholded at
+    * their median. Produces the same `(doc_id, ph)` shape as the stub
+    * [[phash]], so [[phashPairsFrom]] runs the identical capped-bucket
+    * dedup physics over real image features. */
+  def phashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val scaled = new java.awt.image.BufferedImage(N, N,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, N, N, null)
+    } finally g.dispose()
+    val lum = new Array[Double](N * N)
+    var y = 0
+    while (y < N) {
+      var x = 0
+      while (x < N) {
+        val rgb = scaled.getRGB(x, y)
+        lum(y * N + x) = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    // first 8×8 block of the 2-D DCT-II (separable; cos table reused)
+    val cosT = Array.tabulate(8, N)((u, i) =>
+      math.cos((2 * i + 1) * u * math.Pi / (2 * N)))
+    val co = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < N) {
+          var xx = 0
+          while (xx < N) {
+            s += lum(yy * N + xx) * cosT(u)(xx) * cosT(v)(yy)
+            xx += 1
+          }
+          yy += 1
+        }
+        co(v * 8 + u) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = co.drop(1).take(60) // 60 AC coefficients
+    val med = ac.sorted.apply(30)
+    var ph = 0L
+    var i = 0
+    while (i < 60) {
+      if (ac(i) > med) ph |= 1L << i
+      i += 1
+    }
+    ph
+  }
+
+  /** Real-decoder pHash over payload bytes, partition-batched like
+    * [[decodeImages]]. */
+  def phashImages(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"doc $id: undecodable payload")
+        (id, phashOfImage(img))
+      }
+    }.toDF("doc_id", "ph")
   }
 
   /** m1: binary payload + typed metadata extraction, all-expression
@@ -170,8 +291,15 @@ object Multimodal {
     * hashes and verification is one `bit_count(xor)` with no join
     * back. At 100 TB this is the image near-dup pass every multimodal
     * training pipeline runs; cost is Σ capped-bucket² — never n². */
-  def phashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    val chunks = phash(docs)
+  def phashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame =
+    phashPairsFrom(phash(docs), maxHamming)
+
+  /** The dedup physics, decoupled from the hash source: takes ANY
+    * `(doc_id, ph)` table — the stub byte-gram SimHash (gate) or the
+    * real DCT pHash from [[phashImages]] — through the identical
+    * chunk split + capped bucket join + xor verify. */
+  def phashPairsFrom(hashes: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val chunks = hashes
       .select(col("doc_id"), col("ph").as("n"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("ck", expr("shiftright(n, c * 15) & 32767"))
