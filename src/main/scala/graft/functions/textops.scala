@@ -48,6 +48,15 @@ object textops {
   def hash60Sql(c: String): String =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
+  /** Driver/executor-side Scala twin of [[hash60]] for code that runs
+    * OUTSIDE the expression tree (batched embed stubs, decoders):
+    * same md5-hex-prefix derivation, bit-identical results. */
+  def hash60Local(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+
   /** Whitespace-collapsed, punctuation-stripped, lowercased normal form
     * for content fingerprinting. Twin: [[normalizeSql]]. */
   def normalizeText(c: Column): Column =

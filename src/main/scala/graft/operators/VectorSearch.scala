@@ -334,6 +334,57 @@ object VectorSearch {
     array(comps: _*)
   }
 
+  /** The batched external-model seam — v8's PRODUCTION shape. The
+    * reference feeds a String column to an external embedding process
+    * (`udfs/embed_text_function.xml`: one server, batched rows in,
+    * vectors out); the Spark-native twin is a partition-batched
+    * Dataset map: rows grouped into fixed-size batches, ONE
+    * `embed(texts)` round trip per batch (amortizing model forward
+    * passes / HTTP overhead), order-aligned vectors zipped back onto
+    * ids. A real deployment implements [[BatchEmbedder]] against its
+    * inference endpoint (e.g. a CLIP server: POST texts, read float32
+    * rows); the gate keeps the deterministic stub, equivalence-tested
+    * against [[embedText]]'s expression tree. */
+  trait BatchEmbedder extends Serializable {
+    def dim: Int
+    /** One model-server round trip: a batch of texts in, one vector
+      * per text out, order-aligned. */
+    def embed(texts: Array[String]): Array[Array[Float]]
+  }
+
+  /** Deterministic stub — bit-identical to [[embedText]] (same
+    * hash60-derived components, cast to float32). */
+  final class StubBatchEmbedder(val dim: Int = Dim) extends BatchEmbedder {
+    def embed(texts: Array[String]): Array[Array[Float]] =
+      texts.map { t =>
+        Array.tabulate(dim) { i =>
+          ((graft.functions.textops.hash60Local(t + ":" + i) % 1000L)
+            / 500.0 - 1.0).toFloat
+        }
+      }
+  }
+
+  /** Partition-batched embedding of `textCol`: the mapInArrow shape in
+    * Scala (columnar batches in, one external call per batch). Fails
+    * loudly on a misbehaving server (row-count mismatch) rather than
+    * silently misaligning vectors with ids. */
+  def embedBatched(docs: DataFrame, idCol: String, textCol: String,
+      embedder: BatchEmbedder, batchSize: Int = 64): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { chunk =>
+          val vecs = embedder.embed(chunk.map(_._2).toArray)
+          require(vecs.length == chunk.size,
+            s"embedder returned ${vecs.length} vectors for ${chunk.size} texts")
+          chunk.map(_._1).zip(vecs)
+        }
+      }
+      .toDF(idCol, "embedding")
+  }
+
   def embedUdfKnn(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     // the embed "model call" is the canonical compute-heavy map (64
     // hashes per doc standing in for a forward pass): spread a narrow
