@@ -85,6 +85,22 @@ object Replacing {
         .write.mode("append").partitionBy("b").parquet(out)
     }
 
+  /** Background merge (the LSM compaction the scaladoc trade points
+    * at): fold all parts to ONE — the FINAL struct-max applied early.
+    * Associative/commutative over versions, so FINAL over the
+    * compacted part ≡ FINAL over the originals; every served result is
+    * unchanged. Cost ∝ keys × parts, never raw events. */
+  def compactParts(s: SparkSession, partsDir: String): Unit = {
+    val merged = finalState(s.read.parquet(partsDir))
+      .withColumn("b", pmod(col("user_id"), lit(NumBuckets.toLong)).cast("int"))
+      .select(col("b"), col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("cents"))
+    graft.streaming.Compaction.rewrite(partsDir) { tmp =>
+      merged.repartition(col("b"))
+        .write.mode("overwrite").partitionBy("b").parquet(tmp)
+    }
+  }
+
   /** `FINAL`: the newest version per key across all parts — the same
     * struct-max applied to the compacted part rows (≤ keys × parts
     * input, partial-aggregable; never touches raw events). */

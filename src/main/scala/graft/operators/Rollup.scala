@@ -85,6 +85,26 @@ object Rollup {
         .write.mode("append").partitionBy("day").parquet(out)
     }
 
+  /** Background merge (ClickHouse `OPTIMIZE`): fold the accreted parts
+    * back to one row per (day, event_type) with the SAME mergeable ops
+    * the serve path uses — sum/sum/hll_union — so the served report is
+    * bit-identical before and after (HLL union is register-wise max:
+    * associative, order-free). Cost ∝ rollup size (days × types ×
+    * parts), never the corpus. */
+  def compactParts(s: SparkSession, rollupDir: String): Unit = {
+    val merged = s.read.parquet(rollupDir)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_cents")).as("sum_cents"),
+        hll_union_agg(col("users_sk")).as("users_sk"))
+      .select(col("day"), col("event_type"), col("n"),
+        col("sum_cents"), col("users_sk"))
+    graft.streaming.Compaction.rewrite(rollupDir) { tmp =>
+      merged.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    }
+  }
+
   /** The report, answered from the rollup ONLY: per event_type over
     * [[ServeFrom]], [[ServeUntil]]) — active days, row count, exact
     * cents revenue — plus the corpus-wide distinct-users estimate from

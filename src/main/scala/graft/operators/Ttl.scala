@@ -73,6 +73,20 @@ object Ttl {
     (keep.length, drop.length)
   }
 
+  /** Background merge for a streamed-into layout: coalesce each day
+    * directory's accreted per-batch part files back to c7's one-file
+    * form. Rows are untouched (same day partitioning, same values), so
+    * the served report is identical; expiry semantics are unaffected
+    * (whole day dirs remain the drop unit). */
+  def compactLayout(s: SparkSession, dir: String): Unit = {
+    val rows = s.read.parquet(dir)
+      .select(col("event_type"), col("value"), col("day"))
+    graft.streaming.Compaction.rewrite(dir) { tmp =>
+      rows.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    }
+  }
+
   /** Deterministic cutoff from the SOURCE corpus: newest day −
     * (TTL − 1). One constant-size driver-side aggregate (a single
     * date), the same class of collect as the ANN codebooks. */

@@ -350,11 +350,17 @@ object EventStream {
     * ≤ days × types rows — at 100 TB the stream ships KBs per batch
     * into the rollup regardless of event volume. */
   def rollupMaintain(events: DataFrame, rollupDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.operators.Rollup.rollupPart(batch.toDF())
           .write.mode("append").partitionBy("day").parquet(rollupDir)
+        // background merge every N batches: parts fold back to one row
+        // per grain (sum/sum/hll_union — the serve math applied early),
+        // so serve cost stays ~1-part whatever the stream's age
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.operators.Rollup.compactParts(batch.sparkSession, rollupDir)
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -373,14 +379,19 @@ object EventStream {
     * would re-implement what the directory listing already is. */
   def ttlMaintain(events: DataFrame, layoutDir: String,
       cutoff: java.time.LocalDate,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         batch.toDF()
           .withColumn("day", date_trunc("day", col("ts")).cast("date"))
           .select(col("event_type"), col("value"), col("day"))
           .write.mode("append").partitionBy("day").parquet(layoutDir)
         graft.operators.Ttl.applyTtl(layoutDir, cutoff)
+        // background merge: each surviving day dir folds back to c7's
+        // one-file form (rows untouched — report identical)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.operators.Ttl.compactLayout(batch.sparkSession, layoutDir)
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -423,11 +434,16 @@ object EventStream {
     * keeps stream memory at zero and pays one bounded merge at read —
     * the LSM trade c7/c9 document, here under continuous ingest. */
   def upsertMaintain(events: DataFrame, partsDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.operators.Replacing.compactPart(batch.toDF())
           .write.mode("append").partitionBy("b").parquet(partsDir)
+        // background merge: FINAL struct-max applied early folds all
+        // parts to one (associative over versions — FINAL unchanged)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.operators.Replacing.compactParts(batch.sparkSession, partsDir)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -382,6 +382,86 @@ class EventStreamSpec extends EventStreamSuiteBase {
     served shouldBe want
   }
 
+  test("auto-compaction folds accreted parts back to ~1-part serve cost, reports unchanged") {
+    // the 50-part accretion stress showed a 2.0× serve wall; this pins
+    // the fix: 8 micro-batches with compactEvery=4 must end at the
+    // one-shot build's part-file count, with every served report
+    // byte-identical to the uncompacted stream's
+    import spark.implicits._
+    def ev(i: Int, day: Int): (Long, Timestamp, Long, String, Double) =
+      (i.toLong, Timestamp.valueOf(f"2024-01-$day%02d 06:0${i % 6}:07"),
+        (i % 11).toLong, Seq("view", "click", "purchase")(i % 3), i * 2.13)
+    val shardRoot = java.nio.file.Files.createTempDirectory("graft-cmp-sh-").toString
+    val files = (0 until 8).map { f =>
+      val rows = (f * 50 until f * 50 + 50).map(i => ev(i, 9 + i % 4))
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(s"$shardRoot/ev_$f.parquet")
+      rows
+    }
+    val allRows = files.flatten
+    val schema = spark.read.parquet(s"$shardRoot/ev_0.parquet").schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one micro-batch per file
+      .parquet(s"$shardRoot/ev_*.parquet")
+
+    // ---- s7 rollup: compacted stream vs uncompacted stream
+    val outA = java.nio.file.Files.createTempDirectory("graft-cmp-a-").toString
+    val qA = EventStream.rollupMaintain(src(), s"$outA/rollup", s"$outA/ckpt")
+    try qA.awaitTermination() finally qA.stop()
+    val outB = java.nio.file.Files.createTempDirectory("graft-cmp-b-").toString
+    val qB = EventStream.rollupMaintain(src(), s"$outB/rollup", s"$outB/ckpt",
+      compactEvery = 4)
+    try qB.awaitTermination() finally qB.stop()
+    val accreted = Compaction.partFiles(s"$outA/rollup")
+    val compacted = Compaction.partFiles(s"$outB/rollup")
+    // 8 appends/day uncompacted; the final tick (batch 8) folds to one
+    // file per day dir — the one-shot build's level
+    val oneShotDir = java.nio.file.Files.createTempDirectory("graft-cmp-1-").toString
+    graft.operators.Rollup.rollupPart(
+        allRows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .repartition(org.apache.spark.sql.functions.col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$oneShotDir/rollup")
+    compacted shouldBe Compaction.partFiles(s"$oneShotDir/rollup")
+    accreted should be >= compacted * 4
+    def report(dir: String) = graft.operators.Rollup.serveReport(
+        spark.read.parquet(dir)).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("days"),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_cents"),
+        r.getAs[Long]("users_est")))
+    report(s"$outB/rollup") shouldBe report(s"$outA/rollup")
+
+    // ---- s8 upsert: same drill, FINAL report unchanged
+    val upA = java.nio.file.Files.createTempDirectory("graft-cmp-ua-").toString
+    val quA = EventStream.upsertMaintain(src(), s"$upA/parts", s"$upA/ckpt")
+    try quA.awaitTermination() finally quA.stop()
+    val upB = java.nio.file.Files.createTempDirectory("graft-cmp-ub-").toString
+    val quB = EventStream.upsertMaintain(src(), s"$upB/parts", s"$upB/ckpt",
+      compactEvery = 4)
+    try quB.awaitTermination() finally quB.stop()
+    Compaction.partFiles(s"$upB/parts") should be <
+      Compaction.partFiles(s"$upA/parts") / 4
+    def finalRep(dir: String) = graft.operators.Replacing.finalReport(
+      spark.read.parquet(dir)).collect().toSeq
+    finalRep(s"$upB/parts") shouldBe finalRep(s"$upA/parts")
+
+    // ---- s9 ttl: day dirs coalesce, daily report unchanged
+    val cutoff = graft.operators.Ttl.cutoffFor(
+      allRows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val ttA = java.nio.file.Files.createTempDirectory("graft-cmp-ta-").toString
+    val qtA = EventStream.ttlMaintain(src(), s"$ttA/layout", cutoff, s"$ttA/ckpt")
+    try qtA.awaitTermination() finally qtA.stop()
+    val ttB = java.nio.file.Files.createTempDirectory("graft-cmp-tb-").toString
+    val qtB = EventStream.ttlMaintain(src(), s"$ttB/layout", cutoff, s"$ttB/ckpt",
+      compactEvery = 4)
+    try qtB.awaitTermination() finally qtB.stop()
+    Compaction.partFiles(s"$ttB/layout") should be <
+      Compaction.partFiles(s"$ttA/layout") / 4
+    def daily(dir: String) = graft.operators.Ttl.servedDaily(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    daily(s"$ttB/layout") shouldBe daily(s"$ttA/layout")
+  }
+
   test("s9 TTL maintenance is batch-split-invariant and drops expired days across batches") {
     // s9 is stateless (foreachBatch append + metadata expiry), so the
     // provider axis is vacuous — one-store test by design.
