@@ -25,7 +25,10 @@ import org.apache.spark.sql.SparkSession
   * masquerading as a regression.
   */
 object Bench {
-  val Runs = 3
+  /** Timed runs per query — overridable for long one-off rehearsals
+    * (the sf1 scale run) via SPARK_GRAFT_BENCH_RUNS; the driver never
+    * sets it, so per-round records stay medians of 3. */
+  val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator: derives an sfN× corpus from an
+  * existing testdata dir by unioning N key-offset copies — the scale
+  * rehearsal harness behind the sf1 slope table in BASELINE.md.
+  *
+  * Faithful scaling means constant DENSITIES, not just 10× rows:
+  *  - Foreign keys offset consistently per copy (custkey/orderkey/
+  *    partkey/suppkey/user/doc/vec), so join fan-outs and group
+  *    cardinalities scale the way a real bigger corpus does (10× the
+  *    customers, same orders-per-customer).
+  *  - Document texts get a copy-salt token inserted every 2 words
+  *    (k > 0): every 3-word shingle crosses a salt, so NO cross-copy
+  *    near-dup pairs appear — dup density stays the corpus' own,
+  *    instead of every doc gaining 9 artificial twins (which would
+  *    quadratically inflate the dedup workloads — the recrawl stress
+  *    covers that regime separately). Within-copy dup structure is
+  *    preserved verbatim. Salt tokens are [a-z0-9] so the tokenizer
+  *    keeps them; language stopwords survive untouched.
+  *  - Embedding vectors get a per-copy component PERMUTATION: norms
+  *    (and all within-copy geometry) are exactly preserved while
+  *    cross-copy cosine collapses to noise — same reasoning as the
+  *    text salt, for the vector near-dup family.
+  *  - `region`/`nation` stay fixed-cardinality (they are at any SF).
+  *  - Timestamps are kept: the day/type domains are resolution-bound,
+  *    so a bigger corpus means more rows per (day, type) — exactly
+  *    the partial-aggregate shape the operators claim to scale on.
+  *
+  * Usage: runMain graft.GenSf <srcDir> <outDir> <copies>
+  */
+object GenSf {
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, copiesS) = args.take(3)
+    val copies = copiesS.toInt
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    generate(spark, src, out, copies)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String, files: Int): Unit =
+      df.repartition(files).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/$t.parquet")
+
+    def scaled(base: DataFrame)(perCopy: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(k => perCopy(base, k)).reduce(_ unionByName _)
+
+    // fixed dims: cardinality does not grow with SF
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    val nCust = read("customer").count()
+    val nOrd = read("orders").count()
+    val nPart = read("part").count()
+    val nSupp = read("supplier").count()
+    val nEvt = read("events").count()
+    val nUser = read("events").agg(max(col("user_id"))).head.getLong(0) + 1
+    val nDoc = read("documents").agg(max(col("doc_id"))).head.getLong(0) + 1
+    val nVec = read("embeddings").agg(max(col("vec_id"))).head.getLong(0) + 1
+
+    write(scaled(read("customer")) { (df, k) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(k * nCust))
+    }, "customer", 2 * copies / 5 + 1)
+
+    write(scaled(read("supplier")) { (df, k) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(k * nSupp))
+    }, "supplier", 1)
+
+    write(scaled(read("part")) { (df, k) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(k * nPart))
+    }, "part", 2 * copies / 5 + 1)
+
+    write(scaled(read("orders")) { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * nOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * nCust))
+    }, "orders", copies / 2 + 1)
+
+    write(scaled(read("lineitem")) { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * nOrd))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * nPart))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * nSupp))
+    }, "lineitem", copies)
+
+    write(scaled(read("events")) { (df, k) =>
+      df.withColumn("event_id", col("event_id") + lit(k * nEvt))
+        .withColumn("user_id", col("user_id") + lit(k * nUser))
+        // +k ms: identical-copy rows would otherwise tie EXACTLY on
+        // every ms-floored time domain — 10-deep duplicate (start,end)
+        // intervals measurably destabilize DuckDB's parallel running-
+        // max window, and real scaled corpora have no such multiset
+        .withColumn("ts", timestamp_micros(
+          unix_micros(col("ts")) + lit(k * 1000L)))
+    }, "events", copies / 2 + 1)
+
+    write(scaled(read("documents")) { (df, k) =>
+      val moved = df.withColumn("doc_id", col("doc_id") + lit(k * nDoc))
+      if (k == 0) moved
+      else {
+        // salt token every 2 words (every 3-word shingle crosses one)
+        // PLUS a leading salt: texts too short for the insertion regex
+        // must still differ per copy, or the same text lands in all 10
+        // copies carrying divergent metadata tuples
+        val salted = concat(lit(s"zq$k "), regexp_replace(col("text"),
+          "([a-z0-9]+ [a-z0-9]+) ", s"$$1 zq$k "))
+        moved.withColumn("text", salted)
+          .withColumn("n_chars", length(col("text")))
+      }
+    }, "documents", copies / 2 + 1)
+
+    val perms: Map[Int, Seq[Int]] = (0 until copies).map { k =>
+      val r = new scala.util.Random(k)
+      k -> (if (k == 0) (0 until 64): Seq[Int] else r.shuffle((0 until 64).toList))
+    }.toMap
+    write(scaled(read("embeddings")) { (df, k) =>
+      // permutation alone preserves within-copy geometry EXACTLY, so
+      // every near-dup pair would exist 10× with bit-identical scores
+      // — a tie multiset no real corpus has (it breaks score-sorted
+      // row alignment in the oracle compare). A small additive jitter
+      // on one component (≫ float ulp, ≪ the near-dup band) makes
+      // each copy's scores distinct while keeping its dup structure.
+      val permuted = array(perms(k).map(p =>
+        col("embedding").getItem(p)): _*)
+      val jittered = concat(
+        array((element_at(permuted, 1) + lit(k * 1e-3f))
+          .cast("float")),
+        slice(permuted, 2, 63))
+      df.withColumn("vec_id", col("vec_id") + lit(k * nVec))
+        .withColumn("embedding", if (k == 0) col("embedding") else jittered)
+    }, "embeddings", copies / 2 + 1)
+  }
+}

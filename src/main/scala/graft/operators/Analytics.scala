@@ -496,11 +496,28 @@ object Analytics {
     * which makes the summary provably exact (no evictions) — that
     * exactness contract is what the DuckDB oracle pins; the eviction
     * path under skew is property-tested in ScalaTest. */
+  /** Exact-regime sketch sizing for the top-k gates: capacity tied to
+    * the corpus' own per-type user cardinality (one bounded 1-row
+    * aggregate — the codebook-collect class), so the gate pins the
+    * machinery in the regime the exact oracle can replay at ANY SF
+    * instead of assuming a fixed 256 covers every corpus (it stopped
+    * covering at the sf1 rehearsal). Production picks a fixed capacity
+    * and gets the published ε = n/capacity bound — the eviction regime
+    * is property-tested in TopKSketchSpec, not gated. */
+  private def exactRegimeCap(s: SparkSession, d: String): Int = {
+    val maxPerType = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .agg(max(col("u"))).head.getLong(0)
+    math.min(1L << 22, math.max(256L, 2L * maxPerType)).toInt
+  }
+
   def q32ApproxTopK(s: SparkSession, d: String): DataFrame = {
     graft.functions.topk.register(s)
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(graft.functions.topk.topkSketch(col("user_id"), 256, 10).as("tk"))
+      .agg(graft.functions.topk.topkSketch(
+        col("user_id"), exactRegimeCap(s, d), 10).as("tk"))
       .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("event_type"), col("e.item").as("user_id"),
         col("e.cnt").as("cnt"), (col("pos") + 1).as("rk"))
@@ -1016,9 +1033,10 @@ object Analytics {
     * sum. Same 100 TB story as q32 with weight in place of count: the
     * exact form shuffles every distinct (type, user) pair, the sketch
     * ships one bounded capacity-entry summary per partition per group.
-    * Capacity 256 ≥ the per-type user count at the gate SF, so the
-    * summary is provably exact (no evictions) — the contract the
-    * DuckDB oracle pins; eviction under skew is property-tested. */
+    * Capacity sized by [[exactRegimeCap]] (≥ the per-type user count
+    * at ANY gate SF), so the summary is provably exact (no evictions)
+    * — the contract the DuckDB oracle pins; eviction under skew is
+    * property-tested. */
   def q49TopKWeighted(s: SparkSession, d: String): DataFrame = {
     graft.functions.topk.register(s)
     Tables.events(s, d)
@@ -1026,7 +1044,7 @@ object Analytics {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy(col("event_type"))
       .agg(graft.functions.topk.topkWeighted(
-        col("user_id"), col("cents"), 256, 10).as("tk"))
+        col("user_id"), col("cents"), exactRegimeCap(s, d), 10).as("tk"))
       .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("event_type"), col("e.item").as("user_id"),
         col("e.w").as("w_cents"), (col("pos") + 1).as("rk"))

@@ -424,11 +424,11 @@ object Stats {
           .otherwise(lit(0.0)).as("u_source_given_lang"))
   }
 
-  /** q65 sketch capacity: above every per-type distinct-user count at
-    * the gate SFs, so the gate exercises the EXACT regime (sketch ==
-    * the full distinct hash set) and the DuckDB oracle replays it
-    * bit-for-bit; the estimation regime is property-tested in
-    * ThetaSketchSpec. */
+  /** q65 sketch capacity. Below it a sketch IS its type's full
+    * distinct hash set (exact regime); above it the documented KMV
+    * estimators take over — the GATE is valid in BOTH regimes, because
+    * every emitted number is a deterministic function of the sketch
+    * arrays that the DuckDB oracle replays hash-for-hash. */
   val ThetaK = 4096
 
   /** q65: sketched set algebra across segments — ClickHouse
@@ -442,36 +442,44 @@ object Stats {
     * [[graft.functions.ThetaSketchAgg]] for the merge-order-invariance
     * argument), so the pairwise set ops run on 5 bounded arrays
     * whatever the corpus size. Keys are hash60 of the user id, the
-    * cross-engine-reproducible hash the oracle replays. */
+    * cross-engine-reproducible hash the oracle replays.
+    *
+    * Estimator discipline (Beyer et al. 2007, the classic KMV set
+    * algebra — formerly an exact-regime-only gate, which broke loudly
+    * at the sf1 rehearsal): per-type distinct N̂ = (k−1)/u_k at
+    * capacity and exactly |sk| below it; pairwise jaccard from the
+    * UNION sketch U = k-min(A ∪ B): Ĵ = |U ∩ A ∩ B| / |U|. Below
+    * capacity U is the whole union and Ĵ is exact — the statistic is
+    * CONTINUOUS across the regime boundary. All set ops are integer
+    * array ops on canonical sorted arrays; the two divisions are the
+    * same IEEE ops on both engines, rounded. */
   def q65SetSketch(s: SparkSession, d: String): DataFrame = {
     import graft.functions.{textops, thetasketch}
     val sk = Tables.events(s, d)
       .select(col("event_type"),
         textops.hash60(col("user_id").cast("string")).as("h"))
       .groupBy(col("event_type"))
-      .agg(thetasketch.thetaSketch(col("h"), ThetaK).as("sk0"))
-      // Exact-regime guard: the gate's set algebra (size/array_intersect
-      // on the raw KMV arrays) is only valid while every sketch holds
-      // its FULL distinct set. If a type's distinct users ever reach
-      // capacity the arrays are capped samples and the jaccard below
-      // would be silently meaningless — fail loudly instead, pointing
-      // at the estimator path (ThetaSketchSpec's (k-1)/u_k regime).
-      .select(col("event_type"),
-        when(size(col("sk0")) >= ThetaK, raise_error(concat(
-          lit(s"q65: theta sketch at capacity ($ThetaK) for type "),
-          col("event_type"),
-          lit(" — exact set-algebra regime broken; use the KMV estimator"))))
-          .otherwise(col("sk0")).as("sk"))
+      .agg(thetasketch.thetaSketch(col("h"), ThetaK).as("sk"))
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
-    val inter = size(array_intersect(col("ska"), col("skb")))
+    val unionKept = slice(array_sort(array_union(col("ska"), col("skb"))),
+      1, ThetaK)
+    val commonKept = size(array_intersect(unionKept,
+      array_intersect(col("ska"), col("skb"))))
     a.join(b, col("type_a") < col("type_b"))
       .select(col("type_a"), col("type_b"),
         size(col("ska")).as("n_a"), size(col("skb")).as("n_b"),
-        inter.as("n_common"),
-        (size(col("ska")) + size(col("skb")) - inter).as("n_union"),
-        round(inter.cast("double") /
-          (size(col("ska")) + size(col("skb")) - inter), 6).as("jaccard"))
+        commonKept.as("n_common_kept"),
+        size(unionKept).as("k_union"),
+        round(thetasketch.estimate(col("ska"), ThetaK), 4).as("est_a"),
+        round(thetasketch.estimate(col("skb"), ThetaK), 4).as("est_b"),
+        round(commonKept.cast("double") / size(unionKept), 6)
+          .as("jaccard_est"))
+      .select(col("type_a"), col("type_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("n_common_kept").cast("long").as("n_common_kept"),
+        col("k_union").cast("long").as("k_union"),
+        col("est_a"), col("est_b"), col("jaccard_est"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -535,26 +543,53 @@ object Stats {
         |    sqrt(na * nb / 12.0 *
         |      ((bign + 1.0) - ties / (bign * (bign - 1.0)))), 4) AS z_stat
         |FROM u""".stripMargin,
-    // q65: exact-regime replay — the sketch IS the distinct hash60
-    // set below capacity, so DuckDB set-ops the same hashes
+    // q65: full sketch replay — the KMV arrays are deterministic (the
+    // k smallest distinct hash60s), so DuckDB rebuilds the SAME
+    // sketches and applies the SAME set algebra + estimator divisions
+    // in the same order; valid below AND above capacity
     "q65_set_sketch" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,
          |    ${graft.functions.textops.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
          |  FROM events),
-         |c AS (
-         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
-         |    count(*) AS n_common
-         |  FROM h a JOIN h b
-         |    ON a.h = b.h AND a.event_type < b.event_type
-         |  GROUP BY 1, 2),
-         |n AS (SELECT event_type, count(*) AS n FROM h GROUP BY 1)
-         |SELECT type_a, type_b, na.n AS n_a, nb.n AS n_b, n_common,
-         |  na.n + nb.n - n_common AS n_union,
-         |  round(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6)
-         |    AS jaccard
-         |FROM c JOIN n na ON c.type_a = na.event_type
-         |       JOIN n nb ON c.type_b = nb.event_type
+         |k AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM h) WHERE rn <= $ThetaK),
+         |st AS (
+         |  SELECT event_type, count(*) AS n, max(h) AS kth
+         |  FROM k GROUP BY 1),
+         |pr AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM st a JOIN st b ON a.event_type < b.event_type),
+         |uh AS (
+         |  SELECT pr.type_a, pr.type_b, k.h,
+         |    max(CASE WHEN k.event_type = pr.type_a THEN 1 ELSE 0 END) AS ina,
+         |    max(CASE WHEN k.event_type = pr.type_b THEN 1 ELSE 0 END) AS inb
+         |  FROM pr JOIN k ON k.event_type IN (pr.type_a, pr.type_b)
+         |  GROUP BY 1, 2, 3),
+         |uk AS (
+         |  SELECT type_a, type_b, h, ina, inb,
+         |    row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+         |  FROM uh),
+         |pg AS (
+         |  SELECT type_a, type_b, count(*) AS k_union,
+         |    CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_common_kept
+         |  FROM uk WHERE rn <= $ThetaK GROUP BY 1, 2),
+         |est AS (
+         |  SELECT event_type, n,
+         |    CASE WHEN n < $ThetaK THEN CAST(n AS DOUBLE)
+         |         ELSE ${ThetaK - 1}.0 /
+         |              (CAST(kth AS DOUBLE) / 1152921504606846976.0) END AS e
+         |  FROM st)
+         |SELECT pg.type_a, pg.type_b, ea.n AS n_a, eb.n AS n_b,
+         |  n_common_kept, k_union,
+         |  round(ea.e, 4) AS est_a, round(eb.e, 4) AS est_b,
+         |  round(CAST(n_common_kept AS DOUBLE) / k_union, 6) AS jaccard_est
+         |FROM pg JOIN est ea ON pg.type_a = ea.event_type
+         |        JOIN est eb ON pg.type_b = eb.event_type
          |ORDER BY type_a, type_b""".stripMargin,
     // q64: q52's entropy identity over q54's contingency substrate;
     // H(a|b) = (Σ_b nb·log2 nb − Σ_cells o·log2 o)/n

@@ -516,14 +516,24 @@ object EventStream {
   }
 
   /** s5 gate: [[windowedTopK]] as a real file-source stream. The
-    * sketch capacity (256) exceeds the corpus' user cardinality, so
-    * every finalized window's top-k is EXACT with the sketch's own
+    * sketch capacity is sized to the corpus' own per-(window, type)
+    * user cardinality (one bounded batch aggregate BEFORE the stream
+    * starts — the q32 exact-regime discipline, valid at any SF; a
+    * fixed 256 stopped covering at the sf1 rehearsal), so every
+    * finalized window's top-k is EXACT with the sketch's own
     * (cnt desc, user asc) tie-break — the DuckDB oracle recomputes it
-    * from scratch under the same watermark cutoff as s1. */
-  def s5Query(s: SparkSession, d: String): DataFrame =
+    * from scratch under the same watermark cutoff as s1. Per-window
+    * state stays cardinality-bounded, orders below the corpus. */
+  def s5Query(s: SparkSession, d: String): DataFrame = {
+    val maxPerWindow = graft.Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .agg(max(col("u"))).head.getLong(0)
+    val cap = math.min(1L << 20, math.max(256L, 2L * maxPerWindow)).toInt
     runAvailableNow(s, "s5", d) { ss =>
-      windowedTopK(streamEvents(ss, d))
+      windowedTopK(streamEvents(ss, d), capacity = cap)
     }.orderBy(col("window_start"), col("event_type"), col("rk"))
+  }
 
   // ------------------------------------------------- driver gates s2–s4
 

@@ -13,9 +13,13 @@ import pandas as pd
 
 out, sf = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+import os as _os
 for t in ['region','nation','customer','supplier','part','orders',
           'lineitem','events','documents','embeddings']:
-    con.execute(f"create view {t} as select * from '{sf}/{t}.parquet'")
+    p = f'{sf}/{t}.parquet'
+    # GenSf-produced tables are directories of part files
+    src = f'{p}/*.parquet' if _os.path.isdir(p) else p
+    con.execute(f"create view {t} as select * from '{src}'")
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 fails = []
