@@ -577,19 +577,21 @@ object EventStream {
   /** s3 gate: [[dedupStream]] as a REAL stream over the documents
     * parquet plus the same simulated re-crawl d1 uses (every 10th doc,
     * offset ids — the corpus itself is duplicate-free). The projection
-    * keeps only columns DETERMINED BY the dedup key (lang/n_chars are
-    * functions of the text): `dropDuplicatesWithinWatermark` keeps an
-    * arbitrary member of each duplicate set, so any id-bearing column
-    * would be nondeterministic across runs. */
+    * keeps ONLY columns determined by the dedup key — n_chars is a
+    * function of the text; `lang` is NOT (the sf0.1+ corpus carries
+    * same-text rows labeled with different langs, a real-data shape
+    * the sf1 rehearsal surfaced), and `dropDuplicatesWithinWatermark`
+    * keeps an ARBITRARY member of each duplicate set, so any
+    * non-key-determined column would be nondeterministic across runs. */
   def s3Query(s: SparkSession, d: String): DataFrame =
     runAvailableNow(s, "s3", d) { ss =>
       val raw = ss.read.parquet(s"$d/documents.parquet")
       val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
-        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
       val recrawl = src.filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + lit(1000000L))
       dedupStream(src.union(recrawl).withColumn("ts", ingestTs(col("doc_id"))))
-        .select(col("content_hash"), col("lang"), col("n_chars"))
+        .select(col("content_hash"), col("n_chars"))
     }.orderBy(col("content_hash"))
 
   /** s4 gate: [[alignStreams]] as a REAL pair of streams — the
@@ -658,11 +660,11 @@ object EventStream {
         |ORDER BY 1, 2""".stripMargin,
     "s3_stream_dedup" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  SELECT doc_id, text, n_chars FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text, lang, n_chars
+        |  SELECT doc_id + 1000000, text, n_chars
         |  FROM documents WHERE doc_id % 10 = 0)
-        |SELECT DISTINCT md5(text) AS content_hash, lang, n_chars
+        |SELECT DISTINCT md5(text) AS content_hash, n_chars
         |FROM all_docs ORDER BY 1""".stripMargin,
     // (vec_id % 7) * 13 min ≤ 60 min ⇔ vec_id % 7 ≤ 4 — the lag rule
     // the Spark side synthesizes; ids at 65/78 min lag are dropped
