@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorSearch
+import graft.functions.{concepts, vectors}
+
+/** Thin example client over the engine — the reference's presentation
+  * layer (`search.py`) re-expressed against the Spark library.
+  *
+  * The reference CLI embeds the query client-side, runs ONE ranked
+  * vector search, and renders the hits plus per-query stats
+  * (`read_rows`, `query_time`, `generation_time` — `search.py:35`,
+  * `:193-208`) into a local HTML file it then links. This main mirrors
+  * that surface 1:1 on the engine's own operators:
+  *
+  *   search       --text "query text"  → embed (stub model) → knn over
+  *                the image-side corpus vectors (`search.py:43`)
+  *   search       --image-vec <id>     → a corpus image vector as the
+  *                query, searched against the TEXT side (`search.py:54`)
+  *   concept_math "'phrase' + 0.5 * 'other' - q0" → the infix concept
+  *                algebra ([[concepts.parse]]), evaluated client-side
+  *                to one literal, then one knn (`search.py:125-137`)
+  *
+  * Common flags: --dir <corpus> --limit <k> --filter <sql predicate>
+  * (the reference's `WHERE {filter}` injection becomes a declarative
+  * `df.filter(expr(...))` that Catalyst pushes into the scan) and
+  * --out <html path>.
+  *
+  * Everything heavy stays in the engine: the CLI collects exactly the
+  * top-k rows (bounded), and the stats card reads the executed plan's
+  * own scan metrics ([[QueryStats]]) — the engine-side twin of
+  * ClickHouse's `read_rows` summary. The HTML is an original minimal
+  * template (the reference's jinja template is branding, not engine).
+  */
+object SearchCli {
+
+  private val stub = new VectorSearch.StubBatchEmbedder()
+
+  private def embedOne(text: String): Seq[Double] =
+    stub.embed(Array(text)).head.map(_.toDouble).toSeq
+
+  /** `concept_math` environment: quoted phrases embed through the stub
+    * model (the reference calls CLIP per concept, `search.py:71-73`);
+    * bare idents q0/q1/q2 stay the deterministic gate literals. */
+  private val conceptEnv: PartialFunction[String, Seq[Double]] = {
+    case name if VectorSearch.conceptEnv.contains(name) =>
+      VectorSearch.conceptEnv(name)
+    case phrase => embedOne(phrase)
+  }
+
+  final case class Args(command: String, text: Option[String] = None,
+      imageVec: Option[Long] = None, dir: String = "/root/testdata/sf0.001",
+      limit: Int = 10, filter: Option[String] = None,
+      out: String = "results.html")
+
+  private def parseArgs(argv: Array[String]): Args = {
+    require(argv.nonEmpty, usage)
+    var a = Args(command = argv.head)
+    var i = 1
+    // concept_math takes its expression as the positional arg
+    if (a.command == "concept_math" && argv.length > 1 && !argv(1).startsWith("--")) {
+      a = a.copy(text = Some(argv(1))); i = 2
+    }
+    while (i < argv.length) {
+      argv(i) match {
+        case "--text"      => a = a.copy(text = Some(argv(i + 1))); i += 2
+        case "--image-vec" => a = a.copy(imageVec = Some(argv(i + 1).toLong)); i += 2
+        case "--dir"       => a = a.copy(dir = argv(i + 1)); i += 2
+        case "--limit"     => a = a.copy(limit = argv(i + 1).toInt); i += 2
+        case "--filter"    => a = a.copy(filter = Some(argv(i + 1))); i += 2
+        case "--out"       => a = a.copy(out = argv(i + 1)); i += 2
+        case other => throw new IllegalArgumentException(s"unknown flag $other\n$usage")
+      }
+    }
+    a
+  }
+
+  private val usage =
+    """usage:
+      |  SearchCli search --text "a query" [--dir D] [--limit K] [--filter "label IN (1,3)"] [--out results.html]
+      |  SearchCli search --image-vec 42 [...]
+      |  SearchCli concept_math "'some phrase' + 0.5 * 'other' - q0" [...]""".stripMargin
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    try run(spark, a) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, a: Args): Unit = {
+    vectors.register(spark)
+    val combined = spark.read.parquet(VectorSearch.ensureCombined(spark, a.dir))
+
+    // client-side "model" pass, timed separately like search.py:39-46
+    val genT0 = System.nanoTime()
+    val (queryVec, targetCol, queryDesc) = a.command match {
+      case "search" if a.text.isDefined =>
+        (embedOne(a.text.get), "image_embedding", a.text.get)
+      case "search" if a.imageVec.isDefined =>
+        val id = a.imageVec.get
+        val v = combined.filter(col("doc_id") === id)
+          .select(col("image_embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        (v, "text_embedding", s"image vector #$id")
+      case "concept_math" =>
+        val e = a.text.getOrElse(throw new IllegalArgumentException(usage))
+        (concepts.parse(e, conceptEnv), "image_embedding", e)
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    val genSec = (System.nanoTime() - genT0) / 1e9
+
+    // the search itself: filter pushes to the scan, distance + top-k
+    // run as TakeOrderedAndProject — identical to the gated v-family
+    val base = a.filter.fold(combined)(f => combined.filter(expr(f)))
+    val hits = base
+      .withColumn("score", vectors.l2Distance(
+        col(targetCol).cast("array<double>"),
+        typedlit(queryVec)))
+      .select(col("doc_id").cast("long").as("doc_id"), col("caption"),
+        col("lang"), col("source"), col("label").cast("long").as("label"),
+        col("score"))
+      .orderBy(col("score"), col("doc_id"))
+      .limit(a.limit)
+
+    val qT0 = System.nanoTime()
+    val rows = hits.collect() // bounded: exactly limit rows
+    val qSec = (System.nanoTime() - qT0) / 1e9
+    val stats = QueryStats.of(hits, qSec)
+
+    val html = render(queryDesc, a, rows.toSeq.map(r => Hit(
+      r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+      r.getLong(4), r.getDouble(5))), genSec, stats)
+    val f = new java.io.File(a.out)
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.write(html) finally w.close()
+
+    // search.py prints the file link + the stats line
+    println(s"file://${f.getAbsolutePath}")
+    println(f"query_time=${qSec}%.3fs generation_time=${genSec}%.3fs " +
+      s"read_rows=${stats.rowsRead} read_bytes=${stats.bytesRead}")
+  }
+
+  final case class Hit(docId: Long, caption: String, lang: String,
+      source: String, label: Long, score: Double)
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def render(query: String, a: Args, hits: Seq[Hit],
+      genSec: Double, stats: QueryStats): String = {
+    val rows = hits.map { h =>
+      s"<tr><td>${h.docId}</td><td>${esc(h.caption.take(240))}</td>" +
+        s"<td>${esc(h.lang)}</td><td>${esc(h.source)}</td>" +
+        s"<td>${h.label}</td><td>${"%.3f".format(h.score)}</td></tr>"
+    }.mkString("\n")
+    s"""<!doctype html><html lang="en"><head><meta charset="utf-8">
+       |<title>graft: results for "${esc(query)}"</title>
+       |<style>
+       | body { font-family: sans-serif; margin: 2rem auto; max-width: 64rem; }
+       | table { border-collapse: collapse; width: 100%; }
+       | th, td { border-bottom: 1px solid #ccc; padding: 0.4rem 0.6rem; text-align: left; }
+       | .stats { color: #555; font-size: 0.9rem; margin: 0.5rem 0 1.5rem; }
+       |</style></head><body>
+       |<h2>Results for &ldquo;${esc(query)}&rdquo;</h2>
+       |<p class="stats">corpus=${esc(a.dir)} · limit=${a.limit}
+       | · filter=${esc(a.filter.getOrElse("none"))}
+       | · query ${"%.3f".format(stats.wallSec)}s
+       | · embed ${"%.3f".format(genSec)}s
+       | · rows read ${stats.rowsRead}
+       | · bytes read ${stats.bytesRead}</p>
+       |<table><tr><th>doc</th><th>caption</th><th>lang</th>
+       |<th>source</th><th>label</th><th>score</th></tr>
+       |$rows</table></body></html>""".stripMargin
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+/** The thin presentation client ([[SearchCli]] — `search.py`'s CLI
+  * surface). The engine work it delegates to is covered by the
+  * v-family gates; here we pin the CLIENT contract: flag parsing,
+  * each command form end-to-end against the tiny corpus, the bounded
+  * top-k collect, and the rendered artifact (stats line + one table
+  * row per hit, escaped). */
+class SearchCliSpec extends SparkSpec {
+
+  private def runTo(args: SearchCli.Args): (String, Seq[String]) = {
+    val out = java.io.File.createTempFile("graft-results", ".html")
+    out.deleteOnExit()
+    SearchCli.run(spark, args.copy(out = out.getAbsolutePath))
+    val html = scala.io.Source.fromFile(out, "UTF-8").mkString
+    (html, html.linesIterator.filter(_.startsWith("<tr><td>")).toSeq)
+  }
+
+  test("flag parsing mirrors the search.py surface") {
+    val a = SearchCli.Args("search", text = Some("q"), limit = 7,
+      filter = Some("label = 1"))
+    a.command shouldBe "search"
+    // concept_math takes the expression positionally
+    intercept[IllegalArgumentException] {
+      SearchCli.run(spark, SearchCli.Args("bogus_command"))
+    }
+  }
+
+  test("search --text renders limit rows with stats") {
+    val (html, rows) = runTo(SearchCli.Args("search",
+      text = Some("a sleepy ridgeback dog"),
+      dir = SparkSpec.TinySf, limit = 5))
+    rows should have size 5
+    html should include("rows read")
+    html should include("a sleepy ridgeback dog")
+  }
+
+  test("search --image-vec searches the text side under a filter") {
+    val (_, rows) = runTo(SearchCli.Args("search", imageVec = Some(42L),
+      dir = SparkSpec.TinySf, limit = 4, filter = Some("label IN (1, 3)")))
+    rows should have size 4
+    // the filter really constrained the hits
+    all(rows.map(_.split("<td>")(5).takeWhile(_ != '<'))) should
+      (be("1") or be("3"))
+  }
+
+  test("concept_math evaluates the infix algebra client-side") {
+    val (_, rows) = runTo(SearchCli.Args("concept_math",
+      text = Some("'sleepy dog' + 0.5 * 'ridgeback' - q0"),
+      dir = SparkSpec.TinySf, limit = 3))
+    rows should have size 3
+  }
+
+  test("captions are HTML-escaped") {
+    // render() is private; pin the escape through a crafted caption by
+    // checking the public artifact: no raw angle brackets beyond markup
+    val (html, _) = runTo(SearchCli.Args("search", text = Some("<b>&x"),
+      dir = SparkSpec.TinySf, limit = 1))
+    html should include("&lt;b&gt;&amp;x")
+  }
+}
