@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Dictionary, Rollup, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Dictionary, Rollup, RpTree, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -124,6 +124,8 @@ object SparkEntry {
     "a2_indexed" -> ((s: SparkSession, d: String) => Ann.indexedLshKnn(s, d)),
     "a3_ivf_ann" -> (Ann.a3Query _),
     "a3_indexed" -> ((s: SparkSession, d: String) => Ann.indexedIvfKnn(s, d)),
+    "a4_rptree" -> ((s: SparkSession, d: String) => RpTree.a4Query(s, d)),
+    "a4_indexed" -> ((s: SparkSession, d: String) => RpTree.indexedQuery(s, d)),
     "vq3_ivf_i8" -> ((s: SparkSession, d: String) => Ann.quantizedIvfKnn(s, d)),
     "s1_stream_window" -> (EventStream.s1Query _),
     "s2_stream_sessionize" -> (EventStream.s2Query _),
@@ -885,7 +887,7 @@ object SparkEntry {
          |       list_distance(dq, ${vec(0)}::DOUBLE[]) AS score
          |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-    Ann.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
+    Ann.oracles(d) ++ RpTree.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
     Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++
     TimeSeries.oracles ++ Ttl.oracles ++ Dictionary.oracles ++
     AsofJoin.oracles ++ RangeJoin.oracles ++ EventStream.oracles
