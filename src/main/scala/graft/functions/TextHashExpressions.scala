@@ -363,12 +363,76 @@ case class CharGrams(child: Expression, n: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** string → string: the whitespace-collapsed, punctuation-stripped,
+  * lowercase normal form — ONE native pass replacing the composite
+  * `trim(regexp_replace(regexp_replace(lower(x), '[^a-z0-9 ]', ' '),
+  * ' +', ' '))` tree ([[graft.functions.textops.normalizeText]]'s
+  * former form, still the DuckDB oracle twin).
+  *
+  * Why native: the composite runs the regex engine over the FULL
+  * document twice per row, and normalization sits in front of every
+  * fingerprint/gram operator (t4 md5, t6 ngramSearch, t7
+  * editDistance) — at sf1 the two regex passes were the dominant cost
+  * of all three. One byte scan computes the identical result:
+  *  - Unicode lowercase first via `UTF8String.toLowerCase` — the SAME
+  *    call Spark's `Lower` makes, so chars whose lowercase form is
+  *    ASCII (Kelvin sign K → k) survive exactly as in the regex form;
+  *  - then every non-[a-z0-9] BYTE becomes a pending gap. UTF-8
+  *    continuation bytes are all ≥ 0x80, so a multi-byte codepoint is
+  *    just several consecutive pending bytes — and since the regex
+  *    form collapses space runs (` +` → ` `), per-codepoint vs
+  *    per-byte gap marking is observationally identical; leading /
+  *    trailing gaps are dropped, which is exactly `trim`. */
+case class NormalizeText(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "normalize_text"
+  override def dataType: DataType = StringType
+
+  // NullType accepted so a bare `normalize_text(NULL)` stays analyzable
+  // (as under the composite regex tree this replaces); eval never runs
+  // on it — UnaryExpression's null handling short-circuits first
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+    // output never exceeds input: each emitted separator space consumes
+    // at least one stripped input byte, kept bytes map one-to-one
+    val out = new Array[Byte](b.length)
+    var n = 0
+    var pendingGap = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingGap && n > 0) { out(n) = ' '; n += 1 }
+        pendingGap = false
+        out(n) = c
+        n += 1
+      } else pendingGap = true
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** SQL registration + Column API, mirroring [[vectors]]. Besides the
   * native signature expressions, the [[textops]] building blocks are
   * registered as composite expression trees so SQL users get the whole
   * text surface: `simhash60(transform(tokenize(text), t -> ...))` etc. */
 object texthash {
-  import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Lower, Md5, RegExpExtractAll, RegExpReplace, StringTrim, Substring}
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Lower, Md5, RegExpExtractAll, Substring}
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_signature" -> { es => MinHashSignature(es.head) },
@@ -382,9 +446,7 @@ object texthash {
         Literal(1), Literal(15)), Literal(16), Literal(10)), LongType) },
     "tokenize" -> { es =>
       RegExpExtractAll(Lower(es.head), Literal("[a-z0-9]+"), Literal(0)) },
-    "normalize_text" -> { es =>
-      StringTrim(RegExpReplace(RegExpReplace(Lower(es.head),
-        Literal("[^a-z0-9 ]"), Literal(" ")), Literal(" +"), Literal(" "))) },
+    "normalize_text" -> { es => NormalizeText(es.head) },
   )
 
   def register(spark: SparkSession): Unit = registry.register(spark, builders)

@@ -58,8 +58,20 @@ object textops {
         .map("%02x".format(_)).mkString.substring(0, 15), 16)
 
   /** Whitespace-collapsed, punctuation-stripped, lowercased normal form
-    * for content fingerprinting. Twin: [[normalizeSql]]. */
-  def normalizeText(c: Column): Column =
+    * for content fingerprinting. Twin: [[normalizeSql]].
+    *
+    * Routed through the native one-pass [[NormalizeText]] expression
+    * (callers must have [[texthash.register]]ed the session — every
+    * text operator does): the former composite
+    * `trim(regexp_replace(regexp_replace(lower(c), ...)))` ran the
+    * regex engine over the full document twice per row, which at sf1
+    * dominated t4/t6/t7. Semantics are identical (spec-pinned against
+    * the regex form on adversarial inputs). */
+  def normalizeText(c: Column): Column = call_function("normalize_text", c)
+
+  /** The pre-native composite form — kept as the cross-check twin the
+    * [[NormalizeText]] property spec compares against. */
+  def normalizeTextDeclarative(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
   def normalizeSql(c: String): String =

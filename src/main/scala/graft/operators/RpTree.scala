@@ -18,12 +18,14 @@ import graft.functions.vectors
   *  - The tree is `2^Depth - 1` internal nodes; each node holds a
   *    deterministic projection direction (same exact-binary-fraction
   *    discipline as the LSH planes) and a TRAINED threshold: the
-  *    median projection of the vectors that reach that node. Training
-  *    is one aggregate pass per level (`Depth` corpus scans, each
-  *    producing ≤ 2^level (node, median) rows — a bounded driver
-  *    collect, like a3's k-centroid codebook). At 100 TB the exact
-  *    `percentile` swaps for `approx_percentile` per level; the plan
-  *    shape is unchanged.
+  *    midpoint of the two order statistics straddling the median
+  *    split of the vectors that reach that node (see [[train]] for
+  *    why midpoint, not median). Training is one rank-window pass per
+  *    level (`Depth` corpus scans, each producing ≤ 2^level
+  *    (node, threshold) rows — a bounded driver collect, like a3's
+  *    k-centroid codebook). At 100 TB the exact order statistics swap
+  *    for `approx_percentile` bracketing per level; the plan shape is
+  *    unchanged.
   *  - Leaf ASSIGNMENT is a pure codegen'd map: `Depth` staged
   *    (CASE-over-node → dot → compare) columns, no shuffle, no join —
   *    a vector's leaf is its root-to-leaf descent folded into an int.
@@ -67,17 +69,44 @@ object RpTree {
 
   // ------------------------------------------------------------ train
 
-  /** Per-corpus trained thresholds (internal node → median projection).
+  /** Per-corpus trained thresholds (internal node → split value).
     * Keyed by dir, like a3's codebooks: one JVM touching two corpora
-    * must not mix their trees. Deterministic: exact `percentile` is
-    * a sort-based multiset statistic, so retraining on the same
-    * corpus reproduces the same doubles in any JVM. */
+    * must not mix their trees. Deterministic: thresholds derive from
+    * exact order statistics, so retraining on the same corpus
+    * reproduces the same doubles in any JVM. */
   private val trees =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Double]]()
 
   def treeFor(s: SparkSession, d: String): Map[Int, Double] =
     trees.computeIfAbsent(d, _ => train(Tables.embeddings(s, d)))
 
+  /** Trains each node's threshold as the MIDPOINT of the two order
+    * statistics straddling the median split (k-th and (k+1)-th
+    * smallest projections, k = n/2) — NOT the median itself. A raw
+    * median IS some corpus vector's exact projection, so that vector
+    * sits exactly on the decision boundary and a 1-ulp difference in
+    * another engine's inner-product summation order flips its leaf
+    * (observed: DuckDB's `list_inner_product` vs our sequential dot
+    * disagreed on boundary vectors at sf0.01). The midpoint sits
+    * strictly between two population values, giving every vector a
+    * gap/2 margin — ulp noise (~1e-16 relative) cannot reassign
+    * anything. Same split sizes as the median rule.
+    *
+    * Duplicate projections spanning the split (near-dup embeddings —
+    * d5's corpus really has them) cannot be separated by ANY
+    * threshold, so the whole run goes right: threshold = midpoint of
+    * the run value and the next DISTINCT value below (resolved in one
+    * extra aggregate pass over only the affected nodes); if nothing
+    * below, left instead; if the node is a single point or fully
+    * degenerate, a relative offset keeps the lone value strictly off
+    * the boundary.
+    *
+    * Cost: one rank window (shuffle by node + in-node sort) + one
+    * bounded-collect aggregate per level; the root level sorts the
+    * corpus in one task, which is fine at index-build time here but
+    * at 100 TB swaps for `approx_percentile` bracketing with the same
+    * midpoint nudge — the plan shape and the parity argument are
+    * unchanged. */
   def train(embs: DataFrame): Map[Int, Double] = {
     vectors.register(embs.sparkSession)
     var thr = Map.empty[Int, Double]
@@ -86,12 +115,47 @@ object RpTree {
       val nodes = nodesAt(level)
       val proj = caseOver(col("node"), nodes)(n =>
         vectors.dotProduct(col("e"), typedlit(dir(n))))
+      val withProj = df.withColumn("proj", proj)
+      val wOrd = Window.partitionBy(col("node")).orderBy(col("proj"))
+      val wAll = Window.partitionBy(col("node"))
       // ≤ 2^level rows: a bounded collect, the a3-codebook contract
-      val meds = df.withColumn("proj", proj)
-        .groupBy("node").agg(expr("percentile(proj, 0.5)").as("t"))
+      val stats = withProj
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("k", floor(count(lit(1)).over(wAll) / 2))
+        .groupBy("node").agg(
+          max(when(col("rn") === col("k"), col("proj"))).as("a"),
+          max(when(col("rn") === col("k") + 1, col("proj"))).as("b"))
         .collect()
-      thr ++= meds.collect {
-        case r if !r.isNullAt(1) => r.getInt(0) -> r.getDouble(1)
+      def offBoundary(b: Double): Double = b - math.max(1e-6, math.abs(b) * 1e-6)
+      val dup = scala.collection.mutable.Map[Int, Double]() // node -> run value
+      stats.foreach { r =>
+        val node = r.getInt(0)
+        val b = r.getDouble(2) // (k+1)-th smallest: k+1 ≤ n, always present
+        if (r.isNullAt(1)) thr += node -> offBoundary(b) // n == 1
+        else {
+          val a = r.getDouble(1)
+          val mid = (a + b) / 2
+          // mid == a/b only when a, b are adjacent doubles — then the
+          // midpoint is itself a population value, same hazard as a == b
+          if (a < b && mid != a && mid != b) thr += node -> mid
+          else dup += node -> b
+        }
+      }
+      if (dup.nonEmpty) {
+        val dn = dup.keys.toSeq.sorted
+        val bLit = caseOver(col("node"), dn)(n => lit(dup(n)))
+        withProj.filter(col("node").isin(dn.map(Int.box): _*))
+          .groupBy("node").agg(
+            max(when(col("proj") < bLit, col("proj"))).as("lo"),
+            min(when(col("proj") > bLit, col("proj"))).as("hi"))
+          .collect().foreach { r =>
+            val node = r.getInt(0)
+            val b = dup(node)
+            thr +=
+              (if (!r.isNullAt(1)) node -> (r.getDouble(1) + b) / 2
+              else if (!r.isNullAt(2)) node -> (b + r.getDouble(2)) / 2
+              else node -> offBoundary(b)) // all projections equal
+          }
       }
       val tcol = caseOver(col("node"), nodes)(n => lit(thr.getOrElse(n, 0.0)))
       df = df.withColumn("node",
@@ -181,14 +245,14 @@ object RpTree {
   // ----------------------------------------------------------- index
 
   def indexPath(d: String): String =
-    graft.sources.LocalIndex.path("rptree-index", d, "_d" + Depth)
+    graft.sources.LocalIndex.path("rptree-index", d, "_d" + Depth + "m")
 
   /** Build/refresh the leaf-partitioned index. Full rebuild on ANY
     * corpus change (see scaladoc: median thresholds move with the
     * data, so shard append is unsound here — Annoy's static-index
     * contract). */
   def ensureIndex(s: SparkSession, d: String): String =
-    graft.sources.LocalIndex.ensure("rptree-index", d, "_d" + Depth,
+    graft.sources.LocalIndex.ensure("rptree-index", d, "_d" + Depth + "m",
       graft.sources.LocalIndex.fingerprint(Seq(s"$d/embeddings.parquet"))) { path =>
       val thr = treeFor(s, d)
       assignLeaf(Tables.embeddings(s, d), thr)

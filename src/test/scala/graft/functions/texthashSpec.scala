@@ -96,6 +96,26 @@ class texthashSpec extends SparkSpec {
     row.getString(2) shouldBe "a b c"
   }
 
+  test("NormalizeText matches the declarative regex tree on adversarial input") {
+    texthash.register(spark)
+    val texts = Seq(
+      "", " ", "   ", "...", "a", "  A,,b  C ", "Hello, World! 42",
+      "tab\tand\nnewline\r\nmix", "under_score-dash.dot",
+      "ümlaut Émigré naïve", "日本語テキスト mixed ascii",
+      "emoji 😀🎉 split", "KELVIN sign", // K lowers to ASCII k
+      "İstanbul dotted I", "a" * 500 + "!" + "b" * 500,
+      "0123456789", "!@#$%^&*()", "a!b@c#d$e", " leading and trailing ",
+    )
+    val rows = texts.toDF("text")
+      .select(
+        textops.normalizeText(col("text")).as("native"),
+        textops.normalizeTextDeclarative(col("text")).as("declarative"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      withClue(s"input: '$t'") { r.getString(0) shouldBe r.getString(1) }
+    }
+  }
+
   test("expressions survive the SQL registry path") {
     texthash.register(spark)
     samples.take(1).toDF("hvs").createOrReplaceTempView("th_test")
