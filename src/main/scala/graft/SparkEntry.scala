@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, Collapsing, Curation, Dedup, Mixture, Multimodal, RangeJoin, Replacing, Dictionary, Rollup, RpTree, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, BloomLookup, Collapsing, Curation, Dedup, InvertedIndex, Mixture, Multimodal, Packing, RangeJoin, Replacing, Dictionary, Rollup, RpTree, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -151,6 +151,9 @@ object SparkEntry {
     "c13_projection_rewrite" -> (Rollup.c13Query _),
     "c14_dictget" -> (Dictionary.c14Query _),
     "m4_phash_neardup" -> (Multimodal.m4Query _),
+    "t8_inverted_search" -> (InvertedIndex.t8Query _),
+    "c16_bloom_lookup" -> (BloomLookup.c16Query _),
+    "c17_pack_sequences" -> (Packing.c17Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -886,6 +889,10 @@ object SparkEntry {
          |SELECT vec_id, label,
          |       list_distance(dq, ${vec(0)}::DOUBLE[]) AS score
          |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
+  ) ++ Map(
+    "t8_inverted_search" -> InvertedIndex.oracle,
+    "c16_bloom_lookup" -> BloomLookup.oracle,
+    "c17_pack_sequences" -> Packing.oracle,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ RpTree.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
     Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++
