@@ -171,7 +171,7 @@ object Stats {
     * fixed by the measurement's resolution, not the corpus), so the
     * corpus contributes one partial-aggregable groupBy and ALL rank
     * math runs on the tiny counts table. The unpartitioned window over
-    * it parallelizes via [[bucketedCumsum]]. CACHED (domain-sized, like
+    * over it is domain-bounded ([[domainCumsum]]). CACHED (domain-sized, like
     * q57's joint table): both rank tests and their bucket/total
     * derivations read the in-memory counts, so the corpus is scanned
     * once across q58 AND q62. */
@@ -243,42 +243,87 @@ object Stats {
       .orderBy(col("flag"))
   }
 
+  /** Cumulative sums over a RESOLUTION-BOUNDED domain table: one
+    * unpartitioned window. Sound at any corpus scale because the
+    * input is the quantized COUNTS table, whose row count is capped
+    * by the measurement's resolution (the event-value cents domain is
+    * ≤ ~56k values — fixed by what a cent can express, not by how
+    * many events exist), so the one-task sweep is O(domain) with the
+    * corpus only ever paying the partial aggregate that built the
+    * table. Use [[bucketedCumsum]] instead when the DOMAIN itself is
+    * too large for one task (q63's price grid, ~5.6M cents); here the
+    * single window is one plan and one exchange, where the bucketed
+    * split's extra roundtrips more than doubled q58/q62's sf0.1 wall
+    * for a sweep that takes microseconds either way. */
+  private def domainCumsum(df: DataFrame, orderCol: String,
+      sums: Seq[(String, String)], inclusive: Boolean): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+    df.select(df.columns.map(col) ++ sums.map { case (c, out) =>
+      coalesce(sum(col(c)).over(w), lit(0L)).as(out) }: _*)
+  }
+
   /** Two-level (bucketed) cumulative sums over a domain-quantized
     * counts table — the q40-style escape hatch that keeps the rank
     * sweeps PARALLEL instead of one task per partition key.
     *
     * A naive `Window.orderBy(value)` runs the whole cumulative walk in
     * a single task. Instead: (1) coarse bucket = value div `width`;
-    * (2) per-bucket subtotals, whose exclusive prefix (the bucket
-    * OFFSET) is the only unpartitioned window — over ≤ domain/width
-    * rows, never the counts table; (3) the intra-bucket prefix runs
-    * partitioned by (keys…, bucket), so the corpus-fed sweep fans out
-    * across width-sized slices. Offsets broadcast-join back (the
-    * bucket table is tiny by construction). All sums are exact
-    * integers, so the split changes nothing numerically.
+    * (2) per-bucket subtotals — ≤ keyDomain·domain/width rows, a
+    * BOUNDED collect (width is sized so the bucket table is
+    * driver-small, the a3-codebook discipline) whose exclusive prefix
+    * per key is folded DRIVER-side into a literal offset map;
+    * (3) the intra-bucket prefix runs partitioned by (keys…, bucket),
+    * so the corpus-fed sweep fans out across width-sized slices, and
+    * each row adds its bucket's literal offset — no offsets window, no
+    * join-back (an earlier form ran both; their 3–4 extra tiny stages
+    * of scheduling overhead more than doubled q58/q62 at sf0.1). All
+    * sums are exact integers, so the split changes nothing
+    * numerically.
     *
-    * Emits, per entry (c, out) of `sums`: `out` = the cumulative sum
-    * of column c — inclusive of the current row when `inclusive`,
-    * else the strict prefix. */
+    * Returns the swept frame — per entry (c, out) of `sums`, `out` =
+    * the cumulative sum of c, inclusive of the current row when
+    * `inclusive`, else the strict prefix — PLUS the per-key grand
+    * totals of each summed column (free from the same collect; q62's
+    * ECDF denominators and q63's quantile totals would otherwise each
+    * pay another aggregate + broadcast-join stage pair). Total keys
+    * are `key1|key2|…` strings ("" for keys = Nil). */
   private def bucketedCumsum(df: DataFrame, keys: Seq[String],
       orderCol: String, sums: Seq[(String, String)], width: Int,
-      inclusive: Boolean): DataFrame = {
+      inclusive: Boolean): (DataFrame, Map[String, IndexedSeq[Long]]) = {
     val kc = keys.map(col)
     val bucket = expr(s"$orderCol div $width")
-    val bt = df.groupBy((kc :+ bucket.as("bucket")): _*)
+    val btRows = df.groupBy((kc :+ bucket.as("bucket")): _*)
       .agg(sum(col(sums.head._1)).as(s"bt_${sums.head._1}"),
         sums.tail.map { case (c, _) => sum(col(c)).as(s"bt_$c") }: _*)
-    val wOff = Window.partitionBy(kc: _*).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val boff = bt.select((kc :+ col("bucket")) ++ sums.map { case (c, _) =>
-      coalesce(sum(col(s"bt_$c")).over(wOff), lit(0L)).as(s"off_$c") }: _*)
+      .collect()
+    def keyOf(r: org.apache.spark.sql.Row): String =
+      keys.indices.map(i => String.valueOf(r.get(i))).mkString("#")
+    // driver-side exclusive prefix per key, in bucket order
+    val offsets = scala.collection.mutable.Map[String, Long]()
+    val totals = scala.collection.mutable.Map[String, Array[Long]]()
+    btRows.sortBy(r => (keyOf(r), r.getLong(keys.length))).foreach { r =>
+      val k = keyOf(r)
+      val run = totals.getOrElseUpdate(k, Array.fill(sums.length)(0L))
+      val b = r.getLong(keys.length)
+      sums.indices.foreach { i =>
+        // same "#"-joined shape concat_ws builds column-side (empty
+        // key list → "bucket#i", concat_ws skips nothing then)
+        offsets(((keys.indices.map(j => String.valueOf(r.get(j)))
+          :+ b.toString :+ i.toString)).mkString("#")) = run(i)
+        run(i) += r.getLong(keys.length + 1 + i)
+      }
+    }
+    val offKey = (i: Int) => concat_ws("#",
+      (keys.map(col) :+ col("bucket") :+ lit(i)).map(_.cast("string")): _*)
+    val offMap = typedlit(offsets.toMap)
     val wIn = Window.partitionBy((kc :+ col("bucket")): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
-    df.withColumn("bucket", bucket)
-      .join(broadcast(boff), keys :+ "bucket")
-      .select(df.columns.map(col) ++ sums.map { case (c, out) =>
-        (col(s"off_$c") +
+    val swept = df.withColumn("bucket", bucket)
+      .select(df.columns.map(col) ++ sums.zipWithIndex.map { case ((c, out), i) =>
+        (element_at(offMap, offKey(i)) +
           coalesce(sum(col(c)).over(wIn), lit(0L))).as(out) }: _*)
+    (swept, totals.view.mapValues(_.toIndexedSeq).toMap)
   }
 
   /** Bucket width for the event-value cents sweeps (domain ≤ ~56k
@@ -298,8 +343,8 @@ object Stats {
   def q58MannWhitney(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(19,0)"
     val cnt = clickViewCents(s, d).withColumn("t", col("ca") + col("cb"))
-    val swept = bucketedCumsum(cnt, Nil, "cents", Seq("t" -> "cumt"),
-      SweepWidth, inclusive = false)
+    val swept = domainCumsum(cnt, "cents", Seq("t" -> "cumt"),
+      inclusive = false)
     val r2 = (lit(2L) * col("cumt") + col("t") + lit(1L)).cast(dec)
     val g = swept
       .select(col("ca"), col("cb"), r2.as("r2"), col("t").cast(dec).as("t"))
@@ -332,8 +377,8 @@ object Stats {
     val cnt = clickViewCents(s, d)
     val tot = cnt.agg(sum(col("ca")).cast(dec).as("na"),
       sum(col("cb")).cast(dec).as("nb"))
-    val g = bucketedCumsum(cnt, Nil, "cents",
-      Seq("ca" -> "cuma", "cb" -> "cumb"), SweepWidth, inclusive = true)
+    val g = domainCumsum(cnt, "cents",
+      Seq("ca" -> "cuma", "cb" -> "cumb"), inclusive = true)
       .crossJoin(broadcast(tot))
       .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
         max(struct(abs(col("cuma").cast(dec) * col("nb")
@@ -367,12 +412,15 @@ object Stats {
         col("l_quantity").cast("long").as("wt"))
       .groupBy(col("flag"), col("cents")).agg(sum(col("wt")).as("w"))
       .cache()
-    val tot = cnt.groupBy(col("flag")).agg(sum(col("w")).as("totw"))
-    val sw = bucketedCumsum(cnt, Seq("flag"), "cents",
+    val (swept, totals) = bucketedCumsum(cnt, Seq("flag"), "cents",
       Seq("w" -> "cumw"), SweepWidth * 64, inclusive = true)
-      .join(broadcast(tot), Seq("flag"))
+    // per-flag weight totals from the sweep's bounded collect — a
+    // literal map lookup instead of an aggregate + broadcast join
+    val totMap = typedlit(totals.map { case (k, v) => k -> v.head })
+    val sw = swept
       .select(col("flag"), col("cents"),
-        col("cumw").cast(dec).as("cumw"), col("totw").cast(dec).as("totw"))
+        col("cumw").cast(dec).as("cumw"),
+        element_at(totMap, col("flag").cast("string")).cast(dec).as("totw"))
     def pick(num: Int, den: Int): org.apache.spark.sql.Column =
       min(when(col("cumw") * lit(den) >= col("totw") * lit(num),
         col("cents")))

@@ -463,23 +463,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q58 mann-whitney: rank sweep fans out over bucket-partitioned windows") {
-    // the counts-table prefix walk must be PARTITIONED by the coarse
-    // bucket (parallel, not one global task); offsets come back as a
-    // broadcast of the tiny bucket table, never a sort-merge join
+  test("q58 mann-whitney: one sweep over the aggregated counts table, no joins") {
+    // the prefix walk runs on the DOMAIN-bounded cents counts table
+    // (≤ ~56k rows by measurement resolution, corpus-independent), so
+    // a single window is the right shape: one plan, one exchange —
+    // the bucketed split belongs to domains too big for one task
+    // (q63). The Window must sit ABOVE the counts HashAggregate (the
+    // corpus never feeds a window), and nothing joins.
     val p = plan("q58_mann_whitney")
-    p should include regex """\[bucket#\d+L\]"""
-    p should include("BroadcastHashJoin")
-    p should not include "SortMergeJoin"
+    p should not include "Join"
+    p should not include "CartesianProduct"
     withClue(p) {
       assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"))
     }
   }
 
-  test("q62 KS: rank sweep fans out over bucket-partitioned windows") {
+  test("q62 KS: one sweep over the aggregated counts table, totals broadcast") {
     val p = plan("q62_ks_test")
-    p should include regex """\[bucket#\d+L\]"""
-    p should include("BroadcastHashJoin")
+    // same domain-bounded single sweep; the 1-row ECDF totals come
+    // back as a broadcast, never a sort-merge join
+    p should include("Broadcast")
     p should not include "SortMergeJoin"
     withClue(p) {
       assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"))
