@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, BloomLookup, Collapsing, Curation, Dedup, InvertedIndex, Mixture, Multimodal, Packing, RangeJoin, Replacing, Dictionary, Rollup, RpTree, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, BloomLookup, Collapsing, Curation, Dedup, Dpp, InvertedIndex, Mixture, Multimodal, Packing, RangeJoin, Replacing, Dictionary, Rollup, RpTree, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -154,6 +154,9 @@ object SparkEntry {
     "t8_inverted_search" -> (InvertedIndex.t8Query _),
     "c16_bloom_lookup" -> (BloomLookup.c16Query _),
     "c17_pack_sequences" -> (Packing.c17Query _),
+    "t9_bm25" -> (InvertedIndex.t9Query _),
+    "c18_dpp" -> (Dpp.c18Query _),
+    "q66_sample" -> (Analytics.q66Sample _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -893,6 +896,17 @@ object SparkEntry {
     "t8_inverted_search" -> InvertedIndex.oracle,
     "c16_bloom_lookup" -> BloomLookup.oracle,
     "c17_pack_sequences" -> Packing.oracle,
+    "t9_bm25" -> InvertedIndex.oracleT9(d),
+    "c18_dpp" -> Dpp.oracle,
+    "q66_sample" ->
+      s"""SELECT event_type,
+         |  count(DISTINCT user_id)::BIGINT AS n_users,
+         |  count(*)::BIGINT AS n_events,
+         |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+         |FROM events
+         |WHERE ${graft.functions.textops.hash60Sql("user_id::VARCHAR")} <
+         |  ${Analytics.sampleThreshold(Analytics.SampleNum, Analytics.SampleDen)}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ RpTree.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
     Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++

@@ -1202,4 +1202,52 @@ object Analytics {
       .select(col("hour"), col("event_type"), col("known"), col("filled_cents"))
       .orderBy(col("hour"), col("event_type"))
   }
+
+  /** q66 sampling rate numerator/denominator: rate = Num/Den of the
+    * 60-bit hash space, held as exact integers so the threshold is a
+    * literal BIGINT on both engines. 1/10 here (ClickHouse
+    * `SAMPLE 0.1`). */
+  val SampleNum = 1L
+  val SampleDen = 10L
+
+  /** Exact integer threshold for rate num/den of the 60-bit hash
+    * space — shared by the Spark predicate and the oracle SQL. */
+  def sampleThreshold(num: Long, den: Long): Long =
+    java.math.BigInteger.ONE.shiftLeft(60)
+      .multiply(java.math.BigInteger.valueOf(num))
+      .divide(java.math.BigInteger.valueOf(den)).longValueExact()
+
+  /** The q66 sampling predicate over a user-id column — public so the
+    * nested-subset property (SAMPLE 0.05 ⊆ SAMPLE 0.2) is spec-testable
+    * at other rates. */
+  def samplePred(userCol: org.apache.spark.sql.Column,
+      num: Long, den: Long): org.apache.spark.sql.Column =
+    graft.functions.textops.hash60(userCol.cast("string")) <
+      lit(sampleThreshold(num, den))
+
+  /** q66: deterministic sampling — ClickHouse's `SAMPLE 0.1` clause.
+    *
+    * Semantics replicated exactly: the sampling UNIT is the declared
+    * sampling key (user_id here — every row of a sampled user is in,
+    * every row of an unsampled user is out, so per-user statistics
+    * stay unbiased), membership is `hash(key) < rate · 2^60` over a
+    * uniform deterministic hash, and samples NEST (`SAMPLE 0.05` ⊆
+    * `SAMPLE 0.2`, spec-pinned) because the predicate is a threshold
+    * on one fixed hash — ClickHouse's consistent-sampling contract.
+    *
+    * Scale shape: the predicate is a pure codegen'd row filter — no
+    * shuffle, no state, evaluated at the scan, combinable with any
+    * downstream operator; at 100 TB a declared layout sorted/bucketed
+    * by the sample key turns it into file pruning (the same lever as
+    * c16's blooms). Threshold is an exact integer literal, the hash
+    * is the cross-engine md5-based [[textops.hash60]] — bit-exact
+    * gate, no fp contract. */
+  def q66Sample(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(samplePred(col("user_id"), SampleNum, SampleDen))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .orderBy(col("event_type"))
 }

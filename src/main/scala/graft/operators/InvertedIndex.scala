@@ -56,27 +56,39 @@ object InvertedIndex {
     * (all terms) and plain OR (any term). */
   val MinMatch = 2
 
-  /** `(token, doc_id, tf, tb)` postings of a document batch. One
-    * explode + one partial-aggregable groupBy — no corpus-global
-    * statistics, which is what makes the layout append-safe. */
-  def postings(docs: DataFrame): DataFrame =
+  /** `(token, doc_id, tf, dl, tb)` postings of a document batch — tf =
+    * term frequency, dl = the document's TOTAL token length (rides
+    * every posting row, the standard inverted-file layout, so ranked
+    * retrieval needs no join back to the corpus). One explode + one
+    * partial-aggregable groupBy — no corpus-global statistics, which
+    * is what makes the layout append-safe. */
+  def postings(docs: DataFrame): DataFrame = {
+    val t = textops.tokens(col("text"))
     graft.Spread.ifNarrow(docs)
-      .select(col("doc_id"), explode(textops.tokens(col("text"))).as("token"))
-      .groupBy(col("token"), col("doc_id"))
+      .select(col("doc_id"), size(t).cast("long").as("dl"),
+        explode(t).as("token"))
+      .groupBy(col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb",
         pmod(textops.hash60(col("token")), lit(Buckets.toLong)).cast("int"))
+  }
+
+  /** Layout/schema version — bumped when the posting row shape
+    * changes, so stale persisted indexes rebuild instead of serving
+    * the old schema. */
+  private val LayoutVer = "v2"
 
   def indexPath(d: String): String =
-    graft.sources.LocalIndex.path("token-index", d, s"_b$Buckets")
+    graft.sources.LocalIndex.path("token-index", d, s"_b$Buckets$LayoutVer")
 
   /** Build (or incrementally append to) the posting index of a corpus
     * dir. Appends write only the NEW shard files' postings into the
     * existing partition dirs; any mutated/removed old file falls back
     * to the full rebuild. */
   def ensureIndex(s: SparkSession, d: String): String =
-    graft.sources.LocalIndex.ensureIncremental("token-index", d, s"_b$Buckets",
-      Seq(s"$d/documents.parquet"), s"b$Buckets") { path =>
+    graft.sources.LocalIndex.ensureIncremental("token-index", d,
+      s"_b$Buckets$LayoutVer",
+      Seq(s"$d/documents.parquet"), s"b$Buckets$LayoutVer") { path =>
       postings(Tables.documents(s, d))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("tb").parquet(path)
@@ -122,6 +134,81 @@ object InvertedIndex {
 
   def t8Query(s: SparkSession, d: String): DataFrame = searchIndexed(s, d)
 
+  // ------------------------------------------------------------- t9
+
+  /** BM25 constants (Robertson-Spärck Jones; the Lucene defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** t9: BM25-ranked retrieval over the same posting index —
+    * the ranked-search tier above t8's boolean+tf scoring (the
+    * capability a user of a hosted search engine actually consumes).
+    *
+    * score(doc) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene-shifted
+    * form, always positive.
+    *
+    * Spark shape: the postings read is the SAME bucket-pruned scan as
+    * t8; df per needle term comes from that pruned read (a ≤ |needle|
+    * row bounded collect), while N and Σdl — corpus constants a real
+    * deployment keeps in the index manifest — come from one 1-row
+    * aggregate over the corpus' dl column. All per-doc math is then
+    * codegen'd arithmetic over (tf, dl) with the idf/avgdl as
+    * literals: no joins, one partial-aggregable groupBy(doc_id).
+    * Both engines compose the IEEE formula in the same operation
+    * order and round to 4 decimals; ln is the one libm call (the q52
+    * log-fold precedent — the round absorbs sub-ulp divergence). */
+  /** Per-corpus (idf-by-term, avgdl) — computed once per dir and
+    * CACHED so [[oracleT9]] can replay the exact literal doubles the
+    * Spark plan used (the a3/a4 trained-literal discipline: both
+    * engines consume the same driver-held constants, so the one libm
+    * `ln` is evaluated exactly once, on the driver). */
+  private val bm25Stats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Map[String, Double], Double)]()
+
+  def statsFor(s: SparkSession, d: String,
+      needle: Seq[String] = Needle): (Map[String, Double], Double) =
+    bm25Stats.computeIfAbsent(d, _ => {
+      // corpus stats (N, avgdl): one bounded 1-row aggregate — the
+      // constants a real deployment keeps in the index manifest
+      val st = Tables.documents(s, d)
+        .select(size(textops.tokens(col("text"))).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).collect().head
+      val n = st.getLong(0)
+      val avgdl = st.getLong(1).toDouble / n
+      // per-term document frequencies from the bucket-pruned postings
+      val idxDf = s.read.parquet(ensureIndex(s, d))
+      val dfs = idxDf
+        .filter(col("tb").isin(needleBuckets(needle).map(Int.box): _*) &&
+          col("token").isin(needle: _*))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idf = needle.map { t =>
+        val df = dfs.getOrElse(t, 0L)
+        t -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      }.toMap
+      (idf, avgdl)
+    })
+
+  def bm25Indexed(s: SparkSession, d: String,
+      needle: Seq[String] = Needle): DataFrame = {
+    val idx = s.read.parquet(ensureIndex(s, d))
+    val pruned = idx.filter(col("tb").isin(needleBuckets(needle).map(Int.box): _*) &&
+      col("token").isin(needle: _*))
+    val (idf, avgdl) = statsFor(s, d, needle)
+    val idfCol = element_at(typedlit(idf), col("token"))
+    val termScore = idfCol * (col("tf").cast("double") * lit(K1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / lit(avgdl)))
+    pruned
+      .select(col("doc_id"), termScore.as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("ts")), 4).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t9Query(s: SparkSession, d: String): DataFrame = bm25Indexed(s, d)
+
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -136,4 +223,33 @@ object InvertedIndex {
        |       sum(tf)::BIGINT AS total_tf
        |FROM hits GROUP BY 1 HAVING count(*) >= $MinMatch
        |ORDER BY doc_id""".stripMargin
+
+  /** t9 oracle: DuckDB recomputes tf and dl from the raw corpus, but
+    * consumes idf/avgdl as the SAME shortest-round-trip double
+    * literals the Spark plan used, composed in the same operation
+    * order — the trained-literal discipline, so the only libm `ln`
+    * ran once on the driver. Fallback with no cached stats: zeros —
+    * formal only, a dir whose t9 never ran has no result to compare. */
+  def oracleT9(d: String): String = {
+    val (idf, avgdl) = Option(bm25Stats.get(d))
+      .getOrElse((Needle.map(_ -> 0.0).toMap, 1.0))
+    val idfCase = Needle.map(t =>
+      s"WHEN '$t' THEN ${idf.getOrElse(t, 0.0)}").mkString(" ")
+    s"""WITH m AS (
+       |  SELECT doc_id, ${textops.tokensSql("text")} AS t FROM documents),
+       |toks AS (
+       |  SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS tok FROM m),
+       |hits AS (
+       |  SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       |  FROM toks WHERE tok IN ${sqlList(Needle)} GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT doc_id,
+       |    (CASE tok $idfCase END) * (tf::DOUBLE * ${K1 + 1.0}) /
+       |      (tf::DOUBLE + $K1 * (${1.0 - B} + $B * dl::DOUBLE / $avgdl))
+       |      AS ts
+       |  FROM hits)
+       |SELECT doc_id, count(*)::BIGINT AS n_terms,
+       |       round(sum(ts), 4) AS bm25
+       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
 }

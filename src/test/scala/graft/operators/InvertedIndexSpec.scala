@@ -52,6 +52,43 @@ class InvertedIndexSpec extends SparkSpec {
     stored.subsetOf(tbs.toSet) shouldBe true
   }
 
+  test("bm25 matches a driver-side reference on the toy corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-").toString
+    writeDocs(dir, docs)
+    val got = InvertedIndex.bm25Indexed(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // driver-side reference: same formula from first principles
+    val needle = InvertedIndex.Needle.toSet
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq }
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val dfs = needle.map(t => t -> toks.count(_._2.contains(t))).toMap
+    val expected = toks.flatMap { case (id, ts) =>
+      val hits = ts.filter(needle).groupBy(identity).view.mapValues(_.size)
+      if (hits.isEmpty) None
+      else {
+        val dl = ts.size.toDouble
+        val s = hits.map { case (t, tf) =>
+          val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+          idf * (tf * (InvertedIndex.K1 + 1.0)) /
+            (tf + InvertedIndex.K1 *
+              (1.0 - InvertedIndex.B + InvertedIndex.B * dl / avgdl))
+        }.sum
+        Some(id -> (hits.size.toLong,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (id, (nt, score)) =>
+      got(id)._1 shouldBe nt
+      got(id)._2 shouldBe score +- 1e-4
+    }
+    // ranking sanity: doc 2 (hash tf=3 of a rare-ish term) must outscore
+    // doc 4 would if present — and every score is positive
+    all(got.values.map(_._2)) should be > 0.0
+  }
+
   test("grow-only corpus appends just the new shard's postings") {
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx-").toString
     writeDocs(dir, docs)
