@@ -157,6 +157,8 @@ object SparkEntry {
     "t9_bm25" -> (InvertedIndex.t9Query _),
     "c18_dpp" -> (Dpp.c18Query _),
     "q66_sample" -> (Analytics.q66Sample _),
+    "q67_any_join" -> (Analytics.q67AnyJoin _),
+    "q68_with_totals" -> (Analytics.q68WithTotals _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -907,6 +909,26 @@ object SparkEntry {
          |WHERE ${graft.functions.textops.hash60Sql("user_id::VARCHAR")} <
          |  ${Analytics.sampleThreshold(Analytics.SampleNum, Analytics.SampleDen)}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q67_any_join" ->
+      """WITH any_line AS (
+        |  SELECT l_orderkey, l_linenumber AS any_linenumber,
+        |    l_quantity AS any_quantity
+        |  FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |          row_number() OVER (PARTITION BY l_orderkey
+        |            ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+        |        FROM lineitem)
+        |  WHERE rn = 1)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  count(any_linenumber) AS n_matched,
+        |  round(sum(any_quantity), 4) AS sum_any_qty
+        |FROM orders LEFT JOIN any_line ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q68_with_totals" ->
+      """SELECT coalesce(event_type, '<totals>') AS event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |FROM events GROUP BY ROLLUP(event_type) ORDER BY 1""".stripMargin,
   ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ RpTree.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
     Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++

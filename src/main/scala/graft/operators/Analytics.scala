@@ -1250,4 +1250,51 @@ object Analytics {
         count(lit(1)).as("n_events"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
       .orderBy(col("event_type"))
+
+  /** q67: ANY JOIN — ClickHouse `LEFT ANY JOIN` joins AT MOST ONE
+    * right row per left row. ClickHouse leaves WHICH row
+    * engine-defined ("any"); here the choice is pinned deterministic
+    * — the minimum (l_linenumber) line of each order — because an
+    * engine-defined row can't be oracle-checked.
+    *
+    * Spark-first shape: the right side collapses FIRST via one
+    * partial-aggregable struct-min per key (the q35 argmin idiom —
+    * each partition ships one struct per key, no window sort), and
+    * only then joins — so the join is 1:≤1 BY CONSTRUCTION and the
+    * shuffle carries one row per right key instead of the full right
+    * table. That pre-collapse is exactly how ANY JOIN must be built
+    * at 100 TB: semi-join volume, never a fan-out join deduped after
+    * the fact. */
+  def q67AnyJoin(s: SparkSession, d: String): DataFrame = {
+    val anyLine = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(min(struct(col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))).as("ln"))
+      .select(col("l_orderkey"),
+        col("ln.l_linenumber").as("any_linenumber"),
+        col("ln.l_quantity").as("any_quantity"))
+    Tables.orders(s, d)
+      .join(anyLine, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("any_linenumber")).as("n_matched"),
+        round(sum(col("any_quantity")), 4).as("sum_any_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q68: WITH TOTALS — ClickHouse appends one extra row holding the
+    * aggregate over ALL groups. Spark-first: `rollup` + a
+    * grouping-id filter produces the per-group rows AND the grand
+    * total in the SAME partial-aggregated pass (no second scan, no
+    * union); the total row surfaces with the sentinel key ClickHouse
+    * uses (empty/default group value). */
+  def q68WithTotals(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(coalesce(col("event_type"), lit("<totals>")).as("event_type"),
+        col("n_events"), col("n_users"), col("cents"))
+      .orderBy(col("event_type"))
 }
