@@ -159,6 +159,7 @@ object SparkEntry {
     "q66_sample" -> (Analytics.q66Sample _),
     "q67_any_join" -> (Analytics.q67AnyJoin _),
     "q68_with_totals" -> (Analytics.q68WithTotals _),
+    "c19_dict_hierarchy" -> (Dictionary.c19Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))

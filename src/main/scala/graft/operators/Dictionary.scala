@@ -64,7 +64,75 @@ object Dictionary {
       .orderBy(col("nation_name"), col("region_name"))
   }
 
+  // ---------------------------------------------------------------- c19
+
+  /** Region nodes share the nation keyspace offset by this base —
+    * ClickHouse hierarchical dictionaries are one id space with a
+    * parent pointer per node. */
+  val RegionNodeBase = 100L
+
+  /** The dictIsIn probe targets: region ASIA's node, and one single
+    * nation node (its subtree = exactly that nation's customers), so
+    * the ancestor check is exercised at BOTH levels of the chain. */
+  val TargetRegionKey = 2L
+  val TargetNationKey = 7L
+
+  /** c19: hierarchical dictionary functions — ClickHouse
+    * `dictGetHierarchy(dict, key)` (the root-ward ancestor chain) and
+    * `dictIsIn(dict, child, ancestor)` — over the nation→region
+    * hierarchy (nations parent to region nodes, regions are roots).
+    *
+    * Same engine shape as c14: the hierarchy is dimension-bounded
+    * (25 + 5 nodes), so the chains are UNFOLDED ON THE DRIVER and ride
+    * the plan as one literal map<key, array<node>>; `dictGetHierarchy`
+    * is a codegen'd map probe, `dictIsIn` is `array_contains` on the
+    * probed chain — the fact scan stays a pure map, ZERO joins
+    * (spec-pinned), where ClickHouse walks parent pointers in RAM.
+    * Chain depth is bounded by the dictionary's declared hierarchy,
+    * never the corpus. */
+  def c19Query(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long")).collect()
+    val reg = Tables.region(s, d)
+      .select(col("r_regionkey").cast("long"), col("r_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // parent pointers: nation → region node; region nodes are roots
+    val chains: Map[Long, Seq[Long]] = nat.map { r =>
+      r.getLong(0) -> Seq(r.getLong(0), RegionNodeBase + r.getLong(2))
+    }.toMap
+    val nodeName: Map[Long, String] = reg.map { case (k, v) =>
+      (RegionNodeBase + k) -> v }
+    val chainLit = typedlit(chains)
+    val nameLit = typedlit(nodeName)
+    val chain = element_at(chainLit, col("c_nationkey").cast("long"))
+    Tables.customer(s, d)
+      .select(
+        coalesce(element_at(nameLit, element_at(chain, -1)), lit("unknown"))
+          .as("region_name"),
+        array_contains(chain, lit(RegionNodeBase + TargetRegionKey))
+          .cast("long").as("in_target_region"),
+        array_contains(chain, lit(TargetNationKey)).cast("long")
+          .as("in_target_nation"))
+      .groupBy(col("region_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("in_target_region")).as("n_in_region"),
+        sum(col("in_target_nation")).as("n_in_nation"))
+      .orderBy(col("region_name"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "c19_dict_hierarchy" ->
+      s"""SELECT coalesce(r_name, 'unknown') AS region_name,
+         |  count(*) AS n_cust,
+         |  sum(CASE WHEN n_regionkey = $TargetRegionKey THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_in_region,
+         |  sum(CASE WHEN c_nationkey = $TargetNationKey THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_in_nation
+         |FROM customer
+         |LEFT JOIN nation ON c_nationkey = n_nationkey
+         |LEFT JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c14_dictget" ->
       """SELECT coalesce(n_name, 'unknown') AS nation_name,
         |  coalesce(r_name, 'unknown') AS region_name,

@@ -32,6 +32,31 @@ class DictionarySpec extends SparkSpec {
     got.keys.map(_._2).toSet.size should be >= 2 // regions actually resolved
   }
 
+  test("c19 hierarchy chains equal the equivalent dimension joins, with zero joins planned") {
+    val q = Dictionary.c19Query(spark, d)
+    // the ClickHouse-dictionary contract: scalar probes, never joins
+    q.queryExecution.executedPlan.toString should not include "Join"
+    val got = q.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val exp = Tables.customer(spark, d)
+      .join(Tables.nation(spark, d),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(Tables.region(spark, d),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .groupBy(coalesce(col("r_name"), lit("unknown")).as("region_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(when(col("n_regionkey") === Dictionary.TargetRegionKey, 1L)
+          .otherwise(0L)).as("n_in_region"),
+        sum(when(col("c_nationkey") === Dictionary.TargetNationKey, 1L)
+          .otherwise(0L)).as("n_in_nation"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got shouldBe exp
+    // both probe levels really fire somewhere
+    got.values.map(_._2).sum should be > 0L
+    got.values.map(_._3).sum should be > 0L
+  }
+
   test("dictGet returns the default for keys absent from the dictionary") {
     import spark.implicits._
     val df = Seq(1L, 99L).toDF("k")
