@@ -312,14 +312,39 @@ object Ann {
     * so the cache is populated by dump time); re-deriving float
     * k-means bit-exactly inside DuckDB SQL would be parity-fragile —
     * `avg` summation order differs across engines. */
-  private val codebooks =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+  private val codebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Seq[(Long, Seq[Double])])]()
 
+  /** Cache key = dir + source-file fingerprint, for trained state
+    * whose lifecycle is rebuild-on-ANY-change (a4's tree, t9's index
+    * stats): a corpus REGENERATED in place (same dir, new bytes) must
+    * retrain, not serve the old corpus' constants — dir-only keying
+    * would in a long-lived JVM. The fingerprint read is file
+    * metadata, the a2-ensure discipline. */
+  private[operators] def trainedKey(d: String, table: String): String =
+    d + "#" + graft.sources.LocalIndex.fingerprint(Seq(s"$d/$table.parquet"))
+
+  /** The IVF codebook's lifecycle is DIFFERENT from [[trainedKey]]'s
+    * rebuild-on-any-change: the incremental index contract requires
+    * the codebook to stay FIXED while the corpus only GROWS (a
+    * retrained codebook moves centroids and silently invalidates
+    * every already-persisted cell assignment — the documented
+    * LSM-style drift trade, folded back at full rebuild). So: serve
+    * the cached codebook while every file it was trained on is still
+    * byte-identical on disk (grow-only or unchanged); retrain only on
+    * mutation/removal — the same manifest rule
+    * [[graft.sources.LocalIndex.ensureIncremental]] applies to the
+    * index files themselves, so codebook and index lifecycles agree. */
   def codebookFor(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
-    codebooks.computeIfAbsent(d, _ => {
-      val embs = Tables.embeddings(s, d)
-      trainCodebook(embs, seedCodebook(embs))
-    })
+    codebooks.compute(d, (_, cur) => {
+      val now = graft.sources.LocalIndex.dataManifest(
+        Seq(s"$d/embeddings.parquet"))
+      if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains)) cur
+      else {
+        val embs = Tables.embeddings(s, d)
+        (now, trainCodebook(embs, seedCodebook(embs)))
+      }
+    })._2
 
   /** a3: IVF coarse quantization over a trained codebook. Only the
     * bounded codebook is driver-side; it enters the plan as k literal
@@ -532,7 +557,7 @@ object Ann {
     * untrained seed, derived in SQL exactly as [[seedCodebook]]
     * derives it. */
   private def centsSql(d: String): String = {
-    val cb = Option(codebooks.get(d)).getOrElse(Nil)
+    val cb = Option(codebooks.get(d)).map(_._2).getOrElse(Nil)
     if (cb.nonEmpty)
       "cents(ccid, cv) AS (VALUES " + sqlValues(cb.map { case (cid, cv) =>
         s"($cid, ${VectorSearch.sqlArray(cv)}::DOUBLE[])" }) + ")"

@@ -168,7 +168,7 @@ object InvertedIndex {
 
   def statsFor(s: SparkSession, d: String,
       needle: Seq[String] = Needle): (Map[String, Double], Double) =
-    bm25Stats.computeIfAbsent(d, _ => {
+    bm25Stats.computeIfAbsent(Ann.trainedKey(d, "documents"), _ => {
       // corpus stats (N, avgdl): one bounded 1-row aggregate — the
       // constants a real deployment keeps in the index manifest
       val st = Tables.documents(s, d)
@@ -231,7 +231,7 @@ object InvertedIndex {
     * ran once on the driver. Fallback with no cached stats: zeros —
     * formal only, a dir whose t9 never ran has no result to compare. */
   def oracleT9(d: String): String = {
-    val (idf, avgdl) = Option(bm25Stats.get(d))
+    val (idf, avgdl) = Option(bm25Stats.get(Ann.trainedKey(d, "documents")))
       .getOrElse((Needle.map(_ -> 0.0).toMap, 1.0))
     val idfCase = Needle.map(t =>
       s"WHEN '$t' THEN ${idf.getOrElse(t, 0.0)}").mkString(" ")

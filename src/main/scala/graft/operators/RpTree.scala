@@ -70,15 +70,19 @@ object RpTree {
   // ------------------------------------------------------------ train
 
   /** Per-corpus trained thresholds (internal node → split value).
-    * Keyed by dir, like a3's codebooks: one JVM touching two corpora
-    * must not mix their trees. Deterministic: thresholds derive from
-    * exact order statistics, so retraining on the same corpus
-    * reproduces the same doubles in any JVM. */
+    * Keyed by dir + source fingerprint, like a3's codebooks: one JVM
+    * touching two corpora must not mix their trees, and an in-place
+    * regenerated corpus must retrain. Deterministic: thresholds
+    * derive from exact order statistics, so retraining on the same
+    * corpus reproduces the same doubles in any JVM. */
   private val trees =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Double]]()
 
+  // keyed by dir + source fingerprint (Ann.trainedKey): an in-place
+  // regenerated corpus retrains instead of serving stale thresholds
   def treeFor(s: SparkSession, d: String): Map[Int, Double] =
-    trees.computeIfAbsent(d, _ => train(Tables.embeddings(s, d)))
+    trees.computeIfAbsent(Ann.trainedKey(d, "embeddings"),
+      _ => train(Tables.embeddings(s, d)))
 
   /** Trains each node's threshold as the MIDPOINT of the two order
     * statistics straddling the median split (k-th and (k+1)-th
@@ -282,7 +286,8 @@ object RpTree {
     * cached tree: the zero-threshold tree; formal only — a dir whose
     * a4 queries never ran has no result to compare. */
   def oracles(d: String): Map[String, String] = {
-    val thr = Option(trees.get(d)).getOrElse(Map.empty[Int, Double])
+    val thr = Option(trees.get(Ann.trainedKey(d, "embeddings")))
+      .getOrElse(Map.empty[Int, Double])
     def t(n: Int): String = thr.getOrElse(n, 0.0).toString
     val stages = (0 until Depth).map { level =>
       val cases = nodesAt(level).map { n =>

@@ -241,5 +241,12 @@ class AnnSpec extends SparkSpec {
     val want = Ann.ivfKnn(graft.Tables.embeddings(spark, dir), cb, Ann.K)(spark).collect()
       .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
     got shouldBe want
+    // growth kept the codebook FIXED (the append contract)...
+    Ann.codebookFor(spark, dir) shouldBe cb
+    // ...but an in-place MUTATION of old bytes retrains it
+    full.withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"), x => x * lit(3.0f)))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Ann.codebookFor(spark, dir) should not equal cb
   }
 }

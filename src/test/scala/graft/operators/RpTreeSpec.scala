@@ -85,6 +85,21 @@ class RpTreeSpec extends SparkSpec {
     all(after) should be >= 100000L
   }
 
+  test("treeFor retrains when the corpus is regenerated in place (fingerprint-keyed cache)") {
+    vectors.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rptkey-").toString
+    corpus(200).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val first = RpTree.treeFor(spark, dir)
+    // same bytes → cache hit, identical map instance values
+    RpTree.treeFor(spark, dir) shouldBe first
+    // regenerate IN PLACE with different geometry → must retrain
+    corpus(200).withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"), x => x * lit(2.0f)))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val second = RpTree.treeFor(spark, dir)
+    second should not equal first
+  }
+
   test("recall: every query's exact nearest neighbor survives the probe") {
     vectors.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft-rptrec-").toString
