@@ -136,6 +136,7 @@ object SparkEntry {
     "s7_stream_rollup" -> (EventStream.s7Query _),
     "s8_stream_upsert" -> (EventStream.s8Query _),
     "s9_stream_ttl" -> (EventStream.s9Query _),
+    "s10_stream_index" -> (EventStream.s10Query _),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),
     "c3_group_canonical" -> (Curation.c3Query _),

@@ -106,13 +106,17 @@ object InvertedIndex {
   /** Search the persisted index: docs matching ≥ minMatch needle
     * terms, with term count and summed term frequency. */
   def searchIndexed(s: SparkSession, d: String,
-      needle: Seq[String] = Needle, minMatch: Int = MinMatch): DataFrame = {
-    val idx = s.read.parquet(ensureIndex(s, d))
+      needle: Seq[String] = Needle, minMatch: Int = MinMatch): DataFrame =
+    searchIndex(s.read.parquet(ensureIndex(s, d)), needle, minMatch)
+
+  /** The same pruned search over ANY posting layout with this module's
+    * schema — the serve path s10's stream-maintained index shares. */
+  def searchIndex(idx: DataFrame,
+      needle: Seq[String] = Needle, minMatch: Int = MinMatch): DataFrame =
     score(
       idx.filter(col("tb").isin(needleBuckets(needle).map(Int.box): _*) &&
         col("token").isin(needle: _*)),
       minMatch)
-  }
 
   /** The same search computed straight off the corpus scan — the
     * index-free twin the spec pins [[searchIndexed]] against. */
@@ -168,7 +172,9 @@ object InvertedIndex {
 
   def statsFor(s: SparkSession, d: String,
       needle: Seq[String] = Needle): (Map[String, Double], Double) =
-    bm25Stats.computeIfAbsent(Ann.trainedKey(d, "documents"), _ => {
+    // needle rides the key: a different term set needs its own df/idf
+    bm25Stats.computeIfAbsent(
+      Ann.trainedKey(d, "documents") + "#" + needle.mkString(","), _ => {
       // corpus stats (N, avgdl): one bounded 1-row aggregate — the
       // constants a real deployment keeps in the index manifest
       val st = Tables.documents(s, d)
@@ -231,7 +237,8 @@ object InvertedIndex {
     * ran once on the driver. Fallback with no cached stats: zeros —
     * formal only, a dir whose t9 never ran has no result to compare. */
   def oracleT9(d: String): String = {
-    val (idf, avgdl) = Option(bm25Stats.get(Ann.trainedKey(d, "documents")))
+    val (idf, avgdl) = Option(bm25Stats.get(
+      Ann.trainedKey(d, "documents") + "#" + Needle.mkString(",")))
       .getOrElse((Needle.map(_ -> 0.0).toMap, 1.0))
     val idfCase = Needle.map(t =>
       s"WHEN '$t' THEN ${idf.getOrElse(t, 0.0)}").mkString(" ")

@@ -515,6 +515,54 @@ object EventStream {
       .orderBy(col("shard_doc"), col("corpus_doc"))
   }
 
+  /** s10: continuous inverted-index maintenance — the streaming
+    * mirror of t8 (completing the maintenance-mirror family: s7↔c9,
+    * s8↔c10, s9↔c15, s10↔t8 — continuous indexing is the ingestion
+    * story of a real search deployment). Each document micro-batch
+    * computes ITS OWN postings (doc-local — no corpus-global
+    * statistics exist in the layout, the property that makes t8's
+    * index append-safe) and appends them into the bucket-partitioned
+    * layout inside `foreachBatch`. ZERO streaming state, and the
+    * maintained index is batch-split-INVARIANT by construction: every
+    * doc contributes exactly its own posting rows in exactly one
+    * batch, so ANY split of the corpus into micro-batches yields the
+    * same posting multiset (pinned by the suite's two-batch test).
+    * Per-batch cost ∝ batch size: one explode + partial aggregate of
+    * the batch, no corpus-side work at all. */
+  def indexMaintain(docs: DataFrame, indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.InvertedIndex.postings(batch.toDF())
+          .write.mode("append").option("compression", "zstd")
+          .partitionBy("tb").parquet(indexDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** s10 gate: [[indexMaintain]] over the documents table arriving as
+    * a real file-source stream into a FRESH scratch index, then t8's
+    * bucket-pruned search served from the streamed layout. Oracle =
+    * t8's verbatim (split-invariance makes them the same corpus). */
+  def s10Query(s: SparkSession, d: String): DataFrame = {
+    val root = scratchRoot.resolve(
+      "s10-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    wipe(root)
+    java.nio.file.Files.createDirectories(root)
+    val ss = s.newSession()
+    inheritStreamingConfs(s, ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = ss.read.parquet(s"$d/documents.parquet")
+    val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
+    val q = indexMaintain(src, root.resolve("idx").toString,
+      root.resolve("ckpt").toString)
+    q.awaitTermination()
+    graft.operators.InvertedIndex.searchIndex(
+      s.read.parquet(root.resolve("idx").toString))
+  }
+
   /** s5 gate: [[windowedTopK]] as a real file-source stream. The
     * sketch capacity is sized to the corpus' own per-(window, type)
     * user cardinality (one bounded batch aggregate BEFORE the stream
@@ -632,6 +680,9 @@ object EventStream {
     // construction) — the oracle is c9's, verbatim
     "s7_stream_rollup" ->
       graft.operators.Rollup.oracles("c9_rollup_serve"),
+    // s10's streamed index holds the same posting multiset as t8's
+    // batch-built one for ANY batch split — the oracle is t8's verbatim
+    "s10_stream_index" -> graft.operators.InvertedIndex.oracle,
     // s8 is batch-split-invariant (FINAL struct-max is associative over
     // versions), so its oracle IS c10's latest-per-key replay
     "s8_stream_upsert" ->

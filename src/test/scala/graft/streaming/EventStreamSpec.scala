@@ -342,6 +342,45 @@ abstract class EventStreamSuiteBase extends SparkSpec {
 class EventStreamSpec extends EventStreamSuiteBase {
   protected def store: String = "hdfs"
 
+  test("s10 index maintenance is batch-split-invariant: three doc files, three batches, same search") {
+    // s10 is stateless (foreachBatch append of doc-local postings) —
+    // one-store test by design, like s7
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the table holds a value and a part",
+      2L -> "hash hash hash of the table",
+      3L -> "nothing relevant here at all",
+      4L -> "part value part value part",
+      5L -> "value table hash part all four present",
+      6L -> "a second irrelevant document entirely")
+    val shardRoot = java.nio.file.Files.createTempDirectory("graft-s10-sh-").toString
+    docs.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      g.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$shardRoot/docs_$i.parquet")
+    }
+    val schema = spark.read.parquet(s"$shardRoot/docs_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one micro-batch per file
+      .parquet(s"$shardRoot/docs_*.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-s10-out-").toString
+    val q = EventStream.indexMaintain(src, s"$out/idx", s"$out/ckpt")
+    try q.awaitTermination() finally q.stop()
+    q.recentProgress.count(_.numInputRows > 0) shouldBe 3
+    val streamed = spark.read.parquet(s"$out/idx")
+    // no posting duplicated across batches (each doc indexed exactly once)
+    streamed.groupBy(org.apache.spark.sql.functions.col("token"),
+        org.apache.spark.sql.functions.col("doc_id")).count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+      .count() shouldBe 0L
+    // search over the streamed index == the direct scan search
+    val got = graft.operators.InvertedIndex.searchIndex(streamed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = graft.operators.InvertedIndex
+      .searchScan(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got shouldBe want
+  }
+
   test("s7 rollup maintenance is batch-split-invariant: two event files, two batches, same served report") {
     // s7 is stateless (foreachBatch append of partial rows), so the
     // provider axis is vacuous — one-store test by design.
