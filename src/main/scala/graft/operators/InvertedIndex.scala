@@ -99,6 +99,21 @@ object InvertedIndex {
         .partitionBy("tb").parquet(path)
     }
 
+  /** Background merge for a stream-maintained posting layout: fold
+    * each bucket dir's accreted per-batch part files back to one file
+    * (rows untouched — same postings, same partitioning), so search
+    * cost stays ~1-file-per-probed-bucket whatever the stream's age.
+    * The c7/s7 compaction discipline applied to the s10 layout. */
+  def compactIndex(s: SparkSession, dir: String): Unit = {
+    val rows = s.read.parquet(dir)
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+    graft.streaming.Compaction.rewrite(dir) { tmp =>
+      rows.repartition(col("tb"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("tb").parquet(tmp)
+    }
+  }
+
   /** Driver-side bucket set of a needle — the partition-prune key. */
   def needleBuckets(needle: Seq[String]): Seq[Int] =
     needle.map(w => (textops.hash60Local(w) % Buckets).toInt).distinct.sorted

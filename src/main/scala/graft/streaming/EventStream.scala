@@ -530,12 +530,19 @@ object EventStream {
     * Per-batch cost ∝ batch size: one explode + partial aggregate of
     * the batch, no corpus-side work at all. */
   def indexMaintain(docs: DataFrame, indexDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.operators.InvertedIndex.postings(batch.toDF())
           .write.mode("append").option("compression", "zstd")
           .partitionBy("tb").parquet(indexDir)
+        // background merge every N batches: per-batch part files fold
+        // back to one file per bucket dir (rows untouched), the same
+        // LSM-accretion answer s7/s8/s9 wire for their layouts
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.operators.InvertedIndex.compactIndex(
+            batch.sparkSession, indexDir)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -379,6 +379,14 @@ class EventStreamSpec extends EventStreamSuiteBase {
       .searchScan(docs.toDF("doc_id", "text")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     got shouldBe want
+    // compaction folds the accreted per-batch files back without
+    // changing a single posting or the served search
+    val before = graft.streaming.Compaction.partFiles(s"$out/idx")
+    graft.operators.InvertedIndex.compactIndex(spark, s"$out/idx")
+    graft.streaming.Compaction.partFiles(s"$out/idx") should be < before
+    graft.operators.InvertedIndex
+      .searchIndex(spark.read.parquet(s"$out/idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe want
   }
 
   test("s7 rollup maintenance is batch-split-invariant: two event files, two batches, same served report") {
