@@ -57,6 +57,10 @@ object Dpp {
       .select(date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(count(lit(1)).as("n"), countDistinct(col("day")).as("nd"))
       .collect().head
+    // fail loudly on an empty corpus rather than dividing by zero —
+    // the c15/Ttl listing-contract lesson (silent degenerate inputs
+    // must not produce quiet nonsense)
+    require(r.getLong(1) > 0, s"peakThreshold: no event days under $d")
     r.getLong(0) / r.getLong(1)
   }
 

@@ -84,7 +84,14 @@ object InvertedIndex {
   /** Build (or incrementally append to) the posting index of a corpus
     * dir. Appends write only the NEW shard files' postings into the
     * existing partition dirs; any mutated/removed old file falls back
-    * to the full rebuild. */
+    * to the full rebuild.
+    *
+    * Append contract (same as d8's posting index): new shard files
+    * carry NEW doc_ids — the ingest pattern. A shard RE-CRAWLING an
+    * already-indexed doc_id would duplicate its postings (tf counted
+    * twice); dedupe re-crawls upstream (d1/d8 exist for exactly
+    * that), or mutate the old file so the manifest forces the honest
+    * full rebuild. */
   def ensureIndex(s: SparkSession, d: String): String =
     graft.sources.LocalIndex.ensureIncremental("token-index", d,
       s"_b$Buckets$LayoutVer",
