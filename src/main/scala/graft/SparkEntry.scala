@@ -926,7 +926,8 @@ object SparkEntry {
         |FROM orders LEFT JOIN any_line ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q68_with_totals" ->
-      """SELECT coalesce(event_type, '<totals>') AS event_type,
+      """SELECT CASE WHEN GROUPING(event_type) = 1 THEN '<totals>'
+        |            ELSE coalesce(event_type, '<null>') END AS event_type,
         |  count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
         |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents

@@ -1283,18 +1283,24 @@ object Analytics {
   }
 
   /** q68: WITH TOTALS — ClickHouse appends one extra row holding the
-    * aggregate over ALL groups. Spark-first: `rollup` + a
-    * grouping-id filter produces the per-group rows AND the grand
-    * total in the SAME partial-aggregated pass (no second scan, no
-    * union); the total row surfaces with the sentinel key ClickHouse
-    * uses (empty/default group value). */
+    * aggregate over ALL groups. Spark-first: `rollup` produces the
+    * per-group rows AND the grand total in the SAME
+    * partial-aggregated pass (no second scan, no union); the total
+    * row surfaces under the sentinel key, identified by
+    * `grouping()` — NOT by the key being NULL, so a genuine NULL
+    * event_type group stays a distinct `<null>` row instead of
+    * silently merging with the totals sentinel. */
   def q68WithTotals(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .rollup(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-      .select(coalesce(col("event_type"), lit("<totals>")).as("event_type"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+        grouping(col("event_type")).as("g"))
+      .select(
+        when(col("g") === 1, lit("<totals>"))
+          .otherwise(coalesce(col("event_type"), lit("<null>")))
+          .as("event_type"),
         col("n_events"), col("n_users"), col("cents"))
       .orderBy(col("event_type"))
 }

@@ -110,10 +110,14 @@ object Dictionary {
       .select(
         coalesce(element_at(nameLit, element_at(chain, -1)), lit("unknown"))
           .as("region_name"),
-        array_contains(chain, lit(RegionNodeBase + TargetRegionKey))
-          .cast("long").as("in_target_region"),
-        array_contains(chain, lit(TargetNationKey)).cast("long")
-          .as("in_target_nation"))
+        // a key ABSENT from the dictionary probes a NULL chain and
+        // array_contains(NULL, x) is NULL — dictIsIn is defined total
+        // (an unknown node is in nobody's subtree), matching the
+        // oracle's CASE ... ELSE 0
+        coalesce(array_contains(chain, lit(RegionNodeBase + TargetRegionKey))
+          .cast("long"), lit(0L)).as("in_target_region"),
+        coalesce(array_contains(chain, lit(TargetNationKey)).cast("long"),
+          lit(0L)).as("in_target_nation"))
       .groupBy(col("region_name"))
       .agg(count(lit(1)).as("n_cust"),
         sum(col("in_target_region")).as("n_in_region"),

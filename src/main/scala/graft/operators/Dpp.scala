@@ -49,13 +49,22 @@ object Dpp {
         .write.mode("overwrite").partitionBy("day").parquet(path)
     }
 
+  /** Per-day event counts — the single raw-corpus aggregate BOTH the
+    * threshold and the dimension derive from (one scan, where
+    * separate aggregates would read the raw fact source twice — the
+    * read DPP exists to avoid). Day-domain-sized, cached. */
+  private def dayCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_day"))
+      .cache()
+
   /** Peak-day threshold: FLOOR of mean events per day — exact integer
     * division of two exact counts, so the oracle derives the same
     * number independently (no literal handoff needed). */
   def peakThreshold(s: SparkSession, d: String): Long = {
-    val r = Tables.events(s, d)
-      .select(date_trunc("day", col("ts")).cast("date").as("day"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("day")).as("nd"))
+    val r = dayCounts(s, d)
+      .agg(sum(col("n_day")).as("n"), count(lit(1)).as("nd"))
       .collect().head
     // fail loudly on an empty corpus rather than dividing by zero —
     // the c15/Ttl listing-contract lesson (silent degenerate inputs
@@ -69,10 +78,7 @@ object Dpp {
   def c18Query(s: SparkSession, d: String): DataFrame = {
     val fact = s.read.parquet(ensureLayout(s, d))
     val t = peakThreshold(s, d)
-    val dim = Tables.events(s, d)
-      .select(date_trunc("day", col("ts")).cast("date").as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("n_day"))
-      .filter(col("n_day") > t)
+    val dim = dayCounts(s, d).filter(col("n_day") > t)
     fact.join(broadcast(dim), Seq("day"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

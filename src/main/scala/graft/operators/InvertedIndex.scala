@@ -189,14 +189,18 @@ object InvertedIndex {
     * Spark plan used (the a3/a4 trained-literal discipline: both
     * engines consume the same driver-held constants, so the one libm
     * `ln` is evaluated exactly once, on the driver). */
-  private val bm25Stats =
-    new java.util.concurrent.ConcurrentHashMap[String, (Map[String, Double], Double)]()
+  private val bm25Stats = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[String, Double], Double)]()
 
   def statsFor(s: SparkSession, d: String,
-      needle: Seq[String] = Needle): (Map[String, Double], Double) =
-    // needle rides the key: a different term set needs its own df/idf
-    bm25Stats.computeIfAbsent(
-      Ann.trainedKey(d, "documents") + "#" + needle.mkString(","), _ => {
+      needle: Seq[String] = Needle): (Map[String, Double], Double) = {
+    // (dir, needle)-keyed with the source fingerprint in the VALUE
+    // (the Ann.codebookFor shape): regeneration recomputes AND
+    // replaces — no dead entries accrete in a long-lived JVM
+    val v = bm25Stats.compute(d + "#" + needle.mkString(","), (_, cur) => {
+      val fp = Ann.trainedKey(d, "documents")
+      if (cur != null && cur._1 == fp) cur
+      else {
       // corpus stats (N, avgdl): one bounded 1-row aggregate — the
       // constants a real deployment keeps in the index manifest
       val st = Tables.documents(s, d)
@@ -215,8 +219,11 @@ object InvertedIndex {
         val df = dfs.getOrElse(t, 0L)
         t -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
       }.toMap
-      (idf, avgdl)
+      (fp, idf, avgdl)
+      }
     })
+    (v._2, v._3)
+  }
 
   def bm25Indexed(s: SparkSession, d: String,
       needle: Seq[String] = Needle): DataFrame = {
@@ -259,8 +266,8 @@ object InvertedIndex {
     * ran once on the driver. Fallback with no cached stats: zeros —
     * formal only, a dir whose t9 never ran has no result to compare. */
   def oracleT9(d: String): String = {
-    val (idf, avgdl) = Option(bm25Stats.get(
-      Ann.trainedKey(d, "documents") + "#" + Needle.mkString(",")))
+    val (idf, avgdl) = Option(bm25Stats.get(d + "#" + Needle.mkString(",")))
+      .map(v => (v._2, v._3))
       .getOrElse((Needle.map(_ -> 0.0).toMap, 1.0))
     val idfCase = Needle.map(t =>
       s"WHEN '$t' THEN ${idf.getOrElse(t, 0.0)}").mkString(" ")

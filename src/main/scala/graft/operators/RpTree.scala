@@ -75,14 +75,19 @@ object RpTree {
     * regenerated corpus must retrain. Deterministic: thresholds
     * derive from exact order statistics, so retraining on the same
     * corpus reproduces the same doubles in any JVM. */
-  private val trees =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Double]]()
+  private val trees = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[Int, Double])]()
 
-  // keyed by dir + source fingerprint (Ann.trainedKey): an in-place
-  // regenerated corpus retrains instead of serving stale thresholds
+  // dir-keyed with the source fingerprint in the VALUE (the
+  // Ann.codebookFor shape): an in-place regenerated corpus retrains
+  // AND replaces its entry — fingerprint-in-the-key would leave one
+  // dead entry per regeneration in a long-lived JVM
   def treeFor(s: SparkSession, d: String): Map[Int, Double] =
-    trees.computeIfAbsent(Ann.trainedKey(d, "embeddings"),
-      _ => train(Tables.embeddings(s, d)))
+    trees.compute(d, (_, cur) => {
+      val fp = Ann.trainedKey(d, "embeddings")
+      if (cur != null && cur._1 == fp) cur
+      else (fp, train(Tables.embeddings(s, d)))
+    })._2
 
   /** Trains each node's threshold as the MIDPOINT of the two order
     * statistics straddling the median split (k-th and (k+1)-th
@@ -155,9 +160,20 @@ object RpTree {
           .collect().foreach { r =>
             val node = r.getInt(0)
             val b = dup(node)
+            // the dup-path midpoints need the SAME adjacent-doubles
+            // guard as the first pass: (lo+b)/2 rounding back onto lo
+            // or b would re-create the exact boundary hazard this
+            // training rule exists to eliminate — when no
+            // representable double lies strictly between, fall to the
+            // relative-offset fallback (population values that dense
+            // cannot be split by any threshold anyway)
+            def midOr(x: Double, y: Double): Double = {
+              val m = (x + y) / 2
+              if (m != x && m != y) m else offBoundary(math.min(x, y))
+            }
             thr +=
-              (if (!r.isNullAt(1)) node -> (r.getDouble(1) + b) / 2
-              else if (!r.isNullAt(2)) node -> (b + r.getDouble(2)) / 2
+              (if (!r.isNullAt(1)) node -> midOr(r.getDouble(1), b)
+              else if (!r.isNullAt(2)) node -> midOr(b, r.getDouble(2))
               else node -> offBoundary(b)) // all projections equal
           }
       }
@@ -286,7 +302,7 @@ object RpTree {
     * cached tree: the zero-threshold tree; formal only — a dir whose
     * a4 queries never ran has no result to compare. */
   def oracles(d: String): Map[String, String] = {
-    val thr = Option(trees.get(Ann.trainedKey(d, "embeddings")))
+    val thr = Option(trees.get(d)).map(_._2)
       .getOrElse(Map.empty[Int, Double])
     def t(n: Int): String = thr.getOrElse(n, 0.0).toString
     val stages = (0 until Depth).map { level =>

@@ -172,6 +172,9 @@ object TextAnalysis {
     * rows on one side — the same window→aggregate swap d3/d5 use for
     * their skew caps. */
   def fingerprint(docs: DataFrame): DataFrame = {
+    // normalize_text resolves via the function registry: register for
+    // sessions not built through GraftSession (library embedders)
+    graft.functions.texthash.register(docs.sparkSession)
     val fp = md5(textops.normalizeText(col("text")))
     val keyed = spread(docs).select(col("doc_id"), fp.as("fingerprint"))
     val sizes = keyed.groupBy(col("fingerprint")).agg(count(lit(1)).as("n_same"))
@@ -276,6 +279,7 @@ object TextAnalysis {
     * array pass, no shuffle. Single integer divisions — bit-identical
     * across engines, no rounding. */
   def ngramSearch(docs: DataFrame): DataFrame = {
+    graft.functions.texthash.register(docs.sparkSession)
     val hay = charGrams(textops.normalizeText(col("text")))
     val needle = charGrams(textops.normalizeText(lit(NgramNeedle)))
     spread(docs)
@@ -307,7 +311,8 @@ object TextAnalysis {
     * size; clamping one side caps per-row cost at prefix×needle.
     * Exact integer result — both engines implement classic
     * Wagner-Fischer, no fp contract needed. */
-  def editDistance(docs: DataFrame): DataFrame =
+  def editDistance(docs: DataFrame): DataFrame = {
+    graft.functions.texthash.register(docs.sparkSession)
     spread(docs)
       .select(col("doc_id"),
         textops.normalizeText(col("text")).substr(1, EditPrefixLen)
@@ -315,6 +320,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("prefix"),
         levenshtein(col("prefix"), lit(NgramNeedle)).as("edit_dist"))
       .orderBy(col("doc_id"))
+  }
 
   def t7Query(s: SparkSession, d: String): DataFrame =
     editDistance(Tables.documents(s, d))
