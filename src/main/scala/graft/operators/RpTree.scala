@@ -270,15 +270,24 @@ object RpTree {
   /** Build/refresh the leaf-partitioned index. Full rebuild on ANY
     * corpus change (see scaladoc: median thresholds move with the
     * data, so shard append is unsound here — Annoy's static-index
-    * contract). */
-  def ensureIndex(s: SparkSession, d: String): String =
+    * contract). The staleness marker carries the TRAINED THRESHOLDS
+    * alongside the corpus fingerprint (a3's ensure carries its
+    * codebook the same way): a training-rule change that moves
+    * thresholds without touching corpus bytes must rebuild too —
+    * otherwise queries would descend the NEW tree while the persisted
+    * assignment still encodes the OLD one, silently mismatching
+    * probes and leaves. */
+  def ensureIndex(s: SparkSession, d: String): String = {
+    val thr = treeFor(s, d)
     graft.sources.LocalIndex.ensure("rptree-index", d, "_d" + Depth + "m",
-      graft.sources.LocalIndex.fingerprint(Seq(s"$d/embeddings.parquet"))) { path =>
-      val thr = treeFor(s, d)
+      graft.sources.LocalIndex.fingerprint(Seq(s"$d/embeddings.parquet")) +
+        "#thr:" + thr.toSeq.sorted.map { case (n, t) => s"$n=$t" }
+          .mkString(",")) { path =>
       assignLeaf(Tables.embeddings(s, d), thr)
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("leaf").parquet(path)
     }
+  }
 
   /** a4_indexed: same result contract served from the persisted
     * layout — the probe-leaf set is a driver constant, so the `isin`
