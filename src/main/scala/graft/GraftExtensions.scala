@@ -42,6 +42,7 @@ object GraftExtensions {
       functions.texthash.builders ++
       functions.textstats.builders ++
       functions.topk.builders ++
+      functions.heavyhitters.builders ++
       functions.uniqupto.builders ++
       functions.thetasketch.builders ++
       functions.tdigest.builders

@@ -378,25 +378,33 @@ object SparkEntry {
         |WHERE epoch_us(window_start) + 3600000000 <=
         |      ((SELECT epoch_us(max(ts)) // 1000 FROM events) - 1800000) * 1000
         |ORDER BY 1, 2""".stripMargin,
-    // s5: the streaming topk sketch is EXACT here (capacity ≥ user
-    // cardinality, single AvailableNow batch), so the oracle is the
-    // exact per-(window, type) top-5 with the sketch's (cnt desc,
-    // user asc) tie-break, under s1's watermark finalization cutoff.
+    // s5: streaming guaranteed heavy hitters at FIXED capacity 256 —
+    // the stream emits bounded Misra-Gries candidates + exact n per
+    // finalized daily window, the gate recounts candidates exactly,
+    // and the output is the deterministic set {page : cnt·256 > n}
+    // under s1's watermark finalization cutoff (1-day windows).
     "s5_stream_topk" ->
-      """WITH cnts AS (
-        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-        |         event_type, user_id, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2, 3),
-        |r AS (
-        |  SELECT window_start, event_type, user_id, cnt,
-        |         row_number() OVER (PARTITION BY window_start, event_type
-        |                            ORDER BY cnt DESC, user_id) AS rk
-        |  FROM cnts)
-        |SELECT window_start, event_type, user_id, cnt, rk
-        |FROM r
-        |WHERE rk <= 5 AND epoch_us(window_start) + 3600000000 <=
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+        |         CASE WHEN event_id % 2 = 0
+        |              THEN CAST(json_extract(props, '$.k') AS BIGINT)
+        |              ELSE 100 + event_id END AS page_id
+        |  FROM events),
+        |cnts AS (
+        |  SELECT window_start, page_id, count(*) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |tot AS (SELECT window_start, count(*) AS n FROM e GROUP BY 1),
+        |hh AS (
+        |  SELECT window_start, page_id, cnt, n,
+        |         row_number() OVER (PARTITION BY window_start
+        |                            ORDER BY cnt DESC, page_id) AS rk
+        |  FROM cnts JOIN tot USING (window_start)
+        |  WHERE cnt * 256 > n)
+        |SELECT window_start, page_id, cnt, n, rk
+        |FROM hh
+        |WHERE epoch_us(window_start) + 86400000000 <=
         |      ((SELECT epoch_us(max(ts)) // 1000 FROM events) - 1800000) * 1000
-        |ORDER BY 1, 2, 5""".stripMargin,
+        |ORDER BY 1, 5""".stripMargin,
     // q31: like q9/q23, the checkable cross-engine contract of a
     // sketch is its ACCURACY — the oracle recomputes the exact global
     // distinct and expects the merged-sketch estimate within 5%.
@@ -405,38 +413,55 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_exact,
         | TRUE AS merged_ok
         |FROM lineitem""".stripMargin,
-    // q32: the Space-Saving summary is exact when capacity ≥ distinct
-    // keys per group (no evictions) — the oracle is therefore the
-    // exact per-type top-10 with the sketch's own (cnt desc, user asc)
-    // tie-break.
+    // q32: two-pass guaranteed heavy hitters at FIXED sketch capacity.
+    // The Misra-Gries candidate set is merge-order-dependent in its
+    // tail but provably complete above total/(capacity+1), and the
+    // exact recount filters to cnt*256 > total — so the output is
+    // exactly the deterministic set the oracle derives from exact
+    // counts, at ANY scale factor (the eviction regime IS the gated
+    // regime: distinct pages per type > capacity at every gate SF).
     "q32_approx_topk" ->
-      """WITH cnts AS (
-        |  SELECT event_type, user_id, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT event_type, user_id, cnt,
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 2 = 0
+        |              THEN CAST(json_extract(props, '$.k') AS BIGINT)
+        |              ELSE 100 + event_id END AS page_id
+        |  FROM events),
+        |cnts AS (
+        |  SELECT event_type, page_id, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS total FROM e GROUP BY 1),
+        |hh AS (
+        |  SELECT event_type, page_id, cnt, total,
         |         row_number() OVER (PARTITION BY event_type
-        |                            ORDER BY cnt DESC, user_id) AS rk
-        |  FROM cnts)
-        |SELECT event_type, user_id, cnt, rk
-        |FROM r WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
-    // q49: exact weighted top-k — valid against the sketch because
-    // capacity (256) >= per-type distinct users at the gate SF, the
-    // same no-eviction contract q32 pins; (w DESC, user_id) is the
-    // sketch's deterministic output order
+        |                            ORDER BY cnt DESC, page_id) AS rk
+        |  FROM cnts JOIN tot USING (event_type)
+        |  WHERE cnt * 256 > total)
+        |SELECT event_type, page_id, cnt, total, rk
+        |FROM hh ORDER BY event_type, rk""".stripMargin,
+    // q49: the weighted form of q32's two-pass contract — exact-cents
+    // weights, threshold total_weight/256, same completeness bound
+    // with W = total weight.
     "q49_topk_weighted" ->
-      """WITH ws AS (
-        |  SELECT event_type, user_id,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-        |           AS w_cents
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT event_type, user_id, w_cents,
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 2 = 0
+        |              THEN CAST(json_extract(props, '$.k') AS BIGINT)
+        |              ELSE 100 + event_id END AS page_id,
+        |         CAST(round(value * 100) AS BIGINT) AS w
+        |  FROM events),
+        |ws AS (
+        |  SELECT event_type, page_id, CAST(sum(w) AS BIGINT) AS w_cents
+        |  FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(w) AS BIGINT) AS total
+        |        FROM e GROUP BY 1),
+        |hh AS (
+        |  SELECT event_type, page_id, w_cents, total,
         |         row_number() OVER (PARTITION BY event_type
-        |                            ORDER BY w_cents DESC, user_id) AS rk
-        |  FROM ws)
-        |SELECT event_type, user_id, w_cents, rk
-        |FROM r WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
+        |                            ORDER BY w_cents DESC, page_id) AS rk
+        |  FROM ws JOIN tot USING (event_type)
+        |  WHERE w_cents * 256 > total)
+        |SELECT event_type, page_id, w_cents, total, rk
+        |FROM hh ORDER BY event_type, rk""".stripMargin,
     // q50: the exact discrete quantiles replay in pure integer rank
     // arithmetic (target = ceil(n*qm/1000) in integers); the sketch's
     // rank-window contract is TRUE by the summary's published bound

@@ -486,42 +486,87 @@ object Analytics {
           .as("merged_ok"))
   }
 
-  /** q32: approximate frequent items — ClickHouse `topK(k)(col)` — via
-    * the custom Space-Saving aggregate [[graft.functions.TopKSketchAgg]].
-    * Per event_type, the 10 heaviest user_ids. The exact formulation
-    * shuffles every distinct (type, user) pair; the sketch ships ONE
-    * bounded `capacity`-entry summary per partition per group, so at
-    * 100 TB the shuffle is O(partitions × capacity), independent of
-    * user cardinality. Capacity 256 ≥ the corpus' per-type user count,
-    * which makes the summary provably exact (no evictions) — that
-    * exactness contract is what the DuckDB oracle pins; the eviction
-    * path under skew is property-tested in ScalaTest. */
-  /** Exact-regime sketch sizing for the top-k gates: capacity tied to
-    * the corpus' own per-type user cardinality (one bounded 1-row
-    * aggregate — the codebook-collect class), so the gate pins the
-    * machinery in the regime the exact oracle can replay at ANY SF
-    * instead of assuming a fixed 256 covers every corpus (it stopped
-    * covering at the sf1 rehearsal). Production picks a fixed capacity
-    * and gets the published ε = n/capacity bound — the eviction regime
-    * is property-tested in TopKSketchSpec, not gated. */
-  private def exactRegimeCap(s: SparkSession, d: String): Int = {
-    val maxPerType = Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("u"))
-      .agg(max(col("u"))).head.getLong(0)
-    math.min(1L << 22, math.max(256L, 2L * maxPerType)).toInt
+  /** Fixed sketch capacity for the frequent-items gate family
+    * (q32/q49; the streaming form s5 carries its own) — CORPUS-
+    * INDEPENDENT by design. The Misra-Gries completeness bound
+    * (every key with true weight > W/(capacity+1) survives any merge
+    * order — [[graft.functions.MgSummary]]) covers the output
+    * threshold W/[[HhThreshold]] with 4× slack. */
+  val HhCapacity = 1024
+
+  /** Output threshold factor: the gates emit exactly the keys whose
+    * true count/weight strictly exceeds total/256 — a deterministic
+    * set the DuckDB oracle recomputes from exact counts. */
+  val HhThreshold = 256
+
+  /** The synthetic corpus has no URL column, so the frequent-items
+    * gates mine a derived page-visit stream with the shape real
+    * top-URL jobs face: a hot HEAD (the 100 `props.$.k` values, on
+    * even event_ids — each ~0.5% of traffic at every SF) over an
+    * unbounded unique TAIL (one fresh id per odd event). Distinct
+    * keys grow linearly with the corpus, so a fixed-capacity summary
+    * is forced through its eviction regime at every gate SF, while
+    * the head stays above the relative threshold at every SF.
+    * Deterministic, replayed identically by the oracle. */
+  private[graft] def pageVisit: Column =
+    when(col("event_id") % 2 === 0,
+      get_json_object(col("props"), "$.k").cast("long"))
+      .otherwise(lit(100L) + col("event_id"))
+
+  /** Shared two-pass tail for q32/q49: candidates ⋈ exact recount →
+    * the guaranteed set {key : weight·[[HhThreshold]] > total}. The
+    * candidate table is ≤ 2·capacity rows per group — broadcast side
+    * by construction at ANY corpus size. */
+  private def hhRecount(weighted: DataFrame,
+      cand: DataFrame, wCol: String): DataFrame = {
+    val hits = weighted
+      .join(broadcast(cand.select(col("event_type"),
+        explode(col("cand")).as("page_id"))),
+        Seq("event_type", "page_id"))
+      .groupBy(col("event_type"), col("page_id"))
+      .agg(sum(col("w")).as(wCol))
+    hits
+      .join(broadcast(cand.select(col("event_type"), col("total"))),
+        Seq("event_type"))
+      .filter(col(wCol) * lit(HhThreshold.toLong) > col("total"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col(wCol).desc, col("page_id"))))
+      .select(col("event_type"), col("page_id"), col(wCol),
+        col("total"), col("rk"))
+      .orderBy(col("event_type"), col("rk"))
   }
 
+  /** q32: frequent items at FIXED sketch capacity — the ClickHouse
+    * `topK` capability re-expressed as the two-pass guaranteed-heavy-
+    * hitters operator. Pass 1 builds one bounded Misra-Gries candidate
+    * summary per partition per group ([[graft.functions.MgCandidatesAgg]]
+    * — state ≤ 2·[[HhCapacity]] entries regardless of corpus
+    * cardinality, the property the previous corpus-sized capacity
+    * broke); pass 2 recounts ONLY the candidates exactly (broadcast
+    * semi-join — ≤ 2048 keys per group) and keeps keys above the
+    * relative threshold total/[[HhThreshold]].
+    *
+    * Why this is gateable at any SF: Misra-Gries candidate sets are
+    * merge-order-dependent in their TAIL, but provably COMPLETE above
+    * W/(capacity+1) (PODS 2012 mergeable-summaries bound, see
+    * [[graft.functions.MgSummary]]) — so after the exact recount the
+    * output is exactly {page : cnt·256 > N}, a deterministic set the
+    * DuckDB oracle derives from exact counts alone. The approximate
+    * display surface (Space-Saving ranks with error bars) remains
+    * [[graft.functions.TopKSketchAgg]], property-tested in
+    * TopKSketchSpec. At 100 TB: two scans, each shuffling only
+    * bounded summaries / candidate hits — never a distinct-key-sized
+    * exchange. */
   def q32ApproxTopK(s: SparkSession, d: String): DataFrame = {
-    graft.functions.topk.register(s)
-    Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(graft.functions.topk.topkSketch(
-        col("user_id"), exactRegimeCap(s, d), 10).as("tk"))
-      .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
-      .select(col("event_type"), col("e.item").as("user_id"),
-        col("e.cnt").as("cnt"), (col("pos") + 1).as("rk"))
-      .orderBy(col("event_type"), col("rk"))
+    graft.functions.heavyhitters.register(s)
+    val e = Tables.events(s, d)
+      .select(col("event_type"), pageVisit.as("page_id"))
+    val weighted = e.withColumn("w", lit(1L))
+    val cand = e.groupBy(col("event_type"))
+      .agg(graft.functions.heavyhitters.mgCandidates(
+        col("page_id"), lit(1L), HhCapacity).as("cand"),
+        count(lit(1)).as("total"))
+    hhRecount(weighted, cand, "cnt")
   }
 
   /** q33: time-series gap fill — ClickHouse `ORDER BY … WITH FILL` —
@@ -1027,28 +1072,26 @@ object Analytics {
       .orderBy(col("next_type"))
   }
 
-  /** q49: weighted frequent items — ClickHouse `topKWeighted(k)(col,
-    * w)` — via [[graft.functions.TopKWeightedSketchAgg]]: per
-    * event_type, the 10 users with the largest exact-cents revenue
-    * sum. Same 100 TB story as q32 with weight in place of count: the
-    * exact form shuffles every distinct (type, user) pair, the sketch
-    * ships one bounded capacity-entry summary per partition per group.
-    * Capacity sized by [[exactRegimeCap]] (≥ the per-type user count
-    * at ANY gate SF), so the summary is provably exact (no evictions)
-    * — the contract the DuckDB oracle pins; eviction under skew is
-    * property-tested. */
+  /** q49: WEIGHTED frequent items at fixed capacity — the ClickHouse
+    * `topKWeighted(k)(col, weight)` capability as the weighted form of
+    * [[q32ApproxTopK]]'s two-pass guaranteed-heavy-hitters operator:
+    * pages whose exact-cents revenue exceeds total_revenue/256, found
+    * via a fixed-capacity weighted Misra-Gries candidate pass (the
+    * PODS'12 bound holds verbatim with W = total weight) plus a
+    * bounded exact re-weigh of the candidates. Deterministic at any
+    * SF and merge order; corpus-independent state (≤ 2·1024 entries
+    * per partition per group). Weight = round(value·100) cents —
+    * integer mass on both engines. */
   def q49TopKWeighted(s: SparkSession, d: String): DataFrame = {
-    graft.functions.topk.register(s)
-    Tables.events(s, d)
-      .select(col("event_type"), col("user_id"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy(col("event_type"))
-      .agg(graft.functions.topk.topkWeighted(
-        col("user_id"), col("cents"), exactRegimeCap(s, d), 10).as("tk"))
-      .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
-      .select(col("event_type"), col("e.item").as("user_id"),
-        col("e.w").as("w_cents"), (col("pos") + 1).as("rk"))
-      .orderBy(col("event_type"), col("rk"))
+    graft.functions.heavyhitters.register(s)
+    val e = Tables.events(s, d)
+      .select(col("event_type"), pageVisit.as("page_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("w"))
+    val cand = e.groupBy(col("event_type"))
+      .agg(graft.functions.heavyhitters.mgCandidates(
+        col("page_id"), col("w"), HhCapacity).as("cand"),
+        sum(col("w")).as("total"))
+    hhRecount(e, cand, "w_cents")
   }
 
   /** q50: mergeable quantile sketch — the ClickHouse

@@ -279,6 +279,33 @@ object EventStream {
         (col("pos") + 1).as("rk"))
   }
 
+  /** Streaming guaranteed-heavy-hitters candidates — the continuous
+    * form of [[graft.operators.Analytics.q32ApproxTopK]]'s pass 1:
+    * per event-time window, one FIXED-capacity Misra-Gries candidate
+    * summary ([[graft.functions.MgCandidatesAgg]]) plus the exact
+    * window count. State per window is ≤ 2·capacity entries — bounded
+    * whatever the per-window key cardinality, which is what a
+    * streaming top-pages job needs at 100 TB/day (the previous
+    * corpus-sized capacity made the state store grow with the
+    * corpus). Watermark finalization matches s1: append emits a
+    * window once the watermark passes its end. Downstream consumers
+    * re-verify candidates against exact counts (the PODS'12
+    * completeness bound survives any state-store merge order) —
+    * see [[s5Query]]. */
+  def windowedHeavyHitters(events: DataFrame, key: Column,
+      windowLen: String = "1 day",
+      watermark: String = "30 minutes",
+      capacity: Int = 256): DataFrame = {
+    graft.functions.heavyhitters.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(graft.functions.heavyhitters.mgCandidates(
+        key, lit(1L), capacity).as("cand"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("cand"), col("n"))
+  }
+
   /** s3: streaming exact-dedup — the continuous form of Dedup.d1 for an
     * ingest stream (the reference re-ingests overlapping shards;
     * duplicates must be dropped before they hit the corpus).
@@ -570,24 +597,43 @@ object EventStream {
       s.read.parquet(root.resolve("idx").toString))
   }
 
-  /** s5 gate: [[windowedTopK]] as a real file-source stream. The
-    * sketch capacity is sized to the corpus' own per-(window, type)
-    * user cardinality (one bounded batch aggregate BEFORE the stream
-    * starts — the q32 exact-regime discipline, valid at any SF; a
-    * fixed 256 stopped covering at the sf1 rehearsal), so every
-    * finalized window's top-k is EXACT with the sketch's own
-    * (cnt desc, user asc) tie-break — the DuckDB oracle recomputes it
-    * from scratch under the same watermark cutoff as s1. Per-window
-    * state stays cardinality-bounded, orders below the corpus. */
+  /** s5 gate: [[windowedHeavyHitters]] as a real file-source stream,
+    * at FIXED capacity 256 — corpus-independent state, the eviction
+    * regime exercised at every gate SF (distinct pages per daily
+    * window exceed 256 from sf0.01 up). The stream emits per
+    * finalized window the bounded candidate set + exact count; the
+    * gate then recounts ONLY the candidates in one batch pass
+    * (broadcast semi-join, ≤ 2·256 keys × 30 windows) and keeps
+    * pages above n/256 — by the Misra-Gries completeness bound the
+    * result is exactly {page : cnt·256 > n_window}, the deterministic
+    * set the DuckDB oracle recomputes from exact counts under the
+    * same watermark cutoff as s1. The display-rank streaming surface
+    * ([[windowedTopK]], Space-Saving with error bars) stays
+    * spec-covered; this gate pins the bounded-state contract. */
   def s5Query(s: SparkSession, d: String): DataFrame = {
-    val maxPerWindow = graft.Tables.events(s, d)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(countDistinct(col("user_id")).as("u"))
-      .agg(max(col("u"))).head.getLong(0)
-    val cap = math.min(1L << 20, math.max(256L, 2L * maxPerWindow)).toInt
-    runAvailableNow(s, "s5", d) { ss =>
-      windowedTopK(streamEvents(ss, d), capacity = cap)
-    }.orderBy(col("window_start"), col("event_type"), col("rk"))
+    val streamed = runAvailableNow(s, "s5", d) { ss =>
+      windowedHeavyHitters(streamEvents(ss, d),
+        graft.operators.Analytics.pageVisit)
+    }
+    val hits = graft.Tables.events(s, d)
+      .select(window(col("ts"), "1 day")("start").as("window_start"),
+        graft.operators.Analytics.pageVisit.as("page_id"))
+      .join(broadcast(streamed.select(col("window_start"),
+        explode(col("cand")).as("page_id"))),
+        Seq("window_start", "page_id"))
+      .groupBy(col("window_start"), col("page_id"))
+      .agg(count(lit(1)).as("cnt"))
+    hits
+      .join(broadcast(streamed.select(col("window_start"), col("n"))),
+        Seq("window_start"))
+      .filter(col("cnt") * lit(256L) > col("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"))
+          .orderBy(col("cnt").desc, col("page_id"))))
+      .select(col("window_start"), col("page_id"), col("cnt"), col("n"),
+        col("rk"))
+      .orderBy(col("window_start"), col("rk"))
   }
 
   // ------------------------------------------------- driver gates s2–s4

@@ -96,12 +96,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q32 topk sketch aggregates with map-side partials") {
-    // TypedImperativeAggregate plans as ObjectHashAggregate; partial +
-    // final means each partition ships one bounded summary, never the
-    // raw (type, user) pairs
-    val hits = "ObjectHashAggregate".r.findAllIn(plan("q32_approx_topk")).size
-    hits should be >= 2
+  test("q32/q49 two-pass heavy hitters: bounded summary partials, broadcast recount") {
+    Seq("q32_approx_topk", "q49_topk_weighted").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        // pass 1: the MG TypedImperativeAggregate plans as
+        // ObjectHashAggregate partial + final — each partition ships
+        // one ≤2·capacity-entry summary, never raw (type, page) pairs
+        "ObjectHashAggregate".r.findAllIn(p).size should be >= 2
+        // pass 2: the ≤2·capacity-row candidate set joins the corpus
+        // by BROADCAST — a shuffle here would exchange corpus-sized
+        // data to meet a bounded dimension
+        p should include("BroadcastHashJoin")
+        p should not include "SortMergeJoin"
+      }
+    }
   }
 
   test("q35 argmax is a single aggregation pass, no window sort") {

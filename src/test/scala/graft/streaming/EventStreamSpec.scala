@@ -121,6 +121,46 @@ abstract class EventStreamSuiteBase extends SparkSpec {
     } finally q.stop()
   }
 
+  test(s"[$store] s5 heavy-hitter candidates: fixed capacity, eviction across batches, completeness") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // capacity 4 with 30+ distinct keys per window — the eviction
+    // regime the driver gate runs at larger scale. user 1 is the one
+    // key above n/(capacity+1); it must survive ANY state-store merge
+    // order even though the candidate tail churns.
+    val q = EventStream.windowedHeavyHitters(input.toDF(),
+        org.apache.spark.sql.functions.col("user_id"),
+        "10 minutes", "5 minutes", capacity = 4)
+      .writeStream.format("memory").queryName(qn("s5hh"))
+      .outputMode("append").start()
+    try {
+      // window [0,10): 3 batches; heavy key 1 spread across them,
+      // 30 unique tail keys forcing prunes at capacity 4
+      input.addData((1 to 10).map(i => Event(100 + i, ts(1), "t", 1.0)) :+
+        Event(1, ts(1), "t", 1.0): _*)
+      q.processAllAvailable()
+      input.addData((11 to 20).map(i => Event(100 + i, ts(2), "t", 1.0)) :+
+        Event(1, ts(2), "t", 1.0): _*)
+      q.processAllAvailable()
+      input.addData((21 to 30).map(i => Event(100 + i, ts(3), "t", 1.0)) ++
+        Seq.fill(10)(Event(1, ts(3), "t", 1.0)): _*)
+      q.processAllAvailable()
+      spark.table(qn("s5hh")).count() shouldBe 0 // window still open
+      input.addData(Event(999, ts(30), "t", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(999, ts(31), "t", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(qn("s5hh")).collect()
+      rows.length shouldBe 1
+      val cand = rows.head.getAs[scala.collection.Seq[Long]]("cand")
+      val n = rows.head.getAs[Long]("n")
+      n shouldBe 42L
+      cand.length should be <= 8 // ≤ 2·capacity — bounded state
+      // key 1 has true count 12 > 42/5: guaranteed present
+      cand should contain(1L)
+    } finally q.stop()
+  }
+
   test(s"[$store] s1 file-source stream (driver-gated path) matches the batch twin") {
     import org.apache.spark.sql.functions._
     val got = EventStream.s1Query(spark, SparkSpec.TinySf)
