@@ -519,15 +519,17 @@ object Analytics {
     * by construction at ANY corpus size. */
   private def hhRecount(weighted: DataFrame,
       cand: DataFrame, wCol: String): DataFrame = {
+    // ONE reference to the candidate plan: the group total rides along
+    // the exploded candidate rows (constant per group, max() folds it
+    // back), so pass 1 materializes for a single broadcast instead of
+    // once per downstream use — two corpus scans total, not three.
     val hits = weighted
-      .join(broadcast(cand.select(col("event_type"),
+      .join(broadcast(cand.select(col("event_type"), col("total"),
         explode(col("cand")).as("page_id"))),
         Seq("event_type", "page_id"))
       .groupBy(col("event_type"), col("page_id"))
-      .agg(sum(col("w")).as(wCol))
+      .agg(sum(col("w")).as(wCol), max(col("total")).as("total"))
     hits
-      .join(broadcast(cand.select(col("event_type"), col("total"))),
-        Seq("event_type"))
       .filter(col(wCol) * lit(HhThreshold.toLong) > col("total"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
         .orderBy(col(wCol).desc, col("page_id"))))

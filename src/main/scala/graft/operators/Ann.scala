@@ -339,7 +339,13 @@ object Ann {
     codebooks.compute(d, (_, cur) => {
       val now = graft.sources.LocalIndex.dataManifest(
         Seq(s"$d/embeddings.parquet"))
-      if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains)) cur
+      if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains))
+        // grow-only serve — but ADOPT the current manifest: a shard
+        // appended after training is part of the served corpus from
+        // here on, so a later in-place mutation of it must read as a
+        // mutation (retrain), not as an invisible non-member of the
+        // train-time file set
+        (now, cur._2)
       else {
         val embs = Tables.embeddings(s, d)
         (now, trainCodebook(embs, seedCodebook(embs)))

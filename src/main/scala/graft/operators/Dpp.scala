@@ -49,28 +49,43 @@ object Dpp {
         .write.mode("overwrite").partitionBy("day").parquet(path)
     }
 
-  /** Per-day event counts — the single raw-corpus aggregate BOTH the
-    * threshold and the dimension derive from (one scan, where
-    * separate aggregates would read the raw fact source twice — the
-    * read DPP exists to avoid). Day-domain-sized, cached. */
+  /** Per-day event counts — the raw-corpus aggregate both the
+    * threshold and the dimension derive from. Built FRESH per call
+    * (day-domain-sized aggregate, one scan): the previous `.cache()`
+    * matched by canonicalized plan/path and would keep serving stale
+    * counts after an in-place corpus regeneration while
+    * [[ensureLayout]] correctly rebuilt — the same staleness class the
+    * round-13 Ann/RpTree/bm25 fingerprint keys closed. The dim must
+    * stay a Spark aggregate-with-filter over the scan (NOT a
+    * driver-collected LocalRelation): the selective predicate on it is
+    * what makes Catalyst's PartitionPruning rule insert the
+    * dynamicpruningexpression the c18 gate pins. */
   private def dayCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(date_trunc("day", col("ts")).cast("date").as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n_day"))
-      .cache()
 
   /** Peak-day threshold: FLOOR of mean events per day — exact integer
     * division of two exact counts, so the oracle derives the same
-    * number independently (no literal handoff needed). */
+    * number independently (no literal handoff needed). A driver
+    * LITERAL (one bounded 2-long aggregate), cached keyed by the
+    * source fingerprint so in-place regeneration retrains instead of
+    * serving the stale scalar. */
+  private val thresholdCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
   def peakThreshold(s: SparkSession, d: String): Long = {
-    val r = dayCounts(s, d)
-      .agg(sum(col("n_day")).as("n"), count(lit(1)).as("nd"))
-      .collect().head
-    // fail loudly on an empty corpus rather than dividing by zero —
-    // the c15/Ttl listing-contract lesson (silent degenerate inputs
-    // must not produce quiet nonsense)
-    require(r.getLong(1) > 0, s"peakThreshold: no event days under $d")
-    r.getLong(0) / r.getLong(1)
+    val fp = graft.sources.LocalIndex.fingerprint(Seq(s"$d/events.parquet"))
+    thresholdCache.getOrElseUpdate((d, fp), {
+      val r = dayCounts(s, d)
+        .agg(sum(col("n_day")).as("n"), count(lit(1)).as("nd"))
+        .collect().head
+      // fail loudly on an empty corpus rather than dividing by zero —
+      // the c15/Ttl listing-contract lesson (silent degenerate inputs
+      // must not produce quiet nonsense)
+      require(r.getLong(1) > 0, s"peakThreshold: no event days under $d")
+      r.getLong(0) / r.getLong(1)
+    })
   }
 
   /** The peak-days report, served from the partitioned layout with

@@ -288,17 +288,41 @@ object Stats {
     * ECDF denominators and q63's quantile totals would otherwise each
     * pay another aggregate + broadcast-join stage pair). Total keys
     * are `key1|key2|…` strings ("" for keys = Nil). */
-  private def bucketedCumsum(df: DataFrame, keys: Seq[String],
+  private[operators] def bucketedCumsum(df: DataFrame, keys: Seq[String],
       orderCol: String, sums: Seq[(String, String)], width: Int,
       inclusive: Boolean): (DataFrame, Map[String, IndexedSeq[Long]]) = {
+    // The literal offset map is keyed by a '#'-joined string built
+    // TWICE: driver-side via String.valueOf and column-side via
+    // concat_ws/cast. Those agree only for NON-NULL STRING keys
+    // (String.valueOf(null) = "null" while concat_ws SKIPS nulls;
+    // dates/doubles/booleans format differently per engine layer) —
+    // fail loudly rather than silently mis-keying a future call site.
+    keys.foreach { k =>
+      require(df.schema(k).dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"bucketedCumsum key '$k' must be STRING (driver/column key " +
+          "formatting only provably agrees for non-null strings)")
+    }
     val kc = keys.map(col)
     val bucket = expr(s"$orderCol div $width")
     val btRows = df.groupBy((kc :+ bucket.as("bucket")): _*)
       .agg(sum(col(sums.head._1)).as(s"bt_${sums.head._1}"),
         sums.tail.map { case (c, _) => sum(col(c)).as(s"bt_$c") }: _*)
       .collect()
+    // Bounded-collect contract made explicit: the bucket table is
+    // keyDomain·(domain/width) rows — callers size `width` so this is
+    // driver-small (worst today: q63, ~86 buckets × 3 flags). A wider
+    // future domain must re-size width, not balloon the driver.
+    require(btRows.length < (1 << 20),
+      s"bucketedCumsum bucket table ${btRows.length} rows — width " +
+        s"$width too fine for this domain; resize so the driver-side " +
+        "offset fold stays bounded")
     def keyOf(r: org.apache.spark.sql.Row): String =
-      keys.indices.map(i => String.valueOf(r.get(i))).mkString("#")
+      keys.indices.map { i =>
+        val v = r.get(i)
+        require(v != null, s"bucketedCumsum NULL key value in '${keys(i)}'")
+        String.valueOf(v)
+      }.mkString("#")
     // driver-side exclusive prefix per key, in bucket order
     val offsets = scala.collection.mutable.Map[String, Long]()
     val totals = scala.collection.mutable.Map[String, Array[Long]]()

@@ -615,17 +615,17 @@ object EventStream {
       windowedHeavyHitters(streamEvents(ss, d),
         graft.operators.Analytics.pageVisit)
     }
+    // one reference to the sink read: n rides along the exploded
+    // candidate rows (constant per window) — same shape as hhRecount
     val hits = graft.Tables.events(s, d)
       .select(window(col("ts"), "1 day")("start").as("window_start"),
         graft.operators.Analytics.pageVisit.as("page_id"))
-      .join(broadcast(streamed.select(col("window_start"),
+      .join(broadcast(streamed.select(col("window_start"), col("n"),
         explode(col("cand")).as("page_id"))),
         Seq("window_start", "page_id"))
       .groupBy(col("window_start"), col("page_id"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
     hits
-      .join(broadcast(streamed.select(col("window_start"), col("n"))),
-        Seq("window_start"))
       .filter(col("cnt") * lit(256L) > col("n"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -202,6 +202,36 @@ class StatsSpec extends SparkSpec {
     (r.getDouble(4) * hLang) shouldBe (hSrcGot * hSrc +- 1e-2)
   }
 
+  test("bucketedCumsum rejects non-string and null keys loudly") {
+    import spark.implicits._
+    // a DOUBLE key would silently mis-key the driver-built literal
+    // offset map (String.valueOf vs concat_ws formatting) — must throw
+    val dbl = Seq((1.0, 10L, 1L)).toDF("k", "cents", "c")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.bucketedCumsum(dbl, Seq("k"), "cents",
+        Seq(("c", "cum")), 1024, inclusive = true)
+    }
+    e1.getMessage should include("must be STRING")
+    // a NULL key value diverges too (String.valueOf → "null",
+    // concat_ws skips) — must throw, not corrupt the sweep
+    val nul = Seq((Option.empty[String], 10L, 1L), (Some("a"), 20L, 2L))
+      .toDF("k", "cents", "c")
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.bucketedCumsum(nul, Seq("k"), "cents",
+        Seq(("c", "cum")), 1024, inclusive = true)
+    }
+    e2.getMessage should include("NULL key")
+    // the happy path still sweeps: exact per-key running sums
+    val ok = Seq(("a", 10L, 1L), ("a", 2000L, 2L), ("b", 10L, 5L))
+      .toDF("k", "cents", "c")
+    val (swept, totals) = Stats.bucketedCumsum(ok, Seq("k"), "cents",
+      Seq(("c", "cum")), 1024, inclusive = true)
+    swept.orderBy(col("k"), col("cents")).select(col("k"), col("cum"))
+      .collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("a", 1L), ("a", 3L), ("b", 5L))
+    totals("a") shouldBe IndexedSeq(3L)
+  }
+
   test("q56 moving agg equals a driver-side trailing-7 fold") {
     val got = Stats.q56MovingAgg(spark, d).collect()
     val daily = got.map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
