@@ -51,7 +51,8 @@ object SearchCli {
   }
 
   final case class Args(command: String, text: Option[String] = None,
-      imageVec: Option[Long] = None, dir: String = "/root/testdata/sf0.001",
+      imageVec: Option[Long] = None, image: Option[String] = None,
+      tokens: Option[String] = None, dir: String = "/root/testdata/sf0.001",
       limit: Int = 10, filter: Option[String] = None,
       out: String = "results.html")
 
@@ -67,6 +68,8 @@ object SearchCli {
       argv(i) match {
         case "--text"      => a = a.copy(text = Some(argv(i + 1))); i += 2
         case "--image-vec" => a = a.copy(imageVec = Some(argv(i + 1).toLong)); i += 2
+        case "--image"     => a = a.copy(image = Some(argv(i + 1))); i += 2
+        case "--tokens"    => a = a.copy(tokens = Some(argv(i + 1))); i += 2
         case "--dir"       => a = a.copy(dir = argv(i + 1)); i += 2
         case "--limit"     => a = a.copy(limit = argv(i + 1).toInt); i += 2
         case "--filter"    => a = a.copy(filter = Some(argv(i + 1))); i += 2
@@ -81,6 +84,8 @@ object SearchCli {
     """usage:
       |  SearchCli search --text "a query" [--dir D] [--limit K] [--filter "label IN (1,3)"] [--out results.html]
       |  SearchCli search --image-vec 42 [...]
+      |  SearchCli search --image /path/to/picture.png [...]
+      |  SearchCli search --tokens "vector,stream,join" [...]
       |  SearchCli concept_math "'some phrase' + 0.5 * 'other' - q0" [...]""".stripMargin
 
   def main(argv: Array[String]): Unit = {
@@ -89,7 +94,28 @@ object SearchCli {
     try run(spark, a) finally spark.stop()
   }
 
+  /** `--image <file>`: the search.py:51 `search_with_images` path —
+    * open a real image file, DECODE it for real
+    * ([[graft.operators.Multimodal.ImageIoDecoder]]: javax.imageio,
+    * fails loudly on non-image bytes), extract the real DCT pHash
+    * feature ([[graft.operators.Multimodal.phashOfImage]]), and run
+    * the canonical descriptor through the [[VectorSearch.BatchEmbedder]]
+    * seam where the reference runs CLIP's image tower. Deterministic
+    * end to end given the file's pixels, so the whole
+    * file → decode → feature → embed → knn chain is testable. */
+  private def embedImageFile(path: String): (Seq[Double], String) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val meta = graft.operators.Multimodal.ImageIoDecoder.decode(0L, bytes)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"$path: undecodable image payload")
+    val ph = graft.operators.Multimodal.phashOfImage(img)
+    val desc = s"image:${meta.format}:${meta.width}x${meta.height}:ph=$ph"
+    (embedOne(desc),
+      s"image file $path (${meta.width}×${meta.height} ${meta.format})")
+  }
+
   def run(spark: SparkSession, a: Args): Unit = {
+    if (a.command == "search" && a.tokens.isDefined) return tokenSearch(spark, a)
     vectors.register(spark)
     val combined = spark.read.parquet(VectorSearch.ensureCombined(spark, a.dir))
 
@@ -98,6 +124,9 @@ object SearchCli {
     val (queryVec, targetCol, queryDesc) = a.command match {
       case "search" if a.text.isDefined =>
         (embedOne(a.text.get), "image_embedding", a.text.get)
+      case "search" if a.image.isDefined =>
+        val (v, desc) = embedImageFile(a.image.get)
+        (v, "text_embedding", desc)
       case "search" if a.imageVec.isDefined =>
         val id = a.imageVec.get
         val v = combined.filter(col("doc_id") === id)
@@ -137,6 +166,44 @@ object SearchCli {
     try w.write(html) finally w.close()
 
     // search.py prints the file link + the stats line
+    println(s"file://${f.getAbsolutePath}")
+    println(f"query_time=${qSec}%.3fs generation_time=${genSec}%.3fs " +
+      s"read_rows=${stats.rowsRead} read_bytes=${stats.bytesRead}")
+  }
+
+  /** `--tokens "w1,w2"`: the hosted full-text tier (t8/t9) exposed as
+    * a per-request surface — BM25-ranked retrieval over the persisted
+    * posting index with the needle parsed from the CLI (the index
+    * stats caches are needle-keyed, so each distinct needle trains its
+    * own idf set). Out-of-vocabulary terms contribute zero hits; an
+    * all-OOV needle renders an empty result table, not an error. */
+  private def tokenSearch(spark: SparkSession, a: Args): Unit = {
+    import graft.operators.InvertedIndex
+    val needle = a.tokens.get.split(",").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSeq
+    require(needle.nonEmpty, usage)
+    val genT0 = System.nanoTime()
+    val ranked = InvertedIndex.bm25Indexed(spark, a.dir, needle)
+    val genSec = (System.nanoTime() - genT0) / 1e9 // index ensure + stats
+    val docs = spark.read.parquet(s"${a.dir}/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val hits = docs
+      .join(org.apache.spark.sql.functions.broadcast(
+        ranked.orderBy(col("bm25").desc, col("doc_id")).limit(a.limit)),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_terms"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val qT0 = System.nanoTime()
+    val rows = hits.collect()
+    val qSec = (System.nanoTime() - qT0) / 1e9
+    val stats = QueryStats.of(hits, qSec)
+    val html = render(s"tokens: ${needle.mkString(", ")}", a,
+      rows.toSeq.map(r => Hit(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getDouble(5))), genSec, stats)
+    val f = new java.io.File(a.out)
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.write(html) finally w.close()
     println(s"file://${f.getAbsolutePath}")
     println(f"query_time=${qSec}%.3fs generation_time=${genSec}%.3fs " +
       s"read_rows=${stats.rowsRead} read_bytes=${stats.bytesRead}")

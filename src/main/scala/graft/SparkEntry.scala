@@ -153,6 +153,7 @@ object SparkEntry {
     "c14_dictget" -> (Dictionary.c14Query _),
     "m4_phash_neardup" -> (Multimodal.m4Query _),
     "t8_inverted_search" -> (InvertedIndex.t8Query _),
+    "t8b_search_needle2" -> (InvertedIndex.t8bQuery _),
     "c16_bloom_lookup" -> (BloomLookup.c16Query _),
     "c17_pack_sequences" -> (Packing.c17Query _),
     "t9_bm25" -> (InvertedIndex.t9Query _),
@@ -923,6 +924,7 @@ object SparkEntry {
          |FROM qz ORDER BY score, vec_id LIMIT 10""".stripMargin,
   ) ++ Map(
     "t8_inverted_search" -> InvertedIndex.oracle,
+    "t8b_search_needle2" -> InvertedIndex.oracleFor(InvertedIndex.NeedleB),
     "c16_bloom_lookup" -> BloomLookup.oracle,
     "c17_pack_sequences" -> Packing.oracle,
     "t9_bm25" -> InvertedIndex.oracleT9(d),

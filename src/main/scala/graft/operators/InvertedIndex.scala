@@ -51,6 +51,12 @@ object InvertedIndex {
     * the match and no-match branches are exercised at every SF. */
   val Needle: Seq[String] = Seq("table", "value", "part", "hash")
 
+  /** Second gated needle (t8b): different vocabulary words PLUS an
+    * out-of-vocabulary term — search is parameterized per request
+    * (the stats/df caches are needle-keyed), and an OOV term must
+    * contribute zero matches, not error or skew minMatch. */
+  val NeedleB: Seq[String] = Seq("vector", "stream", "zzqx")
+
   /** Minimum distinct needle terms a document must contain — exercises
     * the AND-ish semantics between ClickHouse `hasToken` conjunctions
     * (all terms) and plain OR (any term). */
@@ -81,18 +87,28 @@ object InvertedIndex {
   def indexPath(d: String): String =
     graft.sources.LocalIndex.path("token-index", d, s"_b$Buckets$LayoutVer")
 
+  /** Part-file budget for the batch append path: once the layout
+    * accretes past this many data files, the append folds it back to
+    * ~one file per bucket ([[compactIndex]]) — so probed-bucket read
+    * cost stays bounded across arbitrarily many ingest batches
+    * instead of growing one file set per append forever. */
+  val CompactAt = 512
+
   /** Build (or incrementally append to) the posting index of a corpus
     * dir. Appends write only the NEW shard files' postings into the
     * existing partition dirs; any mutated/removed old file falls back
     * to the full rebuild.
     *
     * Append contract (same as d8's posting index): new shard files
-    * carry NEW doc_ids — the ingest pattern. A shard RE-CRAWLING an
-    * already-indexed doc_id would duplicate its postings (tf counted
-    * twice); dedupe re-crawls upstream (d1/d8 exist for exactly
-    * that), or mutate the old file so the manifest forces the honest
-    * full rebuild. */
-  def ensureIndex(s: SparkSession, d: String): String =
+    * carry NEW doc_ids — the ingest pattern. That contract is now
+    * ENFORCED, not just documented: the append first probes the live
+    * index for any of the shard's doc_ids (one column-pruned scan
+    * with the bounded shard-id set broadcast, LIMIT 1), and a
+    * re-delivered doc_id triggers the honest full rebuild instead of
+    * silently double-counting tf/df. Dedupe re-crawls upstream
+    * (d1/d8) to keep appends cheap. */
+  def ensureIndex(s: SparkSession, d: String,
+      compactAt: Int = CompactAt): String =
     graft.sources.LocalIndex.ensureIncremental("token-index", d,
       s"_b$Buckets$LayoutVer",
       Seq(s"$d/documents.parquet"), s"b$Buckets$LayoutVer") { path =>
@@ -101,9 +117,27 @@ object InvertedIndex {
         .partitionBy("tb").parquet(path)
     } { (newFiles, path) =>
       val shard = s.read.parquet(newFiles: _*)
-      postings(shard)
-        .write.mode("append").option("compression", "zstd")
-        .partitionBy("tb").parquet(path)
+      val redelivered = s.read.parquet(path).select(col("doc_id"))
+        .join(broadcast(shard.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .limit(1).count() > 0
+      if (redelivered) {
+        System.err.println(s"[t8] append shard re-delivers indexed " +
+          s"doc_ids under $path — falling back to full rebuild")
+        postings(Tables.documents(s, d))
+          .write.mode("overwrite").option("compression", "zstd")
+          .partitionBy("tb").parquet(path)
+      } else {
+        postings(shard)
+          .write.mode("append").option("compression", "zstd")
+          .partitionBy("tb").parquet(path)
+        // bound the accreted part-file count; ensureIncremental
+        // rewrites the source marker AFTER this lambda, so the
+        // compaction swap (which drops the old marker file with the
+        // old dir) never leaves the layout marker-less
+        if (graft.streaming.Compaction.partFiles(path) > compactAt)
+          compactIndex(s, path)
+      }
     }
 
   /** Background merge for a stream-maintained posting layout: fold
@@ -159,6 +193,13 @@ object InvertedIndex {
       .orderBy(col("doc_id"))
 
   def t8Query(s: SparkSession, d: String): DataFrame = searchIndexed(s, d)
+
+  /** t8b: the same serve path under a DIFFERENT needle — pins that
+    * search really is a per-request parameter (bucket pruning, df
+    * collection and scoring all re-derive from the needle), and that
+    * an out-of-vocabulary term degrades to zero hits silently. */
+  def t8bQuery(s: SparkSession, d: String): DataFrame =
+    searchIndexed(s, d, NeedleB)
 
   // ------------------------------------------------------------- t9
 
@@ -247,16 +288,18 @@ object InvertedIndex {
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  def oracle: String =
+  def oracle: String = oracleFor(Needle)
+
+  def oracleFor(needle: Seq[String], minMatch: Int = MinMatch): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${textops.tokensSql("text")}) AS tok
        |  FROM documents),
        |hits AS (
        |  SELECT doc_id, tok, count(*)::BIGINT AS tf
-       |  FROM toks WHERE tok IN ${sqlList(Needle)} GROUP BY 1, 2)
+       |  FROM toks WHERE tok IN ${sqlList(needle)} GROUP BY 1, 2)
        |SELECT doc_id, count(*)::BIGINT AS n_terms,
        |       sum(tf)::BIGINT AS total_tf
-       |FROM hits GROUP BY 1 HAVING count(*) >= $MinMatch
+       |FROM hits GROUP BY 1 HAVING count(*) >= $minMatch
        |ORDER BY doc_id""".stripMargin
 
   /** t9 oracle: DuckDB recomputes tf and dl from the raw corpus, but

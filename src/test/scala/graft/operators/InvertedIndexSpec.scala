@@ -111,4 +111,64 @@ class InvertedIndexSpec extends SparkSpec {
     after.groupBy(col("token"), col("doc_id")).count()
       .filter(col("count") > 1).count() shouldBe 0L
   }
+
+  test("append shard re-delivering an indexed doc_id forces a clean rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-").toString
+    writeDocs(dir, docs)
+    InvertedIndex.ensureIndex(spark, dir)
+    // the shard RE-CRAWLS doc 2 (same id, same text) — blind append
+    // would double its postings (tf/df inflate); the enforced
+    // contract detects the overlap and rebuilds instead
+    Seq(2L -> "hash hash hash of the table")
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    InvertedIndex.ensureIndex(spark, dir)
+    val idx = spark.read.parquet(InvertedIndex.indexPath(dir))
+    // a rebuild re-derives postings from the corpus scan, where the
+    // re-crawled rows DO aggregate (tf doubles at the source — the
+    // honest corpus-level answer); the per-(token, doc) grain stays
+    // single-row, which blind posting append would have broken
+    idx.groupBy(col("token"), col("doc_id")).count()
+      .filter(col("count") > 1).count() shouldBe 0L
+    val got = InvertedIndex.searchIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 2: hash tf 3→6, table tf 1→2 (the duplicated crawl rows)
+    got should contain((2L, 2L, 8L))
+  }
+
+  test("repeated appends keep the layout's part-file count bounded, results unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-").toString
+    writeDocs(dir, docs)
+    // tiny budget so the toy corpus actually crosses the tick; the
+    // production default (CompactAt) is the same machinery
+    InvertedIndex.ensureIndex(spark, dir, compactAt = 4)
+    val floorFiles =
+      graft.streaming.Compaction.partFiles(InvertedIndex.indexPath(dir))
+    var maxFiles = 0
+    (0 until 6).foreach { i =>
+      Seq((100L + i) -> s"table value shard$i doc")
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")))
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+      InvertedIndex.ensureIndex(spark, dir, compactAt = 4)
+      maxFiles = math.max(maxFiles,
+        graft.streaming.Compaction.partFiles(InvertedIndex.indexPath(dir)))
+    }
+    // every append over budget compacts right back: the running count
+    // never drifts past one compacted layout plus one append's files —
+    // i.e. accretion is bounded per cycle, not per corpus age
+    maxFiles should be <= floorFiles + InvertedIndex.Buckets
+    // and the post-compaction search equals the scan twin exactly
+    val got = InvertedIndex.searchIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scan = InvertedIndex
+      .searchScan(spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got shouldBe scan
+    (100L until 106L).foreach { id => got.map(_._1) should contain(id) }
+  }
 }
