@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Ann, RpTree}
+
+/** Recall@k measurement for the ANN tier — the number an ANN user
+  * actually buys (the reference's Annoy experiment,
+  * `results_ridgeback_annoy_100m.png`, is exactly a recall/latency
+  * trade). The driver gates pin determinism and plan shape; this main
+  * measures, per probe setting, how much of the EXACT top-k each
+  * approximate variant recovers:
+  *
+  *   - a2 (hyperplane LSH): probes 1..NumPlanes+1 (own bucket + the
+  *     Hamming-1 multi-probe ring), vs exact cosine (a1).
+  *   - a3 (IVF): nprobe 1..NumCentroids, vs exact L2 — which IS
+  *     ivfKnn at nprobe = NumCentroids (every cell probed), so the
+  *     sweep's top row doubles as a self-check at recall 1.0.
+  *   - a4 (RP-tree): maxFlips 0..6 spill probes, vs exact cosine.
+  *   - vq3 (IVF × int8): nprobe sweep vs exact FLOAT L2 — its recall
+  *     folds in quantization rank error, the honest serving number.
+  *
+  * Usage: `runMain graft.Recall [sfDir]` — prints one JSON line per
+  * (variant, setting): recall@10 averaged over the gated query set,
+  * plus the per-query minimum (a tail query hiding under a good mean
+  * is what a recall floor must catch). Frozen into BASELINE.md; the
+  * floor contract is pinned per-SF in AnnRecallSpec.
+  */
+object Recall {
+
+  /** top-k id sets per query of an ANN result frame
+    * (query_id, vec_id, score). */
+  private def topSets(df: DataFrame): Map[Int, Set[Long]] =
+    df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  /** Mean and min per-query recall of `got` against `exact`. */
+  def recallOf(got: Map[Int, Set[Long]],
+      exact: Map[Int, Set[Long]]): (Double, Double) = {
+    val per = exact.toSeq.map { case (q, ex) =>
+      val g = got.getOrElse(q, Set.empty)
+      ex.intersect(g).size.toDouble / ex.size
+    }
+    (per.sum / per.size, per.min)
+  }
+
+  final case class Row(variant: String, setting: Int,
+      mean: Double, min: Double)
+
+  def measure(s: SparkSession, d: String): Seq[Row] = {
+    implicit val sp: SparkSession = s
+    graft.functions.vectors.register(s)
+    val embs = Tables.embeddings(s, d)
+    val exactCos = topSets(Ann.a1Query(s, d))
+    val cb = Ann.codebookFor(s, d)
+    val exactL2 = topSets(Ann.ivfKnn(embs, cb, Ann.K, Ann.NumCentroids))
+
+    val a2 = (1 to Ann.NumPlanes + 1).map { p =>
+      val (m, mn) = recallOf(topSets(Ann.lshKnn(embs, Ann.K, p)), exactCos)
+      Row("a2_lsh", p, m, mn)
+    }
+    val a3 = Seq(1, 2, 4, 8, Ann.NumCentroids).map { np =>
+      val (m, mn) = recallOf(topSets(Ann.ivfKnn(embs, cb, Ann.K, np)), exactL2)
+      Row("a3_ivf", np, m, mn)
+    }
+    val a4 = (0 to 6).map { f =>
+      val (m, mn) = recallOf(topSets(RpTree.a4Query(s, d, Ann.K, f)), exactCos)
+      Row("a4_rptree", f, m, mn)
+    }
+    val vq3 = Seq(1, 2, 4, Ann.NumCentroids).map { np =>
+      val (m, mn) = recallOf(
+        topSets(Ann.quantizedIvfKnn(s, d, Ann.K, np)), exactL2)
+      Row("vq3_ivf_i8", np, m, mn)
+    }
+    a2 ++ a3 ++ a4 ++ vq3
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    try measure(spark, d).foreach { r =>
+      println(f"""{"variant":"${r.variant}","setting":${r.setting},""" +
+        f""""recall10":${r.mean}%.4f,"min_recall10":${r.min}%.4f,"sf":"$d"}""")
+    } finally spark.stop()
+  }
+}

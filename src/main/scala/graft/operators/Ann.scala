@@ -125,10 +125,11 @@ object Ann {
     * boundaries without changing the plan shape. A vector has exactly
     * one bucket and probe values are distinct, so no candidate dedup is
     * needed. */
-  def lshKnn(embs: DataFrame, k: Int = K)(implicit s: SparkSession): DataFrame = {
+  def lshKnn(embs: DataFrame, k: Int = K,
+      probes: Int = NumPlanes + 1)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     val queries = querySet.flatMap { case (i, v) =>
-      probeBuckets(bucketOf(v)).map(pb => (i, pb, v))
+      probeBuckets(bucketOf(v)).take(probes).map(pb => (i, pb, v))
     }.toDF("query_id", "qbucket", "qv")
     val bucketed = embs.withColumn("bkt", bucketCol(col("embedding")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
@@ -358,7 +359,8 @@ object Ann {
     * fold — a pure map over the corpus scan: no shuffle, no join,
     * constant work per row, constant plan size. Queries probe their
     * NProbe nearest cells; exact distance only inside probed cells. */
-  def ivfKnn(embs: DataFrame, cents: Seq[(Long, Seq[Double])], k: Int)
+  def ivfKnn(embs: DataFrame, cents: Seq[(Long, Seq[Double])], k: Int,
+             nprobe: Int = NProbe)
             (implicit s: SparkSession): DataFrame = {
     import s.implicits._
     val assigned = embs.withColumn("cid", nearestCentroid(cents, col("embedding")))
@@ -368,7 +370,7 @@ object Ann {
     val probes = querySet.flatMap { case (i, qv) =>
       cents.map { case (cid, cv) => (i, cid, l2(qv, cv)) }
         .sortBy { case (_, cid, dd) => (dd, cid) }
-        .take(NProbe)
+        .take(nprobe)
         .map { case (_, cid, _) => (i, cid, qv) }
     }.toDF("query_id", "pcid", "qv")
 
@@ -499,7 +501,8 @@ object Ann {
     * codegen loop, as vq2 does over the flat quantized copy).
     * Deterministic quantization → exact DuckDB oracle (the a3 oracle
     * with the dequantize replayed on the corpus side). */
-  def quantizedIvfKnn(s: SparkSession, d: String, k: Int = K): DataFrame = {
+  def quantizedIvfKnn(s: SparkSession, d: String, k: Int = K,
+      nprobe: Int = NProbe): DataFrame = {
     import s.implicits._
     vectors.register(s)
     val cb = codebookFor(s, d)
@@ -510,7 +513,7 @@ object Ann {
       querySet.flatMap { case (i, qv) =>
         cb.map { case (cid, cv) => (cid, l2(qv, cv)) }
           .sortBy { case (cid, dd) => (dd, cid) }
-          .take(NProbe)
+          .take(nprobe)
           .map { case (cid, _) => (i, cid, qv) }
       }
     val probes = probePairs.toDF("query_id", "pcid", "qv")

@@ -218,7 +218,8 @@ object RpTree {
     * with the smallest |proj − thr| margin along the query's OWN path
     * (margins are path-local, so they are computed on the unflipped
     * descent; ties break on level). Distinct leaves only. */
-  def probeLeaves(thr: Map[Int, Double], v: Seq[Double]): Seq[Int] = {
+  def probeLeaves(thr: Map[Int, Double], v: Seq[Double],
+      maxFlips: Int = MaxFlips): Seq[Int] = {
     var node = 1
     val margins = (0 until Depth).map { level =>
       val p = dir(node).zip(v).map { case (a, b) => a * b }.sum
@@ -227,16 +228,17 @@ object RpTree {
       node = node * 2 + (if (p >= t) 1 else 0)
       (m, level)
     }
-    val flips = margins.sorted.take(MaxFlips).map(_._2)
+    val flips = margins.sorted.take(maxFlips).map(_._2)
     (leafOf(thr, v) +: flips.map(l => leafOf(thr, v, flipLevel = l))).distinct
   }
 
   // ---------------------------------------------------------- search
 
-  private def probesDf(s: SparkSession, thr: Map[Int, Double]): DataFrame = {
+  private def probesDf(s: SparkSession, thr: Map[Int, Double],
+      maxFlips: Int = MaxFlips): DataFrame = {
     import s.implicits._
     Ann.querySet.flatMap { case (i, v) =>
-      probeLeaves(thr, v).map(pl => (i, pl, v))
+      probeLeaves(thr, v, maxFlips).map(pl => (i, pl, v))
     }.toDF("query_id", "pleaf", "qv")
   }
 
@@ -254,12 +256,14 @@ object RpTree {
   /** a4: scan-side RP-tree search — assign leaves on the fly (pure
     * map), broadcast-join the probe pairs, exact cosine inside probed
     * leaves. */
-  def a4Query(s: SparkSession, d: String, k: Int = K): DataFrame = {
+  def a4Query(s: SparkSession, d: String, k: Int = K,
+      maxFlips: Int = MaxFlips): DataFrame = {
     vectors.register(s)
     val thr = treeFor(s, d)
     val assigned = assignLeaf(Tables.embeddings(s, d), thr)
     topkPerQuery(
-      assigned.join(broadcast(probesDf(s, thr)), col("leaf") === col("pleaf")), k)
+      assigned.join(broadcast(probesDf(s, thr, maxFlips)),
+        col("leaf") === col("pleaf")), k)
   }
 
   // ----------------------------------------------------------- index

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{Recall, SparkSpec, Tables}
+
+/** Recall floors for the ANN tier — the contract the determinism/plan
+  * gates can't see: how much of the EXACT top-10 the approximate
+  * variants recover at their GATED probe settings. Floors sit just
+  * under the frozen sf0.01 measurements (BASELINE.md recall table) so
+  * a probe-routing or training regression trips them while run-to-run
+  * noise (the pipeline is deterministic — any drift is a code change)
+  * does not. The corpus embeddings are hash-synthetic ≈ uniform — the
+  * WORST case for space-partitioned ANN — so these floors are
+  * conservative lower bounds for clustered real-world vectors. */
+class AnnRecallSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.01"
+
+  private lazy val embs = Tables.embeddings(spark, d)
+  private lazy val exactCos = top(Ann.a1Query(spark, d))
+  private lazy val cb = Ann.codebookFor(spark, d)
+  private lazy val exactL2 = top(Ann.ivfKnn(embs, cb, Ann.K,
+    Ann.NumCentroids)(spark))
+
+  private def top(df: org.apache.spark.sql.DataFrame): Map[Int, Set[Long]] =
+    df.collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("a4 rp-tree recall floor at the gated MaxFlips, and spills monotone") {
+    graft.functions.vectors.register(spark)
+    val r0 = Recall.recallOf(top(RpTree.a4Query(spark, d, Ann.K, 0)), exactCos)
+    val r3 = Recall.recallOf(top(RpTree.a4Query(spark, d, Ann.K,
+      RpTree.MaxFlips)), exactCos)
+    r3._1 should be >= 0.65 // frozen sf0.01 measurement: 0.70
+    r3._1 should be >= r0._1 // spill probes only ever add candidates
+  }
+
+  test("a2 lsh full multi-probe recall floor") {
+    implicit val s = spark
+    graft.functions.vectors.register(spark)
+    val r = Recall.recallOf(top(Ann.lshKnn(embs, Ann.K)), exactCos)
+    r._1 should be >= 0.55 // frozen sf0.01 measurement: 0.64
+    // single-bucket probing must not beat the multi-probe ring
+    val r1 = Recall.recallOf(top(Ann.lshKnn(embs, Ann.K, 1)), exactCos)
+    r._1 should be >= r1._1
+  }
+
+  test("a3 ivf: gated nprobe floor; probing every cell IS the exact answer") {
+    implicit val s = spark
+    graft.functions.vectors.register(spark)
+    val gated = Recall.recallOf(top(Ann.ivfKnn(embs, cb, Ann.K)), exactL2)
+    gated._1 should be >= 0.25 // frozen sf0.01 measurement: 0.34
+    // self-check: nprobe = NumCentroids degenerates to brute force
+    Recall.recallOf(exactL2, exactL2)._1 shouldBe 1.0
+  }
+
+  test("vq3 int8 serving recalls the float exact answer at full probe") {
+    val full = Recall.recallOf(
+      top(Ann.quantizedIvfKnn(spark, d, Ann.K, Ann.NumCentroids)), exactL2)
+    // int8 max-abs/127 quantization does not perturb the top-10 rank
+    // set on this corpus — the serving copy loses bytes, not answers
+    full._1 shouldBe 1.0
+    val gated = Recall.recallOf(top(Ann.quantizedIvfKnn(spark, d)), exactL2)
+    gated._1 should be >= 0.25 // tracks a3's gated floor
+  }
+}
