@@ -659,18 +659,32 @@ object Dedup {
       else None
     val storedEntries = stored.map(_.split('|').toSeq.filter(_.nonEmpty))
 
-    // (g, doc_id, n) postings of a doc batch, hot cap applied within it
-    def postings(docs: DataFrame): DataFrame = {
+    // (g, doc_id, n) postings of a doc batch, hot cap applied within
+    // it. `cap` is PRO-RATED to the batch's share of the indexed
+    // corpus on appends: a corpus-hot shingle (df ≫ MaxShingleDf) has
+    // only ~shard-share of that df inside one shard, so the full
+    // corpus cap would keep nearly everything — the sf1 append
+    // rehearsal measured 13× the pro-rata bytes, and every append
+    // would erode the index's skew-free construction. The pro-rata
+    // cap drops the same population statistically; residual df drift
+    // across batches remains the documented LSM trade, folded back at
+    // the periodic full rebuild.
+    def postings(docs: DataFrame, cap: Long = MaxShingleDf): DataFrame = {
       val ex = docShingles(docs)
         .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
       val live = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxShingleDf).select(col("g"))
+        .filter(col("df") <= cap).select(col("g"))
       ex.join(live.hint("shuffle_hash"), Seq("g"))
     }
-    def setMarker(): Unit = {
-      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.src' = '$marker')")
+    def setMarker(ndocs: Long): Unit = {
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('graft.src' = '$marker', 'graft.ndocs' = '$ndocs')")
       ()
     }
+    def storedNdocs(): Option[Long] =
+      s.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .find(_.getString(0) == "graft.ndocs")
+        .map(_.getString(1).toLong)
 
     storedEntries match {
       case Some(old) if old == now => // fresh: serve as-is
@@ -679,12 +693,23 @@ object Dedup {
         val newFiles = now.filterNot(old.contains)
           // strip trailing :len:mtime (the path itself may hold ':')
           .map(e => e.substring(0, e.lastIndexOf(':', e.lastIndexOf(':') - 1)))
-        postings(s.read.parquet(newFiles: _*))
+        // repartition on the bucket key first: bucketed writers emit
+        // one file per (task × bucket), so a 32-task shard append
+        // would land ~task×bucket footer-dominated files — aligned,
+        // each bucket's delta is ONE file
+        val shard = s.read.parquet(newFiles: _*)
+        val shardN = shard.count()
+        val priorN = storedNdocs().getOrElse(
+          math.max(1L, Tables.documents(s, d).count() - shardN))
+        val cap = math.max(1L,
+          math.round(MaxShingleDf.toDouble * shardN / math.max(1L, priorN)))
+        postings(shard, cap)
+          .repartition(buckets, col("g"))
           .write.mode("append")
           .format("parquet").option("compression", "zstd")
           .bucketBy(buckets, "g").sortBy("g")
           .saveAsTable(table)
-        setMarker()
+        setMarker(priorN + shardN)
       case _ =>
         // full (re)build; clear any catalog-orphaned warehouse files
         // (the in-memory catalog forgets tables on JVM exit; the files
@@ -697,12 +722,14 @@ object Dedup {
             Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
           }
         rm(loc)
-        postings(Tables.documents(s, d))
+        val docs = Tables.documents(s, d)
+        postings(docs)
+          .repartition(buckets, col("g"))
           .write.mode("overwrite")
           .format("parquet").option("compression", "zstd")
           .bucketBy(buckets, "g").sortBy("g")
           .saveAsTable(table)
-        setMarker()
+        setMarker(docs.count())
     }
     table
   }

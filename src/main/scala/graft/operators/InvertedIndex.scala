@@ -112,7 +112,12 @@ object InvertedIndex {
     graft.sources.LocalIndex.ensureIncremental("token-index", d,
       s"_b$Buckets$LayoutVer",
       Seq(s"$d/documents.parquet"), s"b$Buckets$LayoutVer") { path =>
-      postings(Tables.documents(s, d))
+      // repartition on the bucket key so each bucket dir gets ~one
+      // file instead of one per (writer task × bucket) — without it a
+      // 32-task build lands ~2k part files, the very accretion the
+      // CompactAt tick exists to bound, and the FIRST append would
+      // compact (rewrite) the entire fresh index
+      postings(Tables.documents(s, d)).repartition(col("tb"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("tb").parquet(path)
     } { (newFiles, path) =>
@@ -128,7 +133,8 @@ object InvertedIndex {
           .write.mode("overwrite").option("compression", "zstd")
           .partitionBy("tb").parquet(path)
       } else {
-        postings(shard)
+        // same one-file-per-bucket shape for the shard's delta
+        postings(shard).repartition(col("tb"))
           .write.mode("append").option("compression", "zstd")
           .partitionBy("tb").parquet(path)
         // bound the accreted part-file count; ensureIncremental
