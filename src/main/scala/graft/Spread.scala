@@ -20,6 +20,10 @@ import org.apache.spark.sql.DataFrame
 object Spread {
   def ifNarrow(df: DataFrame): DataFrame = {
     val np = df.sparkSession.sparkContext.defaultParallelism
+    // df.rdd compiles a SECOND physical plan for this subtree,
+    // driver-side only (no job runs). Cheap at current plan sizes; if
+    // plan-time ever shows in profiles, read the scan's partition
+    // count from the FileSourceScanExec relation instead.
     if (df.rdd.getNumPartitions >= np) df else df.repartition(np)
   }
 }

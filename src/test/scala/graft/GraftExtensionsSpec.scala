@@ -18,6 +18,15 @@ class GraftExtensionsSpec extends SparkSpec {
     row.getLong(1) shouldBe 7L
   }
 
+  test("fresh session resolves the mg_candidates aggregate") {
+    val fresh = spark.newSession()
+    fresh.sql("SELECT 1L AS k, 1L AS w").createOrReplaceTempView("ext_mg_in")
+    val got = fresh.sql(
+      "SELECT explode(mg_candidates(k, w, 4)) FROM ext_mg_in")
+      .collect().map(_.getLong(0))
+    got shouldBe Array(1L)
+  }
+
   test("fresh session resolves the topk_sketch aggregate") {
     val fresh = spark.newSession()
     fresh.range(0, 10).selectExpr("id % 3 AS k")
