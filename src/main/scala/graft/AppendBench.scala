@@ -170,12 +170,21 @@ object AppendBench {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata_sf1")
     val scratch = args.drop(1).headOption.getOrElse("/tmp/graft-appendbench")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    try families().foreach { fam =>
-      val r = runFamily(spark, sfDir, scratch, fam)
-      println(f"""{"family":"${r.family}","build_s":${r.buildS}%.3f,""" +
-        f""""append_s":${r.appendS}%.3f,"rebuild_s":${r.rebuildS}%.3f,""" +
-        f""""index_bytes":${r.indexBytes},"appended_bytes":${r.appendedBytes},""" +
-        s""""old_files_unchanged":${r.oldUnchanged}}""")
-    } finally spark.stop()
+    val results =
+      try families().map { fam =>
+        val r = runFamily(spark, sfDir, scratch, fam)
+        println(f"""{"family":"${r.family}","build_s":${r.buildS}%.3f,""" +
+          f""""append_s":${r.appendS}%.3f,"rebuild_s":${r.rebuildS}%.3f,""" +
+          f""""index_bytes":${r.indexBytes},"appended_bytes":${r.appendedBytes},""" +
+          s""""old_files_unchanged":${r.oldUnchanged}}""")
+        r
+      } finally spark.stop()
+    // the rehearsal FAILS (nonzero exit) when an append path rewrote
+    // pre-append index files — a passing run is evidence, a printed
+    // false must never be silently re-frozen into BASELINE.md
+    val broken = results.filterNot(_.oldUnchanged).map(_.family)
+    require(broken.isEmpty,
+      s"append rehearsal: old index files were REWRITTEN by: " +
+        broken.mkString(", "))
   }
 }

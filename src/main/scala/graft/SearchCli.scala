@@ -105,13 +105,24 @@ object SearchCli {
     * file → decode → feature → embed → knn chain is testable. */
   private def embedImageFile(path: String): (Seq[Double], String) = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val meta = graft.operators.Multimodal.ImageIoDecoder.decode(0L, bytes)
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    require(img != null, s"$path: undecodable image payload")
+    // ONE decode pass supplies the pixels, dimensions and format name
+    // (a second ImageIO.read of the same bytes would double the decode
+    // cost and reader selection)
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val (img, format) =
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        require(readers.hasNext, s"$path: no image reader for payload")
+        val reader = readers.next()
+        reader.setInput(in)
+        try { (reader.read(0), reader.getFormatName.toLowerCase) }
+        finally reader.dispose()
+      } finally in.close()
     val ph = graft.operators.Multimodal.phashOfImage(img)
-    val desc = s"image:${meta.format}:${meta.width}x${meta.height}:ph=$ph"
+    val desc = s"image:$format:${img.getWidth}x${img.getHeight}:ph=$ph"
     (embedOne(desc),
-      s"image file $path (${meta.width}×${meta.height} ${meta.format})")
+      s"image file $path (${img.getWidth}×${img.getHeight} $format)")
   }
 
   def run(spark: SparkSession, a: Args): Unit = {
@@ -185,15 +196,21 @@ object SearchCli {
     val genT0 = System.nanoTime()
     val ranked = InvertedIndex.bm25Indexed(spark, a.dir, needle)
     val genSec = (System.nanoTime() - genT0) / 1e9 // index ensure + stats
-    val docs = spark.read.parquet(s"${a.dir}/documents.parquet")
+    // --filter applies BEFORE the top-k cut (ranked is the full
+    // needle-matching set, bounded by the needle's posting lists, so
+    // filtering then limiting is both correct and cheap); the vector
+    // path at the scan and this join-side filter give the same
+    // user-visible contract
+    val docs = a.filter.fold(
+      spark.read.parquet(s"${a.dir}/documents.parquet"))(f =>
+      spark.read.parquet(s"${a.dir}/documents.parquet").filter(expr(f)))
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val hits = docs
-      .join(org.apache.spark.sql.functions.broadcast(
-        ranked.orderBy(col("bm25").desc, col("doc_id")).limit(a.limit)),
-        Seq("doc_id"))
+      .join(org.apache.spark.sql.functions.broadcast(ranked), Seq("doc_id"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_terms"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(a.limit)
     val qT0 = System.nanoTime()
     val rows = hits.collect()
     val qSec = (System.nanoTime() - qT0) / 1e9

@@ -46,7 +46,15 @@ final class MgSummary(val capacity: Int) {
   val counts = new java.util.HashMap[Long, Array[Long]]()
 
   def update(key: Long, w: Long): Unit = {
-    if (w <= 0L) return
+    // zero is a no-op; NEGATIVE weight is rejected LOUDLY: the
+    // completeness bound is stated against total weight W, and a
+    // consumer computing W = sum(w) over a stream with refunds would
+    // hold a smaller W than the positive mass this summary saw — a
+    // key could then clear W/(capacity+1) without being guaranteed
+    // present. Silently skipping (the display-surface topKWeighted
+    // convention) is not safe where the bound is load-bearing.
+    require(w >= 0L, s"mg_candidates weight must be >= 0, got $w")
+    if (w == 0L) return
     val cur = counts.get(key)
     if (cur != null) cur(0) += w
     else {

@@ -129,7 +129,10 @@ object InvertedIndex {
       if (redelivered) {
         System.err.println(s"[t8] append shard re-delivers indexed " +
           s"doc_ids under $path — falling back to full rebuild")
-        postings(Tables.documents(s, d))
+        // same one-file-per-bucket shape as the fresh build: without
+        // the repartition this branch would land task×bucket files and
+        // hand the NEXT clean append an immediate full-index compaction
+        postings(Tables.documents(s, d)).repartition(col("tb"))
           .write.mode("overwrite").option("compression", "zstd")
           .partitionBy("tb").parquet(path)
       } else {

@@ -305,16 +305,22 @@ object Stats {
     }
     val kc = keys.map(col)
     val bucket = expr(s"$orderCol div $width")
+    // Bounded-collect contract made explicit: the bucket table is
+    // keyDomain·(domain/width) rows — callers size `width` so this is
+    // driver-small (worst today: q63, ~86 buckets × 3 flags). The
+    // bound is enforced BEFORE the driver materializes anything: the
+    // limit(N+1) caps what can ever reach the driver, and exactly
+    // N+1 rows back means the bound was exceeded — fail loudly
+    // instead of ballooning (a post-collect check would only fire in
+    // the survivable band below actual OOM).
+    val CollectBound = 1 << 20
     val btRows = df.groupBy((kc :+ bucket.as("bucket")): _*)
       .agg(sum(col(sums.head._1)).as(s"bt_${sums.head._1}"),
         sums.tail.map { case (c, _) => sum(col(c)).as(s"bt_$c") }: _*)
+      .limit(CollectBound + 1)
       .collect()
-    // Bounded-collect contract made explicit: the bucket table is
-    // keyDomain·(domain/width) rows — callers size `width` so this is
-    // driver-small (worst today: q63, ~86 buckets × 3 flags). A wider
-    // future domain must re-size width, not balloon the driver.
-    require(btRows.length < (1 << 20),
-      s"bucketedCumsum bucket table ${btRows.length} rows — width " +
+    require(btRows.length <= CollectBound,
+      s"bucketedCumsum bucket table exceeds $CollectBound rows — width " +
         s"$width too fine for this domain; resize so the driver-side " +
         "offset fold stays bounded")
     def keyOf(r: org.apache.spark.sql.Row): String =

@@ -100,4 +100,12 @@ class SearchCliSpec extends SparkSpec {
     rows2 shouldBe empty
     html2 should include("tokens: zzqx, xxyzz")
   }
+
+  test("search --tokens honors --filter (applied before the top-k cut)") {
+    val (_, rows) = runTo(SearchCli.Args("search",
+      tokens = Some("vector, stream"), dir = SparkSpec.TinySf, limit = 5,
+      filter = Some("lang = 'en'")))
+    rows.size should be > 0
+    all(rows.map(_.split("<td>")(3).takeWhile(_ != '<'))) shouldBe "en"
+  }
 }

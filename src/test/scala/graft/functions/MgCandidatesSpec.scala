@@ -92,14 +92,22 @@ class MgCandidatesSpec extends SparkSpec {
     }
   }
 
-  test("null keys, null weights and non-positive weights are skipped") {
+  test("null keys/weights and zero weights are skipped; NEGATIVE weight fails loudly") {
     heavyhitters.register(spark)
     val got = spark.sql(
       """SELECT mg_candidates(k, w, 8) AS c FROM VALUES
         |  (CAST(NULL AS BIGINT), 5L), (1L, CAST(NULL AS BIGINT)),
-        |  (2L, 0L), (3L, -7L), (4L, 2L) AS t(k, w)""".stripMargin)
+        |  (2L, 0L), (4L, 2L) AS t(k, w)""".stripMargin)
       .select(explode(col("c"))).as[Long].collect().toSet
     got shouldBe Set(4L)
+    // a negative weight voids the W-relative completeness bound — the
+    // summary must reject it, not silently skip (the consumer's
+    // total = sum(w) would disagree with the mass the summary saw)
+    val e = intercept[Exception] {
+      spark.sql("SELECT mg_candidates(k, w, 8) FROM VALUES (3L, -7L) AS t(k, w)")
+        .collect()
+    }
+    e.getMessage should include("must be >= 0")
   }
 
   test("exact regime: below capacity every key is a candidate") {
