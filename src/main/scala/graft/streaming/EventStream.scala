@@ -254,15 +254,20 @@ object EventStream {
           round(col("sum_value"), 4).as("sum_value"))
     }.orderBy(col("window_start"), col("event_type"))
 
-  /** s5: approximate frequent items ON A STREAM — the custom
-    * Space-Saving aggregate (q32, [[graft.functions.TopKSketchAgg]])
-    * under Structured Streaming. Per (event-time window, event_type)
-    * the state store holds ONE capacity-bounded serialized summary —
-    * not per-user counts — so streaming state is
+  /** Approximate frequent items ON A STREAM — the Space-Saving
+    * DISPLAY surface ([[graft.functions.TopKSketchAgg]], ranks with
+    * error bars) under Structured Streaming. Per (event-time window,
+    * event_type) the state store holds ONE capacity-bounded
+    * serialized summary — not per-user counts — so streaming state is
     * O(windows × types × capacity) regardless of user cardinality,
     * and the watermark finalizes/evicts closed windows exactly as in
     * [[windowedCounts]]. The append-mode emission explodes the
-    * finalized sketch into (user, cnt, rank) rows. */
+    * finalized sketch into (user, cnt, rank) rows. The s5 GATE runs
+    * [[windowedHeavyHitters]] instead (round 14): candidate emission
+    * whose recount-verified output is deterministic under any
+    * state-store merge order — this display stream's ranks are
+    * order-dependent beyond the guaranteed heavy keys, which is fine
+    * for a dashboard and wrong for a cross-engine hash gate. */
   def windowedTopK(events: DataFrame,
       windowLen: String = "1 hour",
       watermark: String = "30 minutes",

@@ -375,4 +375,73 @@ class OperatorPropertySpec extends SparkSpec {
       got shouldBe want
     }
   }
+
+  test("q32/q49 two-pass heavy hitters equal driver brute force on skewed corpora") {
+    // end-to-end over the REAL operator (pass-1 MG candidates at fixed
+    // capacity + broadcast exact recount), on adversarial shapes the
+    // gated corpus can't produce: near-threshold counts, single-type,
+    // all-heavy and heavy-tail mixes. The summary itself is hammered in
+    // MgCandidatesSpec; this pins the recount/threshold/rank plumbing.
+    val caseGen = for {
+      types <- Gen.choose(1, 3)
+      headReps <- Gen.listOfN(4, Gen.choose(1, 400))
+      // tails up to 2500 unique pages per type: above 2·HhCapacity, so
+      // some cases run pass 1 through real MG prunes end-to-end
+      tailN <- Gen.choose(0, 2500)
+    } yield (types, headReps, tailN)
+    samples(caseGen, 6).zipWithIndex.foreach { case ((types, headReps, tailN), ci) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-hh$ci-").toString
+      var even = 0L
+      var odd = 1L
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Timestamp, Long, String, Double, String)]
+      for (t <- 0 until types; (reps, h) <- headReps.zipWithIndex;
+           r <- 0 until reps) {
+        rows += ((even, ts(r % 900), even, s"t$t", (r % 9) * 0.25,
+          s"""{"k": $h}"""))
+        even += 2 // even event_id → head page h
+      }
+      for (t <- 0 until types; _ <- 0 until tailN) {
+        rows += ((odd, ts(odd % 900), odd, s"t$t", 0.75, """{"k": 0}"""))
+        odd += 2 // odd event_id → unique tail page 100+event_id
+      }
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(7) // nondeterministic partial-merge order
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      // driver-side truth from the constructed rows
+      val byPage = rows.groupBy(r => (r._4,
+        if (r._1 % 2 == 0)
+          r._6.replaceAll("[^0-9]", "").toLong
+        else 100 + r._1))
+      val totals = rows.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+      val wantCnt = byPage.view.mapValues(_.size.toLong).toMap
+        .filter { case ((t, _), c) => c * 256 > totals(t) }
+      val gotCnt = Analytics.q32ApproxTopK(spark, dir).collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      gotCnt shouldBe wantCnt
+
+      val wTotals = rows.groupBy(_._4).view
+        .mapValues(_.map(r => math.round(r._5 * 100)).sum).toMap
+      val wantW = byPage.view
+        .mapValues(_.map(r => math.round(r._5 * 100)).sum).toMap
+        .filter { case ((t, _), w) => w * 256 > wTotals(t) }
+      val gotW = Analytics.q49TopKWeighted(spark, dir).collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      gotW shouldBe wantW
+
+      // rank contract: per type, dense 1..k ordered (measure desc, page asc)
+      val ranks = Analytics.q32ApproxTopK(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+      ranks.groupBy(_._1).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._4)
+        sorted.map(_._4) shouldBe (1 to rs.length)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+          case _ =>
+        }
+      }
+    }
+  }
 }
