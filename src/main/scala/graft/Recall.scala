@@ -29,11 +29,20 @@ import graft.operators.{Ann, RpTree}
 object Recall {
 
   /** top-k id sets per query of an ANN result frame
-    * (query_id, vec_id, score). */
-  private def topSets(df: DataFrame): Map[Int, Set[Long]] =
-    df.collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    * (query_id, vec_id, score), plus the batch's wall seconds —
+    * median of 3 collects (the measurement floor BASELINE.md's
+    * single-run lesson set), so each recall row carries the latency
+    * half of the recall↔cost trade the probe knob buys. */
+  private def topSets(mk: => DataFrame): (Map[Int, Set[Long]], Double) = {
+    val timed = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val rows = mk.collect()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val (wall, rows) = timed.sortBy(_._1).apply(1)
+    (rows.map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap, wall)
+  }
 
   /** Mean and min per-query recall of `got` against `exact`. */
   def recallOf(got: Map[Int, Set[Long]],
@@ -46,34 +55,40 @@ object Recall {
   }
 
   final case class Row(variant: String, setting: Int,
-      mean: Double, min: Double)
+      mean: Double, min: Double, wallS: Double)
 
   def measure(s: SparkSession, d: String): Seq[Row] = {
     implicit val sp: SparkSession = s
     graft.functions.vectors.register(s)
     val embs = Tables.embeddings(s, d)
-    val exactCos = topSets(Ann.a1Query(s, d))
+    val (exactCos, exactCosWall) = topSets(Ann.a1Query(s, d))
     val cb = Ann.codebookFor(s, d)
-    val exactL2 = topSets(Ann.ivfKnn(embs, cb, Ann.K, Ann.NumCentroids))
+    val (exactL2, exactL2Wall) =
+      topSets(Ann.ivfKnn(embs, cb, Ann.K, Ann.NumCentroids))
 
+    val exact = Seq(Row("exact_cosine_a1", 0, 1.0, 1.0, exactCosWall),
+      Row("exact_l2_fullprobe", 0, 1.0, 1.0, exactL2Wall))
     val a2 = (1 to Ann.NumPlanes + 1).map { p =>
-      val (m, mn) = recallOf(topSets(Ann.lshKnn(embs, Ann.K, p)), exactCos)
-      Row("a2_lsh", p, m, mn)
+      val (got, w) = topSets(Ann.lshKnn(embs, Ann.K, p))
+      val (m, mn) = recallOf(got, exactCos)
+      Row("a2_lsh", p, m, mn, w)
     }
     val a3 = Seq(1, 2, 4, 8, Ann.NumCentroids).map { np =>
-      val (m, mn) = recallOf(topSets(Ann.ivfKnn(embs, cb, Ann.K, np)), exactL2)
-      Row("a3_ivf", np, m, mn)
+      val (got, w) = topSets(Ann.ivfKnn(embs, cb, Ann.K, np))
+      val (m, mn) = recallOf(got, exactL2)
+      Row("a3_ivf", np, m, mn, w)
     }
     val a4 = (0 to 6).map { f =>
-      val (m, mn) = recallOf(topSets(RpTree.a4Query(s, d, Ann.K, f)), exactCos)
-      Row("a4_rptree", f, m, mn)
+      val (got, w) = topSets(RpTree.a4Query(s, d, Ann.K, f))
+      val (m, mn) = recallOf(got, exactCos)
+      Row("a4_rptree", f, m, mn, w)
     }
     val vq3 = Seq(1, 2, 4, Ann.NumCentroids).map { np =>
-      val (m, mn) = recallOf(
-        topSets(Ann.quantizedIvfKnn(s, d, Ann.K, np)), exactL2)
-      Row("vq3_ivf_i8", np, m, mn)
+      val (got, w) = topSets(Ann.quantizedIvfKnn(s, d, Ann.K, np))
+      val (m, mn) = recallOf(got, exactL2)
+      Row("vq3_ivf_i8", np, m, mn, w)
     }
-    a2 ++ a3 ++ a4 ++ vq3
+    exact ++ a2 ++ a3 ++ a4 ++ vq3
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,7 +96,8 @@ object Recall {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     try measure(spark, d).foreach { r =>
       println(f"""{"variant":"${r.variant}","setting":${r.setting},""" +
-        f""""recall10":${r.mean}%.4f,"min_recall10":${r.min}%.4f,"sf":"$d"}""")
+        f""""recall10":${r.mean}%.4f,"min_recall10":${r.min}%.4f,""" +
+        f""""wall_s":${r.wallS}%.4f,"sf":"$d"}""")
     } finally spark.stop()
   }
 }
