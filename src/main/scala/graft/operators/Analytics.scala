@@ -513,40 +513,13 @@ object Analytics {
       get_json_object(col("props"), "$.k").cast("long"))
       .otherwise(lit(100L) + col("event_id"))
 
-  /** Shared two-pass tail for q32/q49: candidates ⋈ exact recount →
-    * the guaranteed set {key : weight·[[HhThreshold]] > total}. The
-    * candidate table is ≤ 2·capacity rows per group — broadcast side
-    * by construction at ANY corpus size. */
-  private def hhRecount(weighted: DataFrame,
-      cand: DataFrame, wCol: String): DataFrame = {
-    // ONE reference to the candidate plan: the group total rides along
-    // the exploded candidate rows (constant per group, max() folds it
-    // back), so pass 1 materializes for a single broadcast instead of
-    // once per downstream use — two corpus scans total, not three.
-    val hits = weighted
-      .join(broadcast(cand.select(col("event_type"), col("total"),
-        explode(col("cand")).as("page_id"))),
-        Seq("event_type", "page_id"))
-      .groupBy(col("event_type"), col("page_id"))
-      .agg(sum(col("w")).as(wCol), max(col("total")).as("total"))
-    hits
-      .filter(col(wCol) * lit(HhThreshold.toLong) > col("total"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
-        .orderBy(col(wCol).desc, col("page_id"))))
-      .select(col("event_type"), col("page_id"), col(wCol),
-        col("total"), col("rk"))
-      .orderBy(col("event_type"), col("rk"))
-  }
-
   /** q32: frequent items at FIXED sketch capacity — the ClickHouse
     * `topK` capability re-expressed as the two-pass guaranteed-heavy-
-    * hitters operator. Pass 1 builds one bounded Misra-Gries candidate
-    * summary per partition per group ([[graft.functions.MgCandidatesAgg]]
-    * — state ≤ 2·[[HhCapacity]] entries regardless of corpus
-    * cardinality, the property the previous corpus-sized capacity
-    * broke); pass 2 recounts ONLY the candidates exactly (broadcast
-    * semi-join — ≤ 2048 keys per group) and keeps keys above the
-    * relative threshold total/[[HhThreshold]].
+    * hitters operator [[HeavyHitters.guaranteed]]: a bounded
+    * Misra-Gries candidate pass (state ≤ 2·[[HhCapacity]] entries per
+    * partition per group, regardless of corpus cardinality — the
+    * property the previous corpus-sized capacity broke) plus a
+    * broadcast exact recount of the candidates.
     *
     * Why this is gateable at any SF: Misra-Gries candidate sets are
     * merge-order-dependent in their TAIL, but provably COMPLETE above
@@ -559,17 +532,12 @@ object Analytics {
     * TopKSketchSpec. At 100 TB: two scans, each shuffling only
     * bounded summaries / candidate hits — never a distinct-key-sized
     * exchange. */
-  def q32ApproxTopK(s: SparkSession, d: String): DataFrame = {
-    graft.functions.heavyhitters.register(s)
-    val e = Tables.events(s, d)
-      .select(col("event_type"), pageVisit.as("page_id"))
-    val weighted = e.withColumn("w", lit(1L))
-    val cand = e.groupBy(col("event_type"))
-      .agg(graft.functions.heavyhitters.mgCandidates(
-        col("page_id"), lit(1L), HhCapacity).as("cand"),
-        count(lit(1)).as("total"))
-    hhRecount(weighted, cand, "cnt")
-  }
+  def q32ApproxTopK(s: SparkSession, d: String): DataFrame =
+    HeavyHitters.guaranteed(
+      Tables.events(s, d),
+      key = pageVisit, weight = lit(1L), groups = Seq("event_type"),
+      capacity = HhCapacity, thresholdFactor = HhThreshold,
+      keyName = "page_id", weightName = "cnt")
 
   /** q33: time-series gap fill — ClickHouse `ORDER BY … WITH FILL` —
     * daily counts per event_type with missing (day, type) cells
@@ -1084,17 +1052,13 @@ object Analytics {
     * SF and merge order; corpus-independent state (≤ 2·1024 entries
     * per partition per group). Weight = round(value·100) cents —
     * integer mass on both engines. */
-  def q49TopKWeighted(s: SparkSession, d: String): DataFrame = {
-    graft.functions.heavyhitters.register(s)
-    val e = Tables.events(s, d)
-      .select(col("event_type"), pageVisit.as("page_id"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("w"))
-    val cand = e.groupBy(col("event_type"))
-      .agg(graft.functions.heavyhitters.mgCandidates(
-        col("page_id"), col("w"), HhCapacity).as("cand"),
-        sum(col("w")).as("total"))
-    hhRecount(e, cand, "w_cents")
-  }
+  def q49TopKWeighted(s: SparkSession, d: String): DataFrame =
+    HeavyHitters.guaranteed(
+      Tables.events(s, d),
+      key = pageVisit, weight = expr("CAST(round(value * 100) AS BIGINT)"),
+      groups = Seq("event_type"),
+      capacity = HhCapacity, thresholdFactor = HhThreshold,
+      keyName = "page_id", weightName = "w_cents")
 
   /** q50: mergeable quantile sketch — the ClickHouse
     * `quantileTDigest` / `quantilesTDigest` surface, served by Spark's
