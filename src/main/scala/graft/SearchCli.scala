@@ -103,7 +103,7 @@ object SearchCli {
     * seam where the reference runs CLIP's image tower. Deterministic
     * end to end given the file's pixels, so the whole
     * file → decode → feature → embed → knn chain is testable. */
-  private def embedImageFile(path: String): (Seq[Double], String) = {
+  private[graft] def embedImageFile(path: String): (Seq[Double], String) = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     // ONE decode pass supplies the pixels, dimensions and format name
     // (a second ImageIO.read of the same bytes would double the decode
