@@ -107,45 +107,100 @@ object InvertedIndex {
     * re-delivered doc_id triggers the honest full rebuild instead of
     * silently double-counting tf/df. Dedupe re-crawls upstream
     * (d1/d8) to keep appends cheap. */
+  /** Indexed doc_id ZONE MAP: "min:max" in a sibling file (outside
+    * the index dir, so compaction swaps don't drop it). The ingest
+    * pattern is monotonically fresh doc_ids, and a shard whose id
+    * range is DISJOINT from the indexed range provably carries no
+    * re-delivered ids — the append-contract probe then costs two
+    * driver longs instead of a corpus-sized index column scan
+    * (which would make append READS ∝ corpus, against the
+    * append-∝-shard contract AppendBench freezes). Overlapping
+    * ranges fall back to the honest semi-join probe. */
+  private def idRangePath(path: String) = java.nio.file.Paths.get(path + ".ids")
+
+  private def readIdRange(path: String): Option[(Long, Long)] = {
+    val p = idRangePath(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .trim.split(':') match {
+        case Array(lo, hi) => Some((lo.toLong, hi.toLong))
+        case _ => None
+      }
+  }
+
+  private def writeIdRange(path: String, lo: Long, hi: Long): Unit = {
+    java.nio.file.Files.write(idRangePath(path), s"$lo:$hi".getBytes("UTF-8"))
+    ()
+  }
+
   def ensureIndex(s: SparkSession, d: String,
       compactAt: Int = CompactAt): String =
     graft.sources.LocalIndex.ensureIncremental("token-index", d,
       s"_b$Buckets$LayoutVer",
       Seq(s"$d/documents.parquet"), s"b$Buckets$LayoutVer") { path =>
+      val docs = Tables.documents(s, d)
       // repartition on the bucket key so each bucket dir gets ~one
       // file instead of one per (writer task × bucket) — without it a
       // 32-task build lands ~2k part files, the very accretion the
       // CompactAt tick exists to bound, and the FIRST append would
       // compact (rewrite) the entire fresh index
-      postings(Tables.documents(s, d)).repartition(col("tb"))
+      postings(docs).repartition(col("tb"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("tb").parquet(path)
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      if (!r.isNullAt(0)) writeIdRange(path, r.getLong(0), r.getLong(1))
     } { (newFiles, path) =>
       val shard = s.read.parquet(newFiles: _*)
-      val redelivered = s.read.parquet(path).select(col("doc_id"))
-        .join(broadcast(shard.select(col("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi")
-        .limit(1).count() > 0
+      val sr = shard.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      // zero-row shard file: nothing to index (no `return` — a
+      // non-local return from this lambda would skip the caller's
+      // marker write)
+      if (!sr.isNullAt(0)) {
+      val (sLo, sHi) = (sr.getLong(0), sr.getLong(1))
+      val stored = readIdRange(path)
+      val rangeDisjoint = stored.exists { case (lo, hi) => sHi < lo || sLo > hi }
+      val redelivered = !rangeDisjoint && {
+        // zone map inconclusive (overlap, or legacy index without the
+        // sidecar): the honest probe — one column-pruned index scan
+        s.read.parquet(path).select(col("doc_id"))
+          .join(broadcast(shard.select(col("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi")
+          .limit(1).count() > 0
+      }
       if (redelivered) {
         System.err.println(s"[t8] append shard re-delivers indexed " +
           s"doc_ids under $path — falling back to full rebuild")
         // same one-file-per-bucket shape as the fresh build: without
         // the repartition this branch would land task×bucket files and
         // hand the NEXT clean append an immediate full-index compaction
-        postings(Tables.documents(s, d)).repartition(col("tb"))
+        val docs = Tables.documents(s, d)
+        postings(docs).repartition(col("tb"))
           .write.mode("overwrite").option("compression", "zstd")
           .partitionBy("tb").parquet(path)
+        val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        writeIdRange(path, r.getLong(0), r.getLong(1))
       } else {
         // same one-file-per-bucket shape for the shard's delta
         postings(shard).repartition(col("tb"))
           .write.mode("append").option("compression", "zstd")
           .partitionBy("tb").parquet(path)
+        // fold the shard's ids into the zone map (also UPGRADES a
+        // legacy index: after one probed append the sidecar exists —
+        // conservatively correct only if it covers ALL indexed ids,
+        // so on a missing sidecar seed it from the index itself once)
+        val (lo, hi) = stored.getOrElse {
+          val ir = s.read.parquet(path).agg(
+            min(col("doc_id")), max(col("doc_id"))).head()
+          (ir.getLong(0), ir.getLong(1))
+        }
+        writeIdRange(path, math.min(lo, sLo), math.max(hi, sHi))
         // bound the accreted part-file count; ensureIncremental
         // rewrites the source marker AFTER this lambda, so the
         // compaction swap (which drops the old marker file with the
         // old dir) never leaves the layout marker-less
         if (graft.streaming.Compaction.partFiles(path) > compactAt)
           compactIndex(s, path)
+      }
       }
     }
 

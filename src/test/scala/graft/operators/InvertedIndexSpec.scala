@@ -110,6 +110,12 @@ class InvertedIndexSpec extends SparkSpec {
     // old docs' postings were not recomputed into duplicates
     after.groupBy(col("token"), col("doc_id")).count()
       .filter(col("count") > 1).count() shouldBe 0L
+    // the doc_id zone map tracked the append: fresh-id shards with a
+    // disjoint range verify the append contract from two driver longs
+    // instead of a corpus-sized index column scan
+    val ids = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(InvertedIndex.indexPath(dir) + ".ids")), "UTF-8")
+    ids shouldBe "1:6"
   }
 
   test("append shard re-delivering an indexed doc_id forces a clean rebuild") {
