@@ -106,6 +106,17 @@ class SqlSurfaceRobustnessSpec extends SparkSpec {
       " FROM range(3)") shouldBe Right(null)
   }
 
+  test("mg_candidates: bad types and non-literal capacity fail analysis; null keys skip") {
+    eval("mg_candidates(CAST(1.5 AS DOUBLE), 1L, 4)",
+      " FROM range(3)") shouldBe Left("analysis") // no silent double cast
+    eval("mg_candidates(id, 1L, CAST(id AS INT))",
+      " FROM range(3)") shouldBe Left("analysis") // capacity must be literal
+    eval("mg_candidates(id, 0.5, 4)",
+      " FROM range(3)") shouldBe Left("analysis") // weight must be BIGINT
+    eval("explode_outer(mg_candidates(CAST(NULL AS BIGINT), 1L, 4))",
+      " FROM range(3)") shouldBe Right(null)
+  }
+
   test("int8 quantized surface: null in → NULL out, bad types fail analysis, size mismatch dies loudly") {
     // untyped NULL fails the concrete-type check at analysis (same
     // contract as the float surface); a TYPED null propagates as NULL
