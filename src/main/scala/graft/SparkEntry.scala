@@ -157,6 +157,7 @@ object SparkEntry {
     "c16_bloom_lookup" -> (BloomLookup.c16Query _),
     "c17_pack_sequences" -> (Packing.c17Query _),
     "t9_bm25" -> (InvertedIndex.t9Query _),
+    "t9b_bm25_needle2" -> (InvertedIndex.t9bQuery _),
     "c18_dpp" -> (Dpp.c18Query _),
     "q66_sample" -> (Analytics.q66Sample _),
     "q67_any_join" -> (Analytics.q67AnyJoin _),
@@ -928,6 +929,7 @@ object SparkEntry {
     "c16_bloom_lookup" -> BloomLookup.oracle,
     "c17_pack_sequences" -> Packing.oracle,
     "t9_bm25" -> InvertedIndex.oracleT9(d),
+    "t9b_bm25_needle2" -> InvertedIndex.oracleT9For(d, InvertedIndex.NeedleB),
     "c18_dpp" -> Dpp.oracle,
     "q66_sample" ->
       s"""SELECT event_type,

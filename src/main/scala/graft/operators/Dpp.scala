@@ -71,21 +71,28 @@ object Dpp {
     * LITERAL (one bounded 2-long aggregate), cached keyed by the
     * source fingerprint so in-place regeneration retrains instead of
     * serving the stale scalar. */
-  private val thresholdCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private val thresholdCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long)]()
 
   def peakThreshold(s: SparkSession, d: String): Long = {
     val fp = graft.sources.LocalIndex.fingerprint(Seq(s"$d/events.parquet"))
-    thresholdCache.getOrElseUpdate((d, fp), {
-      val r = dayCounts(s, d)
-        .agg(sum(col("n_day")).as("n"), count(lit(1)).as("nd"))
-        .collect().head
-      // fail loudly on an empty corpus rather than dividing by zero —
-      // the c15/Ttl listing-contract lesson (silent degenerate inputs
-      // must not produce quiet nonsense)
-      require(r.getLong(1) > 0, s"peakThreshold: no event days under $d")
-      r.getLong(0) / r.getLong(1)
-    })
+    // keyed by dir with the fingerprint in the VALUE (the bm25Stats
+    // shape): regeneration REPLACES the entry instead of accreting one
+    // per historical fingerprint, so a long-lived session that
+    // regenerates in place holds exactly one threshold per dir
+    thresholdCache.compute(d, (_, cur) => {
+      if (cur != null && cur._1 == fp) cur
+      else {
+        val r = dayCounts(s, d)
+          .agg(sum(col("n_day")).as("n"), count(lit(1)).as("nd"))
+          .collect().head
+        // fail loudly on an empty corpus rather than dividing by zero —
+        // the c15/Ttl listing-contract lesson (silent degenerate inputs
+        // must not produce quiet nonsense)
+        require(r.getLong(1) > 0, s"peakThreshold: no event days under $d")
+        (fp, r.getLong(0) / r.getLong(1))
+      }
+    })._2
   }
 
   /** The peak-days report, served from the partitioned layout with

@@ -24,15 +24,33 @@ import org.apache.spark.sql.functions._
   *    filtered away by true weights.
   *
   * Scale shape: pass 1 ships one ≤2·capacity-entry summary per
-  * partition per group; pass 2 broadcasts the candidate table
+  * partition per group; pass 2 joins the candidate table
   * (≤2·capacity rows per group, with the group total riding the
-  * exploded rows so the plan materializes ONCE) and shuffles only
-  * candidate hits. Output is bounded by construction: fewer than
-  * `thresholdFactor` keys per group can exceed total/thresholdFactor,
-  * so the final rank window is over < thresholdFactor rows per group.
-  * Two corpus scans, never a distinct-key-sized exchange.
+  * exploded rows so the plan materializes ONCE) back to the corpus
+  * and shuffles only candidate hits. Output is bounded by
+  * construction: fewer than `thresholdFactor` keys per group can
+  * exceed total/thresholdFactor, so the final rank window is over
+  * < thresholdFactor rows per group. Two corpus scans, never a
+  * distinct-key-sized exchange.
+  *
+  * BOUNDED-GROUPS BROADCAST CONTRACT: the default `candidateJoin =
+  * "broadcast"` ships groups × ≤2·capacity candidate rows to every
+  * executor — the right plan for the operator's home case (a handful
+  * to a few hundred groups: event types, shards, tenants), and it
+  * keeps the corpus side shuffle-free. With MILLIONS of groups that
+  * table is itself corpus-class and must NOT be broadcast: pass
+  * `candidateJoin = "shuffle"` (co-partitioned SHUFFLE_HASH on
+  * groups+key — pays one corpus shuffle, never a driver-sized
+  * collect) or `"auto"` (no hint; AQE measures the built candidate
+  * table at runtime and picks broadcast vs shuffle itself). The
+  * group count is data-dependent, so the switch is a caller knob
+  * rather than an eager pre-count — a pre-count would execute pass 1
+  * twice and double the operator's cost in the bounded-groups case.
   */
 object HeavyHitters {
+
+  /** Candidate-join strategies for pass 2. */
+  val CandidateJoins: Set[String] = Set("broadcast", "shuffle", "auto")
 
   /** @param df       input frame
     * @param key      BIGINT key expression (hash wider types first)
@@ -44,16 +62,24 @@ object HeavyHitters {
     * @param thresholdFactor output keys exceed total/thresholdFactor;
     *                 must be ≤ capacity for the completeness guarantee
     * @param keyName / weightName output column names
+    * @param candidateJoin pass-2 join strategy — "broadcast" (default;
+    *                 requires the bounded-groups contract above),
+    *                 "shuffle" (co-partitioned SHUFFLE_HASH for
+    *                 unbounded group counts), or "auto" (unhinted; AQE
+    *                 decides from the candidate table's runtime size)
     */
   def guaranteed(df: DataFrame, key: Column, weight: Column,
       groups: Seq[String] = Nil,
       capacity: Int = 1024, thresholdFactor: Int = 256,
-      keyName: String = "key", weightName: String = "weight"): DataFrame = {
+      keyName: String = "key", weightName: String = "weight",
+      candidateJoin: String = "broadcast"): DataFrame = {
     require(thresholdFactor >= 1 && thresholdFactor <= capacity,
       s"thresholdFactor ($thresholdFactor) must be in [1, capacity=" +
         s"$capacity]: completeness is only guaranteed above " +
         "W/(capacity+1), so a finer output threshold could emit an " +
         "incomplete set")
+    require(CandidateJoins.contains(candidateJoin),
+      s"candidateJoin ($candidateJoin) must be one of $CandidateJoins")
     graft.functions.heavyhitters.register(df.sparkSession)
     val gc = groups.map(col)
     val prep = df.select(gc :+ key.as(keyName) :+
@@ -62,10 +88,15 @@ object HeavyHitters {
       .agg(graft.functions.heavyhitters.mgCandidates(
         col(keyName), col("__w"), capacity).as("__cand"),
         sum(col("__w")).as("total"))
+    val candRows = cand.select(gc :+ col("total") :+
+      explode(col("__cand")).as(keyName): _*)
+    val candSide = candidateJoin match {
+      case "broadcast" => broadcast(candRows)
+      case "shuffle"   => candRows.hint("SHUFFLE_HASH")
+      case _           => candRows
+    }
     val hits = prep
-      .join(broadcast(cand.select(gc :+ col("total") :+
-        explode(col("__cand")).as(keyName): _*)),
-        groups :+ keyName)
+      .join(candSide, groups :+ keyName)
       .groupBy((gc :+ col(keyName)): _*)
       .agg(sum(col("__w")).as(weightName), max(col("total")).as("total"))
     hits

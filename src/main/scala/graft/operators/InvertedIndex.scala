@@ -115,7 +115,16 @@ object InvertedIndex {
     * driver longs instead of a corpus-sized index column scan
     * (which would make append READS ∝ corpus, against the
     * append-∝-shard contract AppendBench freezes). Overlapping
-    * ranges fall back to the honest semi-join probe. */
+    * ranges fall back to the honest semi-join probe.
+    *
+    * CRASH DISCIPLINE: the sidecar is written ahead of (widened to
+    * cover) every posting write it describes, so at any crash point
+    * the invariant is "sidecar range ⊇ ids actually in the index" —
+    * an over-approximation only ever costs an unnecessary honest
+    * probe, never a skipped one. The hazardous ordering (postings
+    * commit → crash → sidecar never widened) would instead leave a
+    * re-delivered shard looking range-disjoint, silently
+    * double-counting tf/df on the retry. */
   private def idRangePath(path: String) = java.nio.file.Paths.get(path + ".ids")
 
   private def readIdRange(path: String): Option[(Long, Long)] = {
@@ -170,30 +179,38 @@ object InvertedIndex {
       if (redelivered) {
         System.err.println(s"[t8] append shard re-delivers indexed " +
           s"doc_ids under $path — falling back to full rebuild")
+        val docs = Tables.documents(s, d)
+        val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (dLo, dHi) = (r.getLong(0), r.getLong(1))
+        // write-ahead: widen the sidecar over (old ∪ new) BEFORE the
+        // overwrite — a crash at any point leaves it covering
+        // whichever content the dir holds (crash discipline above)
+        val (wLo, wHi) = stored.fold((dLo, dHi)) { case (lo, hi) =>
+          (math.min(lo, dLo), math.max(hi, dHi)) }
+        writeIdRange(path, wLo, wHi)
         // same one-file-per-bucket shape as the fresh build: without
         // the repartition this branch would land task×bucket files and
         // hand the NEXT clean append an immediate full-index compaction
-        val docs = Tables.documents(s, d)
         postings(docs).repartition(col("tb"))
           .write.mode("overwrite").option("compression", "zstd")
           .partitionBy("tb").parquet(path)
-        val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-        writeIdRange(path, r.getLong(0), r.getLong(1))
+        // tighten to the exact post-rebuild range after success
+        writeIdRange(path, dLo, dHi)
       } else {
-        // same one-file-per-bucket shape for the shard's delta
-        postings(shard).repartition(col("tb"))
-          .write.mode("append").option("compression", "zstd")
-          .partitionBy("tb").parquet(path)
-        // fold the shard's ids into the zone map (also UPGRADES a
-        // legacy index: after one probed append the sidecar exists —
-        // conservatively correct only if it covers ALL indexed ids,
-        // so on a missing sidecar seed it from the index itself once)
+        // seed a missing (legacy) sidecar from the index itself — the
+        // zone map is only conservative if it covers ALL indexed ids —
+        // then fold the shard's ids in as a WRITE-AHEAD: sidecar
+        // first, postings second (crash discipline above)
         val (lo, hi) = stored.getOrElse {
           val ir = s.read.parquet(path).agg(
             min(col("doc_id")), max(col("doc_id"))).head()
           (ir.getLong(0), ir.getLong(1))
         }
         writeIdRange(path, math.min(lo, sLo), math.max(hi, sHi))
+        // same one-file-per-bucket shape for the shard's delta
+        postings(shard).repartition(col("tb"))
+          .write.mode("append").option("compression", "zstd")
+          .partitionBy("tb").parquet(path)
         // bound the accreted part-file count; ensureIncremental
         // rewrites the source marker AFTER this lambda, so the
         // compaction swap (which drops the old marker file with the
@@ -349,6 +366,14 @@ object InvertedIndex {
 
   def t9Query(s: SparkSession, d: String): DataFrame = bm25Indexed(s, d)
 
+  /** t9b: BM25 under the second needle (the t8b discipline applied to
+    * the ranked tier) — pins cross-engine that the df/idf stats cache
+    * really is per-needle AND that the out-of-vocabulary idf path
+    * (df=0 → idf = ln(1 + (N+0.5)/0.5)) computes without error and
+    * contributes no score rows (no postings carry the OOV token). */
+  def t9bQuery(s: SparkSession, d: String): DataFrame =
+    bm25Indexed(s, d, NeedleB)
+
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -372,11 +397,13 @@ object InvertedIndex {
     * order — the trained-literal discipline, so the only libm `ln`
     * ran once on the driver. Fallback with no cached stats: zeros —
     * formal only, a dir whose t9 never ran has no result to compare. */
-  def oracleT9(d: String): String = {
-    val (idf, avgdl) = Option(bm25Stats.get(d + "#" + Needle.mkString(",")))
+  def oracleT9(d: String): String = oracleT9For(d, Needle)
+
+  def oracleT9For(d: String, needle: Seq[String]): String = {
+    val (idf, avgdl) = Option(bm25Stats.get(d + "#" + needle.mkString(",")))
       .map(v => (v._2, v._3))
-      .getOrElse((Needle.map(_ -> 0.0).toMap, 1.0))
-    val idfCase = Needle.map(t =>
+      .getOrElse((needle.map(_ -> 0.0).toMap, 1.0))
+    val idfCase = needle.map(t =>
       s"WHEN '$t' THEN ${idf.getOrElse(t, 0.0)}").mkString(" ")
     s"""WITH m AS (
        |  SELECT doc_id, ${textops.tokensSql("text")} AS t FROM documents),
@@ -384,7 +411,7 @@ object InvertedIndex {
        |  SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS tok FROM m),
        |hits AS (
        |  SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
-       |  FROM toks WHERE tok IN ${sqlList(Needle)} GROUP BY 1, 2, 3),
+       |  FROM toks WHERE tok IN ${sqlList(needle)} GROUP BY 1, 2, 3),
        |scored AS (
        |  SELECT doc_id,
        |    (CASE tok $idfCase END) * (tf::DOUBLE * ${K1 + 1.0}) /

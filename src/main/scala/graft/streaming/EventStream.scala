@@ -620,6 +620,24 @@ object EventStream {
       windowedHeavyHitters(streamEvents(ss, d),
         graft.operators.Analytics.pageVisit)
     }
+    // Gate integrity (r14 advice): the MG candidate set is complete
+    // only over the rows the STREAM aggregated — if the file source
+    // ever fed micro-batches out of time order, the 30-minute
+    // watermark would late-drop rows, and a heavy key's stream-visible
+    // mass could fall below the completeness bound while its batch
+    // recount still clears n/256: silently absent, gate diverges.
+    // Assert the regimes agree before trusting the candidates: per
+    // finalized window, streamed n == exact batch count (one bounded
+    // aggregate, ≤ window-count rows) — loud failure over quiet skew.
+    val batchN = graft.Tables.events(s, d)
+      .select(window(col("ts"), "1 day")("start").as("window_start"))
+      .groupBy(col("window_start")).agg(count(lit(1)).as("bn"))
+    val lateDropped = streamed.select(col("window_start"), col("n"))
+      .join(batchN, Seq("window_start"))
+      .filter(col("n") =!= col("bn")).count()
+    require(lateDropped == 0L, s"s5: $lateDropped finalized window(s) " +
+      "lost late rows to the watermark — the Misra-Gries completeness " +
+      "bound no longer covers the batch recount; candidates untrusted")
     // one reference to the sink read: n rides along the exploded
     // candidate rows (constant per window) — same shape as hhRecount
     val hits = graft.Tables.events(s, d)

@@ -42,6 +42,42 @@ class HeavyHittersSpec extends SparkSpec {
     got shouldBe Array(("a", 1L, 60L, 100L, 1), ("b", 9L, 99L, 100L, 1))
   }
 
+  test("many groups: shuffle candidate join matches broadcast exactly") {
+    // 5000 groups × ~20 rows each — the regime where the broadcast
+    // candidate table (groups × 2·capacity rows) stops being small.
+    // Each group: one heavy key (12 copies) + 8 unique tail keys;
+    // threshold total/4 = 5 → exactly the heavy key per group.
+    val rows = (0 until 5000).flatMap { g =>
+      Seq.fill(12)((g, 7L)) ++ (0 until 8).map(i => (g, 100L + i))
+    }
+    val df = rows.toDF("g", "k").repartition(16)
+    def run(strategy: String) = HeavyHitters.guaranteed(df, col("k"),
+      lit(1L), groups = Seq("g"), capacity = 8, thresholdFactor = 4,
+      candidateJoin = strategy)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    val bc = run("broadcast")
+    bc.length shouldBe 5000
+    bc.take(2) shouldBe Array((0, 7L, 12L, 20L, 1), (1, 7L, 12L, 20L, 1))
+    run("shuffle") shouldBe bc
+    run("auto") shouldBe bc
+    // the shuffle plan really avoids the broadcast exchange
+    val shufPlan = HeavyHitters.guaranteed(df, col("k"), lit(1L),
+      groups = Seq("g"), capacity = 8, thresholdFactor = 4,
+      candidateJoin = "shuffle").queryExecution.executedPlan.toString
+    shufPlan should include("ShuffledHashJoin")
+    shufPlan should not include "BroadcastHashJoin"
+  }
+
+  test("unknown candidateJoin strategy is rejected") {
+    val df = Seq(1L).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.guaranteed(df, col("k"), lit(1L),
+        candidateJoin = "sort")
+    }
+    e.getMessage should include("candidateJoin")
+  }
+
   test("thresholdFactor beyond capacity is rejected (completeness precondition)") {
     val df = Seq(1L).toDF("k")
     val e = intercept[IllegalArgumentException] {

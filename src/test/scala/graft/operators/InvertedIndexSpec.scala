@@ -144,6 +144,34 @@ class InvertedIndexSpec extends SparkSpec {
     got should contain((2L, 2L, 8L))
   }
 
+  test("zone-map write-ahead: a sidecar wider than the index stays safe") {
+    // Crash-window rehearsal: the append path writes the widened
+    // sidecar BEFORE the postings, so the only state a crash can leave
+    // is sidecar ⊇ indexed ids. Simulate that state (sidecar already
+    // claims doc 6, postings never committed), then deliver the shard:
+    // the overlap forces the honest semi-join probe, which finds no
+    // indexed copy and appends exactly once — no skipped probe, no
+    // double-counted tf/df.
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-").toString
+    writeDocs(dir, docs)
+    InvertedIndex.ensureIndex(spark, dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(InvertedIndex.indexPath(dir) + ".ids"),
+      "1:6".getBytes("UTF-8"))
+    Seq(6L -> "table value extra shard doc")
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    InvertedIndex.ensureIndex(spark, dir)
+    val idx = spark.read.parquet(InvertedIndex.indexPath(dir))
+    idx.groupBy(col("token"), col("doc_id")).count()
+      .filter(col("count") > 1).count() shouldBe 0L
+    val got = InvertedIndex.searchIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got should contain((6L, 2L, 2L))
+  }
+
   test("repeated appends keep the layout's part-file count bounded, results unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx-").toString
     writeDocs(dir, docs)
