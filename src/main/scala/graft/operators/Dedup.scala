@@ -40,6 +40,13 @@ object Dedup {
     * recall while bounding the join at 5k pairs per shingle. */
   val MaxShingleDf = 100
 
+  /** Part-file budget for d8's bucketed posting table — the t8
+    * CompactAt discipline: appends accrete ~one file per bucket per
+    * ingest batch; past this count the append folds the table back to
+    * ~one file per bucket so probe-side open cost stays bounded
+    * across arbitrarily many batches. */
+  val PostingCompactAt = 512
+
   /** LSH bucket cap for MinHash banding, same skew rationale. */
   val MaxBandBucket = 200
 
@@ -644,8 +651,17 @@ object Dedup {
     * ∝ the new shard, never the corpus. The hot-shingle cap applies
     * batch-locally on appends — df drift across batches is the
     * standard LSM trade, folded back at the periodic full rebuild. A
-    * mutated or removed old file falls back to the full rebuild. */
-  def ensurePostingIndex(s: SparkSession, d: String): String = {
+    * mutated or removed old file falls back to the full rebuild.
+    *
+    * COMPACTION: each append adds ~one file per bucket, so a long
+    * ingest history accretes file sets forever — the t8 CompactAt
+    * discipline applies here too: once the table's data files exceed
+    * `compactAt`, the append folds the layout back to ~one file per
+    * bucket ([[compactPostingTable]] — rows untouched, bucket spec and
+    * freshness properties preserved), bounding every later join's
+    * corpus-side open cost whatever the ingest age. */
+  def ensurePostingIndex(s: SparkSession, d: String,
+      compactAt: Int = PostingCompactAt): String = {
     val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
     val table = "graft_postings_" +
       d.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase +
@@ -710,6 +726,11 @@ object Dedup {
           .bucketBy(buckets, "g").sortBy("g")
           .saveAsTable(table)
         setMarker(priorN + shardN)
+        // bound the accreted part-file count (the t8 CompactAt tick):
+        // past the budget, fold back to ~one file per bucket
+        if (graft.streaming.Compaction.partFiles(tableLocation(s, table))
+            > compactAt)
+          compactPostingTable(s, table, buckets)
       case _ =>
         // full (re)build; clear any catalog-orphaned warehouse files
         // (the in-memory catalog forgets tables on JVM exit; the files
@@ -732,6 +753,49 @@ object Dedup {
         setMarker(docs.count())
     }
     table
+  }
+
+  private def tableLocation(s: SparkSession, table: String): String =
+    s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location.getPath
+
+  /** Fold the posting table's accreted per-append files back to ~one
+    * file per bucket. Rows untouched (same postings), bucket spec
+    * re-declared on the rewrite, and the freshness properties
+    * (graft.src / graft.ndocs) restored — so every later serve and
+    * append sees the identical contract, just fewer files. The rewrite
+    * stages through a temp dir because Spark (correctly) refuses to
+    * overwrite a table that the writing plan also reads; the staging
+    * copy is the amortized price — paid once per `compactAt` appends,
+    * not per batch. Crash-safe the same way the fresh build is: a
+    * crash mid-rewrite leaves a droppable catalog entry whose next
+    * ensure rebuilds from the corpus (the fingerprint no longer
+    * matches a half-written table's properties). */
+  def compactPostingTable(s: SparkSession, table: String, buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val props = s.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft.")).toMap
+    val staging =
+      java.nio.file.Files.createTempDirectory("graft-postings-compact-")
+    try {
+      s.table(table).write.mode("overwrite").parquet(staging.toString)
+      s.read.parquet(staging.toString)
+        .repartition(buckets, col("g"))
+        .write.mode("overwrite")
+        .format("parquet").option("compression", "zstd")
+        .bucketBy(buckets, "g").sortBy("g")
+        .saveAsTable(table)
+      props.foreach { case (k, v) =>
+        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$k' = '$v')")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+        f.delete(); ()
+      }
+      rm(staging.toFile)
+    }
   }
 
   /** d8: INCREMENTAL dedup — the operation a 100 TB ingest actually

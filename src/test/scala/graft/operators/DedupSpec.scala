@@ -289,6 +289,48 @@ class DedupSpec extends SparkSpec {
       Array((200L, 50L))
   }
 
+  test("ensurePostingIndex: repeated appends keep the table's file count bounded, verdicts unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-d8-").toString
+    writeCorpus(dir, Seq((0L, baseText)))
+    // tiny budget so the toy corpus actually crosses the tick — the
+    // production default (PostingCompactAt) is the same machinery
+    val t = Dedup.ensurePostingIndex(spark, dir, compactAt = 4)
+    val floorFiles = indexFiles(t).size
+    val texts = Seq(
+      "gardens and rivers flowing north past the old mill by the shore",
+      "catalyst rules rewriting logical plans into physical strategies",
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "partition pruning keeps the scan bytes proportional to the probe",
+      "bucketed joins read the corpus side pre partitioned from disk",
+      "watermarks bound streaming state on an unbounded event stream")
+    var maxFiles = 0
+    texts.zipWithIndex.foreach { case (text, i) =>
+      Seq((50L + i) -> text).toDF("doc_id", "text")
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+      Dedup.ensurePostingIndex(spark, dir, compactAt = 4) shouldBe t
+      maxFiles = math.max(maxFiles, indexFiles(t).size)
+    }
+    // every append over budget compacts right back: accretion is
+    // bounded per cycle (one compacted layout + one append's files),
+    // never per corpus age
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    maxFiles should be <= floorFiles + 2 * buckets
+    indexFiles(t).size should be <= floorFiles + buckets
+    // the compacted table still answers shard dedup exactly: every
+    // appended doc's near-dup matches it (proving postings survived
+    // the rewrite IN the right buckets), and the freshness marker
+    // survived (no spurious rebuild on the next ensure)
+    val shard = texts.zipWithIndex
+      .map { case (text, i) => (200L + i) -> (text + " again") }
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(shard, spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard_doc"), r.getAs[Long]("corpus_doc")))
+    texts.indices.foreach { i => out should contain((200L + i, 50L + i)) }
+    val before = indexFiles(t)
+    Dedup.ensurePostingIndex(spark, dir, compactAt = 4) shouldBe t
+    indexFiles(t) shouldBe before
+  }
+
   test("embeddingNearDup finds identical vectors, skips distant ones") {
     val dim = 64
     val v = (0 until dim).map(i => ((i * 13 % 7) - 3).toFloat)
