@@ -34,11 +34,62 @@ import org.apache.spark.sql.functions._
 object GenSf {
 
   def main(args: Array[String]): Unit = {
-    val Array(src, out, copiesS) = args.take(3)
-    val copies = copiesS.toInt
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
-    generate(spark, src, out, copies)
+    args.take(3) match {
+      // clustered-embedding mode: `runMain graft.GenSf clustered <outDir> <n>`
+      case Array("clustered", out, nS) =>
+        clusteredEmbeddings(spark, out, nS.toLong)
+      case Array(src, out, copiesS) =>
+        generate(spark, src, out, copiesS.toInt)
+    }
     spark.stop()
+  }
+
+  // ---------------------------------------------- clustered embeddings
+
+  /** Planted-cluster geometry: [[ClusterCount]] Gaussian blobs of
+    * width [[ClusterSigma]] per component. Centers are the qvec
+    * family starting at seed 10 — the FIRST FIVE centers are exactly
+    * the gated ANN query vectors ([[graft.operators.Ann.querySet]]),
+    * so every gated query sits inside a planted cluster: the regime
+    * ANN indexes exist for (real embedding corpora are clustered and
+    * real queries land near dense regions — the hash-uniform gate
+    * corpus is the structureless worst case, kept as the conservative
+    * lower bound). */
+  val ClusterCount = 32
+  val ClusterSigma = 0.05
+
+  def clusterCenters(count: Int = ClusterCount): Seq[Seq[Double]] =
+    (0 until count).map(j => graft.operators.VectorSearch.qvec(10 + j))
+
+  /** Write a clustered embedding corpus (same schema as the testdata
+    * embeddings table: vec_id BIGINT, embedding ARRAY<FLOAT>, label
+    * INT = planted cluster id) of `n` vectors into
+    * `outDir/embeddings.parquet`. Deterministic INDEPENDENT of
+    * partitioning: each row's noise comes from a vec_id-seeded PRNG,
+    * so any executor layout produces byte-identical vectors. */
+  def clusteredEmbeddings(spark: SparkSession, outDir: String, n: Long,
+      clusters: Int = ClusterCount, sigma: Double = ClusterSigma): Unit = {
+    import spark.implicits._
+    val centers = clusterCenters(clusters)
+    // the planted structure only exists if blobs are far apart
+    // relative to their width — guard the generator's own contract
+    val minSep = (for {
+      i <- centers.indices; j <- (i + 1) until clusters
+    } yield math.sqrt(centers(i).zip(centers(j))
+      .map { case (a, b) => (a - b) * (a - b) }.sum)).min
+    require(minSep > 20 * sigma,
+      f"clusteredEmbeddings: min center separation $minSep%.3f under " +
+        f"20·sigma=${20 * sigma}%.3f — blobs would overlap")
+    val bc = spark.sparkContext.broadcast(centers.map(_.toArray).toArray)
+    spark.range(n).map { id =>
+      val cid = (id % clusters).toInt
+      val c = bc.value(cid)
+      val r = new scala.util.Random(id * 2654435761L + 987654321L)
+      (id, c.map(x => (x + sigma * r.nextGaussian()).toFloat).toSeq, cid)
+    }.toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
   }
 
   def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {

@@ -20,11 +20,18 @@ import graft.operators.{Ann, RpTree}
   *   - vq3 (IVF × int8): nprobe sweep vs exact FLOAT L2 — its recall
   *     folds in quantization rank error, the honest serving number.
   *
-  * Usage: `runMain graft.Recall [sfDir]` — prints one JSON line per
-  * (variant, setting): recall@10 averaged over the gated query set,
-  * plus the per-query minimum (a tail query hiding under a good mean
-  * is what a recall floor must catch). Frozen into BASELINE.md; the
-  * floor contract is pinned per-SF in AnnRecallSpec.
+  * Usage: `runMain graft.Recall [target ...]` — each target is a
+  * testdata dir OR `clustered:<n>` (generate an n-vector
+  * planted-cluster corpus via [[GenSf.clusteredEmbeddings]] in a temp
+  * dir — the regime ANN exists for — and measure that). Prints one
+  * JSON line per (target, variant, setting): recall@10 averaged over
+  * the gated query set, plus the per-query minimum (a tail query
+  * hiding under a good mean is what a recall floor must catch).
+  * `SPARK_GRAFT_RECALL_OUT=<file>` additionally writes the full
+  * record as one JSON array — the per-round `recall_rN.json`
+  * artifact, so recall drift is caught mechanically like wall-clock
+  * drift (BENCH_rN.json), not by re-reading frozen prose. Frozen into
+  * BASELINE.md; the floor contract is pinned per-SF in AnnRecallSpec.
   */
 object Recall {
 
@@ -91,13 +98,39 @@ object Recall {
     exact ++ a2 ++ a3 ++ a4 ++ vq3
   }
 
+  /** Resolve a CLI target to (label, dir) — `clustered:<n>` generates
+    * the planted-cluster corpus first. */
+  private def resolve(s: SparkSession, target: String): (String, String) =
+    if (target.startsWith("clustered:")) {
+      val n = target.stripPrefix("clustered:").toLong
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-clustered-$n-").toString
+      GenSf.clusteredEmbeddings(s, dir, n)
+      (s"clustered-$n", dir)
+    } else (target, target)
+
+  private def line(label: String, r: Row): String =
+    f"""{"variant":"${r.variant}","setting":${r.setting},""" +
+      f""""recall10":${r.mean}%.4f,"min_recall10":${r.min}%.4f,""" +
+      f""""wall_s":${r.wallS}%.4f,"sf":"$label"}"""
+
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val targets =
+      if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    try measure(spark, d).foreach { r =>
-      println(f"""{"variant":"${r.variant}","setting":${r.setting},""" +
-        f""""recall10":${r.mean}%.4f,"min_recall10":${r.min}%.4f,""" +
-        f""""wall_s":${r.wallS}%.4f,"sf":"$d"}""")
+    try {
+      val lines = targets.flatMap { t =>
+        val (label, dir) = resolve(spark, t)
+        measure(spark, dir).map { r =>
+          val l = line(label, r)
+          println(l)
+          l
+        }
+      }
+      sys.env.get("SPARK_GRAFT_RECALL_OUT").foreach { out =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+          lines.mkString("[\n", ",\n", "\n]\n"))
+      }
     } finally spark.stop()
   }
 }

@@ -233,7 +233,20 @@ object Ann {
     * sample grew linearly with the corpus and blew up both the driver
     * and the plan). */
   val NumCentroids = 32
-  val NProbe = 2
+
+  /** GATED probe width, scaled with the codebook: ⌈√NumCentroids⌉
+    * (= 6 at 32 cells) — the standard IVF starting point (FAISS tunes
+    * nprobe ∝ √nlist for a fixed recall target as the codebook
+    * grows). Round 14's fixed nprobe=2 probed 1/16 of the cells
+    * whatever the codebook and held gated recall at 0.20–0.34
+    * mean / 0.00 min on the uniform corpus — a serving setting no
+    * user would buy. √nlist keeps the probed corpus FRACTION shrinking
+    * as the codebook scales (6/32 here, 32/1024 on a production-sized
+    * codebook) while recall tracks the cell-boundary geometry; the
+    * recall table in BASELINE.md freezes the measured trade at every
+    * knob value, and nprobe stays a per-request override on
+    * [[ivfKnn]]/[[quantizedIvfKnn]] (exposed through SearchCli). */
+  val NProbe: Int = math.ceil(math.sqrt(NumCentroids.toDouble)).toInt
 
   /** Per-row nearest-centroid id as a fully CODEGEN'D expression: a
     * `least(...)` fold over one `struct(dist², cid)` per centroid, each
