@@ -34,15 +34,23 @@ import org.apache.spark.sql.functions._
 object GenSf {
 
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
-    args.take(3) match {
-      // clustered-embedding mode: `runMain graft.GenSf clustered <outDir> <n>`
-      case Array("clustered", out, nS) =>
-        clusteredEmbeddings(spark, out, nS.toLong)
+    args match {
+      // clustered-embedding mode: `runMain graft.GenSf clustered <outDir> <n>`.
+      // A legacy SOURCE DIR literally named `clustered` still selects
+      // scale-up mode: the mode word only wins when no such dir exists.
+      case Array("clustered", out, nS)
+          if !java.nio.file.Files.isDirectory(java.nio.file.Paths.get("clustered")) =>
+        val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+        try clusteredEmbeddings(spark, out, nS.toLong) finally spark.stop()
       case Array(src, out, copiesS) =>
-        generate(spark, src, out, copiesS.toInt)
+        val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+        try generate(spark, src, out, copiesS.toInt) finally spark.stop()
+      case _ =>
+        System.err.println(
+          "usage: graft.GenSf <srcDir> <outDir> <copies>\n" +
+            "       graft.GenSf clustered <outDir> <nVectors>")
+        sys.exit(2)
     }
-    spark.stop()
   }
 
   // ---------------------------------------------- clustered embeddings

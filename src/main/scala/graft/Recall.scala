@@ -99,12 +99,16 @@ object Recall {
   }
 
   /** Resolve a CLI target to (label, dir) — `clustered:<n>` generates
-    * the planted-cluster corpus first. */
+    * the planted-cluster corpus first, into a DETERMINISTIC cache dir
+    * keyed by n (not a fresh temp dir per run: the generator is
+    * deterministic and SaveMode.Overwrite replaces in place, so
+    * repeated recall runs reuse one dir instead of accreting
+    * multi-GB parquet copies in /tmp). */
   private def resolve(s: SparkSession, target: String): (String, String) =
     if (target.startsWith("clustered:")) {
       val n = target.stripPrefix("clustered:").toLong
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-clustered-$n-").toString
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft-clustered-$n").toString
       GenSf.clusteredEmbeddings(s, dir, n)
       (s"clustered-$n", dir)
     } else (target, target)

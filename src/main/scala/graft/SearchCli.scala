@@ -54,7 +54,9 @@ object SearchCli {
       imageVec: Option[Long] = None, image: Option[String] = None,
       tokens: Option[String] = None, dir: String = "/root/testdata/sf0.001",
       limit: Int = 10, filter: Option[String] = None,
-      out: String = "results.html")
+      out: String = "results.html",
+      nprobe: Option[Int] = None, probes: Option[Int] = None,
+      flips: Option[Int] = None)
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty, usage)
@@ -74,6 +76,9 @@ object SearchCli {
         case "--limit"     => a = a.copy(limit = argv(i + 1).toInt); i += 2
         case "--filter"    => a = a.copy(filter = Some(argv(i + 1))); i += 2
         case "--out"       => a = a.copy(out = argv(i + 1)); i += 2
+        case "--nprobe"    => a = a.copy(nprobe = Some(argv(i + 1).toInt)); i += 2
+        case "--probes"    => a = a.copy(probes = Some(argv(i + 1).toInt)); i += 2
+        case "--flips"     => a = a.copy(flips = Some(argv(i + 1).toInt)); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag $other\n$usage")
       }
     }
@@ -86,6 +91,9 @@ object SearchCli {
       |  SearchCli search --image-vec 42 [...]
       |  SearchCli search --image /path/to/picture.png [...]
       |  SearchCli search --tokens "vector,stream,join" [...]
+      |  SearchCli search --text "a query" --nprobe 6   (ANN: int8 IVF index)
+      |  SearchCli search --text "a query" --probes 4   (ANN: LSH bucket index)
+      |  SearchCli search --text "a query" --flips 3    (ANN: RP-tree index)
       |  SearchCli concept_math "'some phrase' + 0.5 * 'other' - q0" [...]""".stripMargin
 
   def main(argv: Array[String]): Unit = {
@@ -127,6 +135,9 @@ object SearchCli {
 
   def run(spark: SparkSession, a: Args): Unit = {
     if (a.command == "search" && a.tokens.isDefined) return tokenSearch(spark, a)
+    if (a.command == "search" &&
+      (a.nprobe.isDefined || a.probes.isDefined || a.flips.isDefined))
+      return annSearch(spark, a)
     vectors.register(spark)
     val combined = spark.read.parquet(VectorSearch.ensureCombined(spark, a.dir))
 
@@ -180,6 +191,77 @@ object SearchCli {
     println(s"file://${f.getAbsolutePath}")
     println(f"query_time=${qSec}%.3fs generation_time=${genSec}%.3fs " +
       s"read_rows=${stats.rowsRead} read_bytes=${stats.bytesRead}")
+  }
+
+  /** ANN serving path (`--nprobe` / `--probes` / `--flips`): the
+    * per-request probe knobs the recall table in BASELINE.md freezes,
+    * exposed on the CLI exactly where a user trades recall for probe
+    * cost. Routes the embedded query through the PERSISTED
+    * partition-pruned index of the chosen family instead of the exact
+    * scan — `--nprobe` probes the int8 IVF cells (vq3's serving tier),
+    * `--probes` the LSH bucket ring (a2_indexed), `--flips` the
+    * RP-tree spill leaves (a4_indexed) — then fetches presentation
+    * metadata for exactly the k hit ids (a pushed-down `isin` point
+    * read, bounded by `--limit`). The stats line reports the probed
+    * fraction of the index alongside the scan counters, so the cost
+    * half of the recall↔probe trade is visible per request. */
+  private def annSearch(spark: SparkSession, a: Args): Unit = {
+    import graft.operators.{Ann, RpTree}
+    require(Seq(a.nprobe, a.probes, a.flips).flatten.size == 1,
+      s"pass exactly one of --nprobe/--probes/--flips\n$usage")
+    require(a.text.isDefined, "ANN probe knobs serve the image-side " +
+      s"embedding index — combine them with --text\n$usage")
+    require(a.filter.isEmpty, "ANN-indexed search returns the unfiltered " +
+      "top-k (the index partitions on geometry, not metadata); drop " +
+      s"--filter or use the exact path\n$usage")
+    val genT0 = System.nanoTime()
+    val qv = embedOne(a.text.get)
+    val genSec = (System.nanoTime() - genT0) / 1e9
+    val one = Seq(0 -> qv)
+    val (hits, probedLabel) = (a.nprobe, a.probes, a.flips) match {
+      case (Some(np), _, _) =>
+        val cells = math.min(math.max(np, 1), Ann.NumCentroids)
+        (Ann.quantizedIvfKnn(spark, a.dir, a.limit, cells, one),
+          s"probed=$cells/${Ann.NumCentroids} ivf_cells")
+      case (_, Some(p), _) =>
+        val pr = math.min(math.max(p, 1), Ann.NumPlanes + 1)
+        (Ann.indexedLshKnn(spark, a.dir, a.limit, pr, one),
+          s"probed=$pr/${1 << Ann.NumPlanes} lsh_buckets")
+      case (_, _, Some(f)) =>
+        val flips = math.min(math.max(f, 0), RpTree.Depth)
+        val leaves =
+          RpTree.probeLeaves(RpTree.treeFor(spark, a.dir), qv, flips).size
+        (RpTree.indexedQuery(spark, a.dir, a.limit, flips, one),
+          s"probed=$leaves/${1 << RpTree.Depth} tree_leaves")
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    val qT0 = System.nanoTime()
+    val scored = hits.collect() // bounded: at most limit rows
+    val qSec = (System.nanoTime() - qT0) / 1e9
+    val stats = QueryStats.of(hits, qSec)
+    // presentation metadata for exactly the hit ids — a point read the
+    // scan prunes on (k values), never a corpus join
+    val score = scored.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val meta =
+      if (scored.isEmpty) Map.empty[Long, Hit]
+      else spark.read.parquet(VectorSearch.ensureCombined(spark, a.dir))
+        .filter(col("doc_id").isin(scored.map(_.getLong(1)).toSeq: _*))
+        .select(col("doc_id").cast("long"), col("caption"), col("lang"),
+          col("source"), col("label").cast("long"))
+        .collect()
+        .map(r => r.getLong(0) -> Hit(r.getLong(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getLong(4),
+          score(r.getLong(0)))).toMap
+    val ordered = scored.map(_.getLong(1)).flatMap(meta.get).toSeq
+    val desc = s"${a.text.get} [ann $probedLabel]"
+    val html = render(desc, a, ordered, genSec, stats)
+    val f = new java.io.File(a.out)
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.write(html) finally w.close()
+    println(s"file://${f.getAbsolutePath}")
+    println(f"query_time=${qSec}%.3fs generation_time=${genSec}%.3fs " +
+      s"read_rows=${stats.rowsRead} read_bytes=${stats.bytesRead} " +
+      probedLabel)
   }
 
   /** `--tokens "w1,w2"`: the hosted full-text tier (t8/t9) exposed as

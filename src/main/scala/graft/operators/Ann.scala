@@ -202,16 +202,20 @@ object Ann {
     * (verified in AnnSpec): only the ~nq·(P+1) probed directories are
     * read — ~1/2^P of the corpus per probe — and no bucket is
     * recomputed. The broadcast equi-join then splits the pruned rows
-    * among the queries probing them. */
-  def indexedLshKnn(s: SparkSession, d: String, k: Int = K): DataFrame = {
+    * among the queries probing them. `probes`/`queries` are
+    * per-request knobs (SearchCli `--probes`); defaults reproduce the
+    * gated a2_indexed plan exactly. */
+  def indexedLshKnn(s: SparkSession, d: String, k: Int = K,
+      probes: Int = NumPlanes + 1,
+      queryVecs: Seq[(Int, Seq[Double])] = querySet): DataFrame = {
     import s.implicits._
     vectors.register(s)
     val idx = s.read.parquet(ensureLshIndex(s, d))
-    val queries = querySet.flatMap { case (i, v) =>
-      probeBuckets(bucketOf(v)).map(pb => (i, pb, v))
+    val queries = queryVecs.flatMap { case (i, v) =>
+      probeBuckets(bucketOf(v)).take(probes).map(pb => (i, pb, v))
     }.toDF("query_id", "qbucket", "qv")
-    val allProbes = querySet.flatMap { case (_, v) =>
-      probeBuckets(bucketOf(v))
+    val allProbes = queryVecs.flatMap { case (_, v) =>
+      probeBuckets(bucketOf(v)).take(probes)
     }.distinct
     val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
     idx.filter(col("bkt").isin(allProbes: _*))
@@ -449,7 +453,9 @@ object Ann {
     * ONLY the probed cell directories (PartitionFilters — verified in
     * AnnSpec); no assignment is recomputed at query time. Same result
     * contract as a3_ivf_ann. */
-  def indexedIvfKnn(s: SparkSession, d: String, k: Int = K): DataFrame = {
+  def indexedIvfKnn(s: SparkSession, d: String, k: Int = K,
+      nprobe: Int = NProbe,
+      queryVecs: Seq[(Int, Seq[Double])] = querySet): DataFrame = {
     import s.implicits._
     vectors.register(s)
     val cb = codebookFor(s, d)
@@ -457,10 +463,10 @@ object Ann {
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
     val probePairs: Seq[(Int, Long, Seq[Double])] =
-      querySet.flatMap { case (i, qv) =>
+      queryVecs.flatMap { case (i, qv) =>
         cb.map { case (cid, cv) => (cid, l2(qv, cv)) }
           .sortBy { case (cid, dd) => (dd, cid) }
-          .take(NProbe)
+          .take(nprobe)
           .map { case (cid, _) => (i, cid, qv) }
       }
     val probes = probePairs.toDF("query_id", "pcid", "qv")
@@ -515,7 +521,8 @@ object Ann {
     * Deterministic quantization → exact DuckDB oracle (the a3 oracle
     * with the dequantize replayed on the corpus side). */
   def quantizedIvfKnn(s: SparkSession, d: String, k: Int = K,
-      nprobe: Int = NProbe): DataFrame = {
+      nprobe: Int = NProbe,
+      queryVecs: Seq[(Int, Seq[Double])] = querySet): DataFrame = {
     import s.implicits._
     vectors.register(s)
     val cb = codebookFor(s, d)
@@ -523,7 +530,7 @@ object Ann {
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
     val probePairs: Seq[(Int, Long, Seq[Double])] =
-      querySet.flatMap { case (i, qv) =>
+      queryVecs.flatMap { case (i, qv) =>
         cb.map { case (cid, cv) => (cid, l2(qv, cv)) }
           .sortBy { case (cid, dd) => (dd, cid) }
           .take(nprobe)

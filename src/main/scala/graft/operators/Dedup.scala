@@ -694,7 +694,7 @@ object Dedup {
     }
     def setMarker(ndocs: Long): Unit = {
       s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-        s"('graft.src' = '$marker', 'graft.ndocs' = '$ndocs')")
+        s"('graft.src' = '${sqlLit(marker)}', 'graft.ndocs' = '$ndocs')")
       ()
     }
     def storedNdocs(): Option[Long] =
@@ -755,6 +755,12 @@ object Dedup {
     table
   }
 
+  /** SQL single-quoted-literal escape for TBLPROPERTIES values — the
+    * marker carries filesystem paths, and a legal Linux path may
+    * contain a single quote, which raw interpolation would turn into
+    * broken SQL. */
+  private def sqlLit(v: String): String = v.replace("'", "''")
+
   private def tableLocation(s: SparkSession, table: String): String =
     s.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table)).location.getPath
@@ -787,7 +793,8 @@ object Dedup {
         .bucketBy(buckets, "g").sortBy("g")
         .saveAsTable(table)
       props.foreach { case (k, v) =>
-        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$k' = '$v')")
+        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('${sqlLit(k)}' = '${sqlLit(v)}')")
       }
     } finally {
       def rm(f: java.io.File): Unit = {

@@ -79,20 +79,26 @@ object Dpp {
     // keyed by dir with the fingerprint in the VALUE (the bm25Stats
     // shape): regeneration REPLACES the entry instead of accreting one
     // per historical fingerprint, so a long-lived session that
-    // regenerates in place holds exactly one threshold per dir
-    thresholdCache.compute(d, (_, cur) => {
-      if (cur != null && cur._1 == fp) cur
-      else {
-        val r = dayCounts(s, d)
-          .agg(sum(col("n_day")).as("n"), count(lit(1)).as("nd"))
-          .collect().head
-        // fail loudly on an empty corpus rather than dividing by zero —
-        // the c15/Ttl listing-contract lesson (silent degenerate inputs
-        // must not produce quiet nonsense)
-        require(r.getLong(1) > 0, s"peakThreshold: no event days under $d")
-        (fp, r.getLong(0) / r.getLong(1))
-      }
-    })._2
+    // regenerates in place holds exactly one threshold per dir.
+    // The Spark job runs OUTSIDE any map lock — a collect inside
+    // compute() would hold the bin for the whole job (and a reentrant
+    // call for the same dir would throw a recursive-update
+    // IllegalStateException); the occasional duplicate recompute on a
+    // race is cheaper than a long-held lock.
+    val cur = thresholdCache.get(d)
+    if (cur != null && cur._1 == fp) cur._2
+    else {
+      val r = dayCounts(s, d)
+        .agg(sum(col("n_day")).as("n"), count(lit(1)).as("nd"))
+        .collect().head
+      // fail loudly on an empty corpus rather than dividing by zero —
+      // the c15/Ttl listing-contract lesson (silent degenerate inputs
+      // must not produce quiet nonsense)
+      require(r.getLong(1) > 0, s"peakThreshold: no event days under $d")
+      val trained = (fp, r.getLong(0) / r.getLong(1))
+      thresholdCache.put(d, trained)
+      trained._2
+    }
   }
 
   /** The peak-days report, served from the partitioned layout with

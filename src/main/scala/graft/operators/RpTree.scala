@@ -235,9 +235,10 @@ object RpTree {
   // ---------------------------------------------------------- search
 
   private def probesDf(s: SparkSession, thr: Map[Int, Double],
-      maxFlips: Int = MaxFlips): DataFrame = {
+      maxFlips: Int = MaxFlips,
+      queryVecs: Seq[(Int, Seq[Double])] = Ann.querySet): DataFrame = {
     import s.implicits._
-    Ann.querySet.flatMap { case (i, v) =>
+    queryVecs.flatMap { case (i, v) =>
       probeLeaves(thr, v, maxFlips).map(pl => (i, pl, v))
     }.toDF("query_id", "pleaf", "qv")
   }
@@ -296,14 +297,19 @@ object RpTree {
   /** a4_indexed: same result contract served from the persisted
     * layout — the probe-leaf set is a driver constant, so the `isin`
     * lands in PartitionFilters and only probed leaf dirs are read. */
-  def indexedQuery(s: SparkSession, d: String, k: Int = K): DataFrame = {
+  def indexedQuery(s: SparkSession, d: String, k: Int = K,
+      maxFlips: Int = MaxFlips,
+      queryVecs: Seq[(Int, Seq[Double])] = Ann.querySet): DataFrame = {
     vectors.register(s)
     val thr = treeFor(s, d)
     val idx = s.read.parquet(ensureIndex(s, d))
-    val allProbes = Ann.querySet.flatMap { case (_, v) => probeLeaves(thr, v) }.distinct
+    val allProbes = queryVecs.flatMap { case (_, v) =>
+      probeLeaves(thr, v, maxFlips)
+    }.distinct
     topkPerQuery(
       idx.filter(col("leaf").isin(allProbes: _*))
-        .join(broadcast(probesDf(s, thr)), col("leaf") === col("pleaf")), k)
+        .join(broadcast(probesDf(s, thr, maxFlips, queryVecs)),
+          col("leaf") === col("pleaf")), k)
   }
 
   // ---------------------------------------------------------- oracle

@@ -626,28 +626,35 @@ object EventStream {
     // watermark would late-drop rows, and a heavy key's stream-visible
     // mass could fall below the completeness bound while its batch
     // recount still clears n/256: silently absent, gate diverges.
-    // Assert the regimes agree before trusting the candidates: per
-    // finalized window, streamed n == exact batch count (one bounded
-    // aggregate, ≤ window-count rows) — loud failure over quiet skew.
-    val batchN = graft.Tables.events(s, d)
-      .select(window(col("ts"), "1 day")("start").as("window_start"))
-      .groupBy(col("window_start")).agg(count(lit(1)).as("bn"))
-    val lateDropped = streamed.select(col("window_start"), col("n"))
-      .join(batchN, Seq("window_start"))
-      .filter(col("n") =!= col("bn")).count()
-    require(lateDropped == 0L, s"s5: $lateDropped finalized window(s) " +
-      "lost late rows to the watermark — the Misra-Gries completeness " +
-      "bound no longer covers the batch recount; candidates untrusted")
-    // one reference to the sink read: n rides along the exploded
-    // candidate rows (constant per window) — same shape as hhRecount
-    val hits = graft.Tables.events(s, d)
+    // (Today runAvailableNow enforces exactly one data micro-batch, so
+    // the watermark cannot drop anything; the check is defense-in-depth
+    // for the day that invariant is relaxed.) ONE scan serves both the
+    // recount and the check: a left join against the broadcast
+    // candidate set collapses every non-candidate row into a single
+    // null-page group per window (map-side combine keeps the shuffle at
+    // ≤ 2·capacity + 1 rows per window), the per-window batch total
+    // bn = Σ cnt over ALL groups comes back with a window sum, and an
+    // in-plan assert_true fails LOUDLY on streamed n ≠ bn instead of
+    // paying a second eager events pass per gate run (r15 advice).
+    val grouped = graft.Tables.events(s, d)
       .select(window(col("ts"), "1 day")("start").as("window_start"),
         graft.operators.Analytics.pageVisit.as("page_id"))
       .join(broadcast(streamed.select(col("window_start"), col("n"),
         explode(col("cand")).as("page_id"))),
-        Seq("window_start", "page_id"))
-      .groupBy(col("window_start"), col("page_id"))
+        Seq("window_start", "page_id"), "left_outer")
+      .groupBy(col("window_start"),
+        when(col("n").isNotNull, col("page_id")).as("page_id"))
       .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+    val hits = grouped
+      .withColumn("bn", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"))))
+      .filter(col("page_id").isNotNull)
+      .filter(assert_true(col("n") === col("bn"),
+        lit("s5: a finalized window lost late rows to the watermark — " +
+          "the Misra-Gries completeness bound no longer covers the " +
+          "batch recount; candidates untrusted")).isNull)
+      .drop("bn")
     hits
       .filter(col("cnt") * lit(256L) > col("n"))
       .withColumn("rk", row_number().over(

@@ -101,6 +101,55 @@ class SearchCliSpec extends SparkSpec {
     html2 should include("tokens: zzqx, xxyzz")
   }
 
+  test("search --nprobe serves from the int8 IVF index; full probe == exact") {
+    // full probe (every cell) must reproduce the exact L2 top-k the
+    // knob-less brute-force path computes over the same image side
+    val (exactHtml, exact) = runTo(SearchCli.Args("search",
+      text = Some("a sleepy ridgeback dog"), dir = SparkSpec.TinySf, limit = 5))
+    val (annHtml, ann) = runTo(SearchCli.Args("search",
+      text = Some("a sleepy ridgeback dog"), dir = SparkSpec.TinySf,
+      limit = 5, nprobe = Some(32)))
+    def ids(rows: Seq[String]) = rows.map(_.split("<td>")(1).takeWhile(_ != '<'))
+    ids(ann) shouldBe ids(exact)
+    exactHtml should not include "ivf_cells"
+    // the probed fraction renders in the artifact's query description
+    annHtml should include("probed=32/32 ivf_cells")
+  }
+
+  test("search --probes and --flips serve from the LSH / RP-tree indexes") {
+    val (lshHtml, lsh) = runTo(SearchCli.Args("search",
+      text = Some("a sleepy ridgeback dog"), dir = SparkSpec.TinySf,
+      limit = 3, probes = Some(4)))
+    lsh.size should be > 0
+    lshHtml should include("probed=4/64 lsh_buckets")
+    val (rpHtml, rp) = runTo(SearchCli.Args("search",
+      text = Some("a sleepy ridgeback dog"), dir = SparkSpec.TinySf,
+      limit = 3, flips = Some(2)))
+    rp.size should be > 0
+    rpHtml should include("tree_leaves")
+    // widening the probe knob never shrinks what full probe recovers:
+    // nprobe=1 hits are a subset of the corpus the exact path ranked
+    val (_, narrow) = runTo(SearchCli.Args("search",
+      text = Some("a sleepy ridgeback dog"), dir = SparkSpec.TinySf,
+      limit = 3, nprobe = Some(1)))
+    narrow.size should be <= 3
+  }
+
+  test("ANN knobs are mutually exclusive and reject --filter") {
+    intercept[IllegalArgumentException] {
+      SearchCli.run(spark, SearchCli.Args("search", text = Some("q"),
+        dir = SparkSpec.TinySf, nprobe = Some(2), flips = Some(1)))
+    }
+    intercept[IllegalArgumentException] {
+      SearchCli.run(spark, SearchCli.Args("search", text = Some("q"),
+        dir = SparkSpec.TinySf, nprobe = Some(2), filter = Some("label = 1")))
+    }
+    intercept[IllegalArgumentException] { // knobs need a --text query
+      SearchCli.run(spark, SearchCli.Args("search", imageVec = Some(1L),
+        dir = SparkSpec.TinySf, nprobe = Some(2)))
+    }
+  }
+
   test("search --tokens honors --filter (applied before the top-k cut)") {
     val (_, rows) = runTo(SearchCli.Args("search",
       tokens = Some("vector, stream"), dir = SparkSpec.TinySf, limit = 5,
