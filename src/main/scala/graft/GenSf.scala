@@ -65,7 +65,10 @@ object GenSf {
     * corpus is the structureless worst case, kept as the conservative
     * lower bound). */
   val ClusterCount = 32
-  val ClusterSigma = 0.05
+  // the qvec center family's min pairwise L2 separation is 0.25; the
+  // generator guard demands separation > 20·sigma, so blob width must
+  // stay under 0.0125 for 32 planted clusters to be disjoint
+  val ClusterSigma = 0.01
 
   def clusterCenters(count: Int = ClusterCount): Seq[Seq[Double]] =
     (0 until count).map(j => graft.operators.VectorSearch.qvec(10 + j))

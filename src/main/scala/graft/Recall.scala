@@ -80,7 +80,8 @@ object Recall {
       val (m, mn) = recallOf(got, exactCos)
       Row("a2_lsh", p, m, mn, w)
     }
-    val a3 = Seq(1, 2, 4, 8, Ann.NumCentroids).map { np =>
+    val a3 = (Seq(1, 2, 4, 8, Ann.NumCentroids) :+ Ann.NProbe)
+      .distinct.sorted.map { np =>
       val (got, w) = topSets(Ann.ivfKnn(embs, cb, Ann.K, np))
       val (m, mn) = recallOf(got, exactL2)
       Row("a3_ivf", np, m, mn, w)
@@ -90,7 +91,8 @@ object Recall {
       val (m, mn) = recallOf(got, exactCos)
       Row("a4_rptree", f, m, mn, w)
     }
-    val vq3 = Seq(1, 2, 4, Ann.NumCentroids).map { np =>
+    val vq3 = (Seq(1, 2, 4, Ann.NumCentroids) :+ Ann.NProbe)
+      .distinct.sorted.map { np =>
       val (got, w) = topSets(Ann.quantizedIvfKnn(s, d, Ann.K, np))
       val (m, mn) = recallOf(got, exactL2)
       Row("vq3_ivf_i8", np, m, mn, w)

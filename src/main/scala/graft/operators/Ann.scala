@@ -514,16 +514,40 @@ object Ann {
     }
   }
 
+  /** Refine depth for [[quantizedIvfKnn]]'s float re-rank stage:
+    * candidates kept per query from the int8 ranking before exact
+    * float scoring. Int8 quantization error is an additive noise band
+    * on every distance; on a corpus whose true neighbors are spread
+    * wider than the band (the hash-uniform gate corpus) it never flips
+    * the top-10, but on a CLUSTERED corpus (near-tie distance bands —
+    * the regime real embeddings live in; measured in the r16 recall
+    * sweep at full probe: 0.70 recall without refine) it scrambles
+    * near-tie ranks. The fix is the standard IVF serving shape (FAISS
+    * refine): rank cheap, re-score the top R exactly. 256 covers the
+    * observed displacement band (≈ ±60 ranks at 1.5k-member clusters)
+    * with an order of magnitude to spare, and the refine read is
+    * R·queries point rows — constant per query at any corpus size. */
+  val RerankDepth = 256
+
   /** vq3: IVF-probed knn served from the int8 index — [[indexedIvfKnn]]
-    * with the probed cells scanning packed bytes. L2 needs the scale
-    * back ([[graft.functions.L2DistanceI8]] dequantizes inside the
-    * codegen loop, as vq2 does over the flat quantized copy).
-    * Deterministic quantization → exact DuckDB oracle (the a3 oracle
-    * with the dequantize replayed on the corpus side). */
+    * with the probed cells scanning packed bytes — followed by a FLOAT
+    * refine: the int8 scores ([[graft.functions.L2DistanceI8]]
+    * dequantizing inside the codegen loop, as vq2 does) only RANK
+    * candidates; the top [[RerankDepth]] per query are re-scored
+    * exactly against the float IVF index, pruned to the same probed
+    * cells with a broadcast vec_id join (≤ R·queries rows — a point
+    * read, never a corpus scan). Scan bytes stay int8-dominated
+    * (probed cells at ¼ width for the ranking pass + R point rows of
+    * float), and the answer carries EXACT distances — quantization
+    * bounds what can be MISSED (a true neighbor pushed below rank R),
+    * not what is reported. Deterministic end to end → exact DuckDB
+    * oracle (the two-stage algorithm replayed verbatim). */
   def quantizedIvfKnn(s: SparkSession, d: String, k: Int = K,
       nprobe: Int = NProbe,
-      queryVecs: Seq[(Int, Seq[Double])] = querySet): DataFrame = {
+      queryVecs: Seq[(Int, Seq[Double])] = querySet,
+      rerankDepth: Int = RerankDepth): DataFrame = {
     import s.implicits._
+    require(rerankDepth >= k, s"rerankDepth $rerankDepth < k $k")
     vectors.register(s)
     val cb = codebookFor(s, d)
     val idx = s.read.parquet(ensureIvfIndexI8(s, d))
@@ -538,11 +562,22 @@ object Ann {
       }
     val probes = probePairs.toDF("query_id", "pcid", "qv")
     val probedCells = probePairs.map(_._2).distinct
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
-    idx.filter(col("cid").isin(probedCells: _*))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore"), col("vec_id"))
+    val cand = idx.filter(col("cid").isin(probedCells: _*))
       .join(broadcast(probes), col("cid") === col("pcid"))
-      .withColumn("score",
+      .withColumn("qscore",
         vectors.l2DistanceI8(col("qemb"), col("scale"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("qscore"), col("qv"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= rerankDepth)
+      .select(col("query_id"), col("vec_id"), col("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
+    s.read.parquet(ensureIvfIndex(s, d))
+      .filter(col("cid").isin(probedCells: _*))
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .withColumn("score", vectors.l2Distance(col("embedding"), col("qv")))
       .select(col("query_id"), col("vec_id"), col("score"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -639,7 +674,10 @@ object Ann {
 
   /** a3's SQL with vq1/vq2's deterministic dequantize replayed on the
     * corpus side: cell ASSIGNMENT uses the full-precision vector (the
-    * index assigns before quantizing), scoring uses round(x/s)·s. */
+    * index assigns before quantizing), the CANDIDATE ranking uses
+    * round(x/s)·s, and the final score re-ranks the top
+    * [[RerankDepth]] candidates on the float vector — the refine
+    * stage replayed verbatim. */
   private def vq3Sql(d: String): String =
     s"""WITH ${centsSql(d)},
          |sc AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -648,8 +686,8 @@ object Ann {
          |qz AS (SELECT vec_id, v,
          |         list_transform(v, x -> round(x / s) * s) AS dq FROM sc),
          |assigned AS (
-         |  SELECT vec_id, dq, ccid AS cid FROM (
-         |    SELECT q.vec_id, q.dq, c.ccid,
+         |  SELECT vec_id, v, dq, ccid AS cid FROM (
+         |    SELECT q.vec_id, q.v, q.dq, c.ccid,
          |           list_distance(q.v, c.cv) AS cdist
          |    FROM qz q CROSS JOIN cents c)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, ccid) = 1),
@@ -658,9 +696,14 @@ object Ann {
          |  SELECT query_id, qv, ccid AS cid FROM (
          |    SELECT q.query_id, q.qv, c.ccid, list_distance(q.qv, c.cv) AS qdist
          |    FROM queries q CROSS JOIN cents c)
-         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdist, ccid) <= $NProbe)
-         |SELECT query_id, vec_id, list_distance(dq, qv) AS score
-         |FROM assigned JOIN qprobe USING (cid)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdist, ccid) <= $NProbe),
+         |cand AS (
+         |  SELECT query_id, qv, vec_id, v
+         |  FROM assigned JOIN qprobe USING (cid)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY list_distance(dq, qv), vec_id) <= $RerankDepth)
+         |SELECT query_id, vec_id, list_distance(v, qv) AS score
+         |FROM cand
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
          |ORDER BY query_id, score, vec_id""".stripMargin
 }

@@ -154,22 +154,27 @@ class AnnSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     plan should include("PartitionFilters")
     plan.split("PartitionFilters").exists(_.contains("cid")) shouldBe true
-    // the probed scan reads the int8 code + scale, never the float corpus
-    val i8Scan = plan.split("Scan parquet").find(_.contains("qemb"))
-    i8Scan should not be empty
-    i8Scan.get should not include "embedding"
+    // two-stage serving shape: the RANKING scan reads int8 code +
+    // scale (never the float corpus); the REFINE scan reads the float
+    // vectors of the probed cells only, re-scoring the broadcast
+    // candidate cut
+    val schemas = plan.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    schemas.exists(l => l.contains("qemb") && !l.contains("embedding")) shouldBe true
+    schemas.exists(l => l.contains("embedding") && !l.contains("qemb")) shouldBe true
 
     val got = out.collect()
-      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id")))
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score")))
     got.groupBy(_._1).values.foreach(_.length shouldBe Ann.K)
-    // quantization perturbs scores by ≤ scale/2 per component — far less
-    // than the corpus's inter-vector spacing, so the winner must agree
-    // with the full-precision index per query
-    def top1(rows: Array[(Int, Long)]): Map[Int, Long] =
-      rows.groupBy(_._1).map { case (q, arr) => q -> arr.head._2 }
-    val floatTop = top1(Ann.indexedIvfKnn(spark, dir).collect()
-      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"))))
-    top1(got) shouldBe floatTop
+    // the refine stage re-scores candidates on the FLOAT vectors, so
+    // whenever the true top-k survive the int8 candidate cut (always,
+    // at RerankDepth ≫ k on this corpus) the refined answer equals the
+    // full-precision index result EXACTLY — ids and scores
+    val floatTop = Ann.indexedIvfKnn(spark, dir).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score")))
+    got.toSeq shouldBe floatTop.toSeq
   }
 
   /** Recursive (path → (length, mtime)) snapshot of the DATA files of
