@@ -97,7 +97,13 @@ object Recall {
       val (m, mn) = recallOf(got, exactL2)
       Row("vq3_ivf_i8", np, m, mn, w)
     }
-    exact ++ a2 ++ a3 ++ a4 ++ vq3
+    val vq4 = (Seq(1, 2, 4, Ann.NumCentroids) :+ Ann.NProbe)
+      .distinct.sorted.map { np =>
+      val (got, w) = topSets(Ann.ivfPqKnn(s, d, Ann.K, np))
+      val (m, mn) = recallOf(got, exactL2)
+      Row("vq4_ivfpq", np, m, mn, w)
+    }
+    exact ++ a2 ++ a3 ++ a4 ++ vq3 ++ vq4
   }
 
   /** Resolve a CLI target to (label, dir) — `clustered:<n>` generates

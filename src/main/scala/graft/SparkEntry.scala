@@ -127,6 +127,7 @@ object SparkEntry {
     "a4_rptree" -> ((s: SparkSession, d: String) => RpTree.a4Query(s, d)),
     "a4_indexed" -> ((s: SparkSession, d: String) => RpTree.indexedQuery(s, d)),
     "vq3_ivf_i8" -> ((s: SparkSession, d: String) => Ann.quantizedIvfKnn(s, d)),
+    "vq4_ivfpq" -> ((s: SparkSession, d: String) => Ann.ivfPqKnn(s, d)),
     "s1_stream_window" -> (EventStream.s1Query _),
     "s2_stream_sessionize" -> (EventStream.s2Query _),
     "s3_stream_dedup" -> (EventStream.s3Query _),

@@ -177,6 +177,44 @@ class AnnSpec extends SparkSpec {
     got.toSeq shouldBe floatTop.toSeq
   }
 
+  test("ivfPqKnn: 8-byte codes, pruned cells, refine matches the float index") {
+    vectors.register(spark)
+    implicit val s = spark
+    val embs = corpus(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vq4spec-").toString
+    embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = Ann.ivfPqKnn(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    plan.split("PartitionFilters").exists(_.contains("cid")) shouldBe true
+    // the RANKING scan reads only the code column — never a vector
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    schemas.exists(l => l.contains("code") && !l.contains("embedding") &&
+      !l.contains("qemb")) shouldBe true
+    // stored codes are valid LUT positions
+    val codes = spark.read.parquet(Ann.ensureIvfPqIndex(spark, dir))
+      .select(col("code")).collect().map(_.getSeq[Int](0))
+    all(codes.map(_.size)) shouldBe Ann.PqSubspaces
+    codes.flatten.foreach { c =>
+      c should be >= 0
+      c should be < Ann.PqKsub
+    }
+    // at RerankDepth >> probed rows the refined answer must equal the
+    // full-precision index result exactly — ids AND scores
+    val got = out.collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score")))
+    got.groupBy(_._1).values.foreach(_.length shouldBe Ann.K)
+    val floatTop = Ann.indexedIvfKnn(spark, dir).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score")))
+    got.toSeq shouldBe floatTop.toSeq
+    // rerankDepth below k is a contract violation, loudly
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqKnn(spark, dir, k = Ann.K, rerankDepth = 2)
+    }
+  }
+
   /** Recursive (path → (length, mtime)) snapshot of the DATA files of
     * an index dir (markers/_SUCCESS excluded — they legitimately
     * update on append). */
