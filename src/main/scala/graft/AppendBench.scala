@@ -116,6 +116,17 @@ object AppendBench {
     Fam("a3_ivf_index", "embeddings", "vec_id",
       (s, d) => Ann.ensureIvfIndex(s, d),
       (s, d) => rmTree(Ann.ivfIndexPath(d))),
+    // the quantized serving copies share a3's cell layout and the
+    // fixed-while-grow-only codebook lifecycle — their append paths
+    // must ALSO land shard-pro-rata bytes with old files untouched
+    Fam("vq3_i8_index", "embeddings", "vec_id",
+      (s, d) => Ann.ensureIvfIndexI8(s, d),
+      (s, d) => rmTree(graft.sources.LocalIndex.path(
+        "ivf-i8-index", d, "_k" + Ann.NumCentroids))),
+    Fam("vq4_pq_index", "embeddings", "vec_id",
+      (s, d) => Ann.ensureIvfPqIndex(s, d),
+      (s, d) => rmTree(graft.sources.LocalIndex.path(
+        "ivf-pq-index", d, "_k" + Ann.NumCentroids + "m" + Ann.PqSubspaces))),
     Fam("c9_rollup_parts", "events", "event_id",
       (s, d) => Rollup.ensureRollup(s, d),
       (s, d) => rmTree(graft.sources.LocalIndex.path("rollup", d, ""))),

@@ -56,7 +56,7 @@ object SearchCli {
       limit: Int = 10, filter: Option[String] = None,
       out: String = "results.html",
       nprobe: Option[Int] = None, probes: Option[Int] = None,
-      flips: Option[Int] = None)
+      flips: Option[Int] = None, pq: Boolean = false)
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty, usage)
@@ -79,6 +79,7 @@ object SearchCli {
         case "--nprobe"    => a = a.copy(nprobe = Some(argv(i + 1).toInt)); i += 2
         case "--probes"    => a = a.copy(probes = Some(argv(i + 1).toInt)); i += 2
         case "--flips"     => a = a.copy(flips = Some(argv(i + 1).toInt)); i += 2
+        case "--pq"        => a = a.copy(pq = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown flag $other\n$usage")
       }
     }
@@ -92,6 +93,7 @@ object SearchCli {
       |  SearchCli search --image /path/to/picture.png [...]
       |  SearchCli search --tokens "vector,stream,join" [...]
       |  SearchCli search --text "a query" --nprobe 6   (ANN: int8 IVF index)
+      |  SearchCli search --text "a query" --nprobe 6 --pq  (ANN: 8-byte IVF-PQ index)
       |  SearchCli search --text "a query" --probes 4   (ANN: LSH bucket index)
       |  SearchCli search --text "a query" --flips 3    (ANN: RP-tree index)
       |  SearchCli concept_math "'some phrase' + 0.5 * 'other' - q0" [...]""".stripMargin
@@ -198,8 +200,9 @@ object SearchCli {
     * exposed on the CLI exactly where a user trades recall for probe
     * cost. Routes the embedded query through the PERSISTED
     * partition-pruned index of the chosen family instead of the exact
-    * scan — `--nprobe` probes the int8 IVF cells (vq3's serving tier),
-    * `--probes` the LSH bucket ring (a2_indexed), `--flips` the
+    * scan — `--nprobe` probes the int8 IVF cells (vq3's serving tier;
+    * with `--pq` the 8-byte IVF-PQ tier, vq4), `--probes` the LSH
+    * bucket ring (a2_indexed), `--flips` the
     * RP-tree spill leaves (a4_indexed) — then fetches presentation
     * metadata for exactly the k hit ids (a pushed-down `isin` point
     * read, bounded by `--limit`). The stats line reports the probed
@@ -221,8 +224,12 @@ object SearchCli {
     val (hits, probedLabel) = (a.nprobe, a.probes, a.flips) match {
       case (Some(np), _, _) =>
         val cells = math.min(math.max(np, 1), Ann.NumCentroids)
-        (Ann.quantizedIvfKnn(spark, a.dir, a.limit, cells, one),
-          s"probed=$cells/${Ann.NumCentroids} ivf_cells")
+        if (a.pq)
+          (Ann.ivfPqKnn(spark, a.dir, a.limit, cells, one),
+            s"probed=$cells/${Ann.NumCentroids} ivf_cells pq=8B")
+        else
+          (Ann.quantizedIvfKnn(spark, a.dir, a.limit, cells, one),
+            s"probed=$cells/${Ann.NumCentroids} ivf_cells")
       case (_, Some(p), _) =>
         val pr = math.min(math.max(p, 1), Ann.NumPlanes + 1)
         (Ann.indexedLshKnn(spark, a.dir, a.limit, pr, one),

@@ -114,6 +114,13 @@ class SearchCliSpec extends SparkSpec {
     exactHtml should not include "ivf_cells"
     // the probed fraction renders in the artifact's query description
     annHtml should include("probed=32/32 ivf_cells")
+    // --pq routes the same knob through the 8-byte IVF-PQ tier; at
+    // full probe the refine makes it exact too
+    val (pqHtml, pqRows) = runTo(SearchCli.Args("search",
+      text = Some("a sleepy ridgeback dog"), dir = SparkSpec.TinySf,
+      limit = 5, nprobe = Some(32), pq = true))
+    ids(pqRows) shouldBe ids(exact)
+    pqHtml should include("pq=8B")
   }
 
   test("search --probes and --flips serve from the LSH / RP-tree indexes") {
