@@ -83,6 +83,37 @@ object Ann {
     batchKnn(Tables.embeddings(s, d), queriesDf(s))
   }
 
+  /** [[batchKnn]]'s two-phase per-query rank cut, shared by every
+    * probe-scan surface (a2/a3/a4/vq3/vq4). `cand` must carry
+    * (query_id, vec_id, `scoreCol`) straight out of the map-side
+    * probe stage (scan + broadcast join + scored projection — no
+    * exchange yet), so `spark_partition_id()` materializes the SCAN
+    * partition. Phase 1 ranks per (query, scan partition): the probed
+    * candidate set — a constant FRACTION of the corpus under any
+    * fixed probe width — is cut to `cut` rows per (query, partition)
+    * across a WIDE exchange of nq×partitions keys, instead of
+    * funneling every probed row into one task per query (5 active
+    * reducers on a 1000-executor cluster). Phase 2 ranks the
+    * ≤ partitions×cut×nq survivors per query — reduction volume
+    * independent of corpus size. The (score, vec_id) ordering is
+    * total, so the two-phase result is bit-identical to a single
+    * global rank. */
+  private[graft] def twoPhaseCut(cand: DataFrame, scoreCol: String,
+      cut: Int): DataFrame = {
+    val wLocal = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col(scoreCol), col("vec_id"))
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol), col("vec_id"))
+    cand
+      .withColumn("pid", spark_partition_id()) // materialized pre-shuffle
+      .withColumn("prn", row_number().over(wLocal))
+      .filter(col("prn") <= cut)
+      .drop("pid", "prn")
+      .withColumn("rn", row_number().over(wGlobal))
+      .filter(col("rn") <= cut)
+      .drop("rn")
+  }
+
   // ---------------------------------------------------------------- a2
 
   val NumPlanes = 6
@@ -132,13 +163,11 @@ object Ann {
       probeBuckets(bucketOf(v)).take(probes).map(pb => (i, pb, v))
     }.toDF("query_id", "qbucket", "qv")
     val bucketed = embs.withColumn("bkt", bucketCol(col("embedding")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
-    bucketed.join(broadcast(queries), col("bkt") === col("qbucket"))
-      .withColumn("score", vectors.cosineDistance(col("embedding"), col("qv")))
-      .select(col("query_id"), col("vec_id"), col("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    twoPhaseCut(
+      bucketed.join(broadcast(queries), col("bkt") === col("qbucket"))
+        .withColumn("score", vectors.cosineDistance(col("embedding"), col("qv")))
+        .select(col("query_id"), col("vec_id"), col("score")),
+      "score", k)
       .orderBy(col("query_id"), col("score"), col("vec_id"))
   }
 
@@ -217,14 +246,12 @@ object Ann {
     val allProbes = queryVecs.flatMap { case (_, v) =>
       probeBuckets(bucketOf(v)).take(probes)
     }.distinct
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
-    idx.filter(col("bkt").isin(allProbes: _*))
-      .join(broadcast(queries), col("bkt") === col("qbucket"))
-      .withColumn("score", vectors.cosineDistance(col("embedding"), col("qv")))
-      .select(col("query_id"), col("vec_id"), col("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    twoPhaseCut(
+      idx.filter(col("bkt").isin(allProbes: _*))
+        .join(broadcast(queries), col("bkt") === col("qbucket"))
+        .withColumn("score", vectors.cosineDistance(col("embedding"), col("qv")))
+        .select(col("query_id"), col("vec_id"), col("score")),
+      "score", k)
       .orderBy(col("query_id"), col("score"), col("vec_id"))
   }
 
@@ -391,13 +418,11 @@ object Ann {
         .map { case (_, cid, _) => (i, cid, qv) }
     }.toDF("query_id", "pcid", "qv")
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
-    assigned.join(broadcast(probes), col("cid") === col("pcid"))
-      .withColumn("score", vectors.l2Distance(col("embedding"), col("qv")))
-      .select(col("query_id"), col("vec_id"), col("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    twoPhaseCut(
+      assigned.join(broadcast(probes), col("cid") === col("pcid"))
+        .withColumn("score", vectors.l2Distance(col("embedding"), col("qv")))
+        .select(col("query_id"), col("vec_id"), col("score")),
+      "score", k)
       .orderBy(col("query_id"), col("score"), col("vec_id"))
   }
 
@@ -471,14 +496,12 @@ object Ann {
       }
     val probes = probePairs.toDF("query_id", "pcid", "qv")
     val probedCells = probePairs.map(_._2).distinct
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
-    idx.filter(col("cid").isin(probedCells: _*))
-      .join(broadcast(probes), col("cid") === col("pcid"))
-      .withColumn("score", vectors.l2Distance(col("embedding"), col("qv")))
-      .select(col("query_id"), col("vec_id"), col("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    twoPhaseCut(
+      idx.filter(col("cid").isin(probedCells: _*))
+        .join(broadcast(probes), col("cid") === col("pcid"))
+        .withColumn("score", vectors.l2Distance(col("embedding"), col("qv")))
+        .select(col("query_id"), col("vec_id"), col("score")),
+      "score", k)
       .orderBy(col("query_id"), col("score"), col("vec_id"))
   }
 
@@ -562,32 +585,41 @@ object Ann {
       }
     val probes = probePairs.toDF("query_id", "pcid", "qv")
     val probedCells = probePairs.map(_._2).distinct
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("qscore"), col("vec_id"))
-    val cand = idx.filter(col("cid").isin(probedCells: _*))
-      .join(broadcast(probes), col("cid") === col("pcid"))
-      .withColumn("qscore",
-        vectors.l2DistanceI8(col("qemb"), col("scale"), col("qv")))
-      .select(col("query_id"), col("vec_id"), col("qscore"), col("qv"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= rerankDepth)
-      .select(col("query_id"), col("vec_id"), col("qv"))
-    refineStage(s, d, cand, probedCells, k)
+    // qv is dropped BEFORE the rank cut: the 64-double query vector
+    // would otherwise ride every candidate row through the rank
+    // exchange (~0.5 KB/row of pure ballast); refineStage re-joins it
+    // from the broadcast query table against the ≤ R·nq survivors.
+    val cand = twoPhaseCut(
+      idx.filter(col("cid").isin(probedCells: _*))
+        .join(broadcast(probes), col("cid") === col("pcid"))
+        .withColumn("qscore",
+          vectors.l2DistanceI8(col("qemb"), col("scale"), col("qv")))
+        .select(col("query_id"), col("vec_id"), col("qscore")),
+      "qscore", rerankDepth)
+      .select(col("query_id"), col("vec_id"))
+    refineStage(s, d, cand, queryVecs, probedCells, k)
   }
 
   /** The shared float refine stage ([[quantizedIvfKnn]] / [[ivfPqKnn]]):
-    * re-score `cand` rows (query_id, vec_id, qv — ≤ RerankDepth per
+    * re-score `cand` rows (query_id, vec_id — ≤ RerankDepth per
     * query, broadcast) exactly against the float IVF index, pruned to
-    * the same probed cells, and keep the top k. The refine read is a
-    * vec_id point join inside probed cells — candidate-bounded, never
-    * a corpus scan. */
+    * the same probed cells, and keep the top k. The query vector is
+    * re-joined from the broadcast query table here — the rank
+    * exchange upstream carries only (query_id, vec_id, score). The
+    * refine read is a vec_id point join inside probed cells —
+    * candidate-bounded, never a corpus scan, so the single per-query
+    * rank window is fine (≤ RerankDepth rows per partition). */
   private def refineStage(s: SparkSession, d: String, cand: DataFrame,
-      probedCells: Seq[Long], k: Int): DataFrame = {
+      queryVecs: Seq[(Int, Seq[Double])], probedCells: Seq[Long],
+      k: Int): DataFrame = {
+    import s.implicits._
+    val queries = queryVecs.toDF("query_id", "qv")
     val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
     s.read.parquet(ensureIvfIndex(s, d))
       .filter(col("cid").isin(probedCells: _*))
       .select(col("vec_id"), col("embedding"))
       .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .withColumn("score", vectors.l2Distance(col("embedding"), col("qv")))
       .select(col("query_id"), col("vec_id"), col("score"))
       .withColumn("rn", row_number().over(w))
@@ -788,16 +820,17 @@ object Ann {
     val adc = (0 until PqSubspaces).map(m =>
       element_at(element_at(col("lut"), m + 1),
         col("code").getItem(m) + 1)).reduce(_ + _)
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("qscore"), col("vec_id"))
-    val cand = idx.filter(col("cid").isin(probedCells: _*))
-      .join(broadcast(probes), col("cid") === col("pcid"))
-      .withColumn("qscore", adc)
-      .select(col("query_id"), col("vec_id"), col("qscore"), col("qv"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= rerankDepth)
-      .select(col("query_id"), col("vec_id"), col("qv"))
-    refineStage(s, d, cand, probedCells, k)
+    // qv (and the LUT) dropped before the rank cut — see
+    // [[quantizedIvfKnn]]: the rank exchange carries only
+    // (query_id, vec_id, qscore); refineStage re-joins qv broadcast.
+    val cand = twoPhaseCut(
+      idx.filter(col("cid").isin(probedCells: _*))
+        .join(broadcast(probes), col("cid") === col("pcid"))
+        .withColumn("qscore", adc)
+        .select(col("query_id"), col("vec_id"), col("qscore")),
+      "qscore", rerankDepth)
+      .select(col("query_id"), col("vec_id"))
+    refineStage(s, d, cand, queryVecs, probedCells, k)
   }
 
   // ------------------------------------------------------------ oracles

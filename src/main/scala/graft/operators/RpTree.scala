@@ -243,16 +243,16 @@ object RpTree {
     }.toDF("query_id", "pleaf", "qv")
   }
 
-  private def topkPerQuery(cand: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
-    cand
-      .withColumn("score", vectors.cosineDistance(col("embedding"), col("qv")))
-      .select(col("query_id"), col("vec_id"), col("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+  /** Per-query top-k over probed-leaf candidates via [[Ann.twoPhaseCut]]
+    * — the pid-local prefilter keeps the probed set (a constant corpus
+    * fraction) from funneling into one task per query. */
+  private def topkPerQuery(cand: DataFrame, k: Int): DataFrame =
+    Ann.twoPhaseCut(
+      cand
+        .withColumn("score", vectors.cosineDistance(col("embedding"), col("qv")))
+        .select(col("query_id"), col("vec_id"), col("score")),
+      "score", k)
       .orderBy(col("query_id"), col("score"), col("vec_id"))
-  }
 
   /** a4: scan-side RP-tree search — assign leaves on the fly (pure
     * map), broadcast-join the probe pairs, exact cosine inside probed

@@ -555,6 +555,44 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("ANN probe scans rank via the two-phase cut: pid-local prefilter before the per-query exchange") {
+    // every probe-scan surface must carry batchKnn's shape: a
+    // row_number window keyed by (query_id, SPARK_PARTITION_ID)
+    // cutting each scan partition's candidates BEFORE the per-query
+    // exchange — a single global per-query rank would funnel a
+    // corpus-proportional probed set into nq tasks at 100 TB
+    Seq("a1_batch_knn", "a2_lsh_ann", "a2_indexed", "a3_ivf_ann",
+      "a3_indexed", "a4_rptree", "a4_indexed", "vq3_ivf_i8",
+      "vq4_ivfpq").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        p should include("SPARK_PARTITION_ID") // pid materialized map-side
+        "row_number".r.findAllIn(p).size should be >= 2 // local + global rank
+      }
+    }
+  }
+
+  test("vq3/vq4 rank exchanges carry no query vector (narrow (query_id, vec_id, qscore) rows)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Seq("vq3_ivf_i8", "vq4_ivfpq").foreach { q =>
+        withClue(q) {
+          val exec = SparkEntry.queries(q)(spark, SparkSpec.TinySf)
+            .queryExecution.executedPlan
+          val rankEx = exec.collect { case e: ShuffleExchangeExec
+            if e.output.exists(_.name == "qscore") => e }
+          rankEx should not be empty
+          rankEx.foreach { e =>
+            e.output.map(_.name) should not contain "qv"
+            e.output.map(_.name) should not contain "lut"
+          }
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("c15 TTL serve path is a scan of the surviving partitions only") {
     // the gate query must READ the post-expiry layout — one parquet
     // scan, no write job in the serve plan, no join
