@@ -73,6 +73,46 @@ object GenSf {
   def clusterCenters(count: Int = ClusterCount): Seq[Seq[Double]] =
     (0 until count).map(j => graft.operators.VectorSearch.qvec(10 + j))
 
+  /** Race-safe shared cache of the planted-cluster corpus (used by
+    * both graft.Recall and AnnRecallSpec): an existing COMPLETE cache
+    * (`embeddings.parquet/_SUCCESS`) is served as-is — the generator
+    * is deterministic, so one copy fits all; otherwise the corpus is
+    * generated into a UNIQUE scratch dir and atomically PUBLISHED via
+    * rename. Two concurrent runs must never SaveMode.Overwrite the
+    * same live dir (a reader mid-scan would see files vanish): first
+    * publisher wins, losers delete their scratch copy and serve the
+    * winner's. Returns the cache dir. */
+  def ensureClusteredEmbeddings(spark: SparkSession, n: Long): String = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft-clustered-$n")
+    def complete(p: Path): Boolean =
+      Files.exists(p.resolve("embeddings.parquet").resolve("_SUCCESS"))
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    if (!complete(base)) {
+      val scratch = Paths.get(sys.props("java.io.tmpdir"),
+        s".graft-clustered-$n-build-${ProcessHandle.current.pid}-" +
+          java.util.UUID.randomUUID)
+      clusteredEmbeddings(spark, scratch.toString, n)
+      // a stale INCOMPLETE cache (a crashed writer from the pre-rename
+      // era) blocks the rename forever — clear it best-effort first
+      if (Files.exists(base) && !complete(base))
+        try deleteTree(base) catch { case _: java.io.IOException => }
+      try Files.move(scratch, base, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // another run published first (or the stale dir resisted
+          // deletion) — serve the existing copy if complete, else fail
+          deleteTree(scratch)
+          require(complete(base),
+            s"ensureClusteredEmbeddings: publish race left $base incomplete")
+      }
+    }
+    base.toString
+  }
+
   /** Write a clustered embedding corpus (same schema as the testdata
     * embeddings table: vec_id BIGINT, embedding ARRAY<FLOAT>, label
     * INT = planted cluster id) of `n` vectors into

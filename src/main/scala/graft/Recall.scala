@@ -106,19 +106,17 @@ object Recall {
     exact ++ a2 ++ a3 ++ a4 ++ vq3 ++ vq4
   }
 
-  /** Resolve a CLI target to (label, dir) — `clustered:<n>` generates
-    * the planted-cluster corpus first, into a DETERMINISTIC cache dir
-    * keyed by n (not a fresh temp dir per run: the generator is
-    * deterministic and SaveMode.Overwrite replaces in place, so
-    * repeated recall runs reuse one dir instead of accreting
-    * multi-GB parquet copies in /tmp). */
+  /** Resolve a CLI target to (label, dir) — `clustered:<n>` resolves
+    * to the planted-cluster corpus's shared cache dir, generated
+    * race-safely (unique scratch + atomic rename; see
+    * [[GenSf.ensureClusteredEmbeddings]]) so a recall run concurrent
+    * with AnnRecallSpec cannot corrupt the live dir, while repeated
+    * runs still reuse one copy instead of accreting multi-GB parquet
+    * in /tmp. */
   private def resolve(s: SparkSession, target: String): (String, String) =
     if (target.startsWith("clustered:")) {
       val n = target.stripPrefix("clustered:").toLong
-      val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft-clustered-$n").toString
-      GenSf.clusteredEmbeddings(s, dir, n)
-      (s"clustered-$n", dir)
+      (s"clustered-$n", GenSf.ensureClusteredEmbeddings(s, n))
     } else (target, target)
 
   private def line(label: String, r: Row): String =

@@ -56,7 +56,8 @@ object SearchCli {
       limit: Int = 10, filter: Option[String] = None,
       out: String = "results.html",
       nprobe: Option[Int] = None, probes: Option[Int] = None,
-      flips: Option[Int] = None, pq: Boolean = false)
+      flips: Option[Int] = None, pq: Boolean = false,
+      noOpen: Boolean = false)
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty, usage)
@@ -80,9 +81,15 @@ object SearchCli {
         case "--probes"    => a = a.copy(probes = Some(argv(i + 1).toInt)); i += 2
         case "--flips"     => a = a.copy(flips = Some(argv(i + 1).toInt)); i += 2
         case "--pq"        => a = a.copy(pq = true); i += 1
+        case "--no-open"   => a = a.copy(noOpen = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown flag $other\n$usage")
       }
     }
+    // --pq selects the IVF-PQ tier WITHIN the --nprobe family; silently
+    // serving another index (or the exact path) under the flag would
+    // misreport what was probed
+    require(!a.pq || a.nprobe.isDefined,
+      s"--pq applies only to --nprobe (the IVF serving tier)\n$usage")
     a
   }
 
@@ -96,7 +103,26 @@ object SearchCli {
       |  SearchCli search --text "a query" --nprobe 6 --pq  (ANN: 8-byte IVF-PQ index)
       |  SearchCli search --text "a query" --probes 4   (ANN: LSH bucket index)
       |  SearchCli search --text "a query" --flips 3    (ANN: RP-tree index)
-      |  SearchCli concept_math "'some phrase' + 0.5 * 'other' - q0" [...]""".stripMargin
+      |  SearchCli concept_math "'some phrase' + 0.5 * 'other' - q0" [...]
+      |  (all commands: --no-open suppresses the browser-open attempt)""".stripMargin
+
+  /** search.py:208 parity (`webbrowser.open_new(url)`): best-effort
+    * open of the rendered artifact in the user's browser, suppressed
+    * by `--no-open` and ALWAYS non-fatal — a headless sandbox has no
+    * browser, and the printed file:// link is the contract either
+    * way. Desktop.browse where a desktop exists, else xdg-open. */
+  private def openInBrowser(a: Args, f: java.io.File): Unit = if (!a.noOpen) {
+    try {
+      if (java.awt.Desktop.isDesktopSupported &&
+          java.awt.Desktop.getDesktop.isSupported(java.awt.Desktop.Action.BROWSE))
+        java.awt.Desktop.getDesktop.browse(f.toURI)
+      else {
+        val pb = new ProcessBuilder("xdg-open", f.getAbsolutePath)
+        pb.redirectErrorStream(true)
+        pb.start()
+      }
+    } catch { case _: Exception => () } // headless: the link suffices
+  }
 
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)
@@ -189,8 +215,9 @@ object SearchCli {
     val w = new java.io.PrintWriter(f, "UTF-8")
     try w.write(html) finally w.close()
 
-    // search.py prints the file link + the stats line
+    // search.py prints the file link + the stats line, then opens it
     println(s"file://${f.getAbsolutePath}")
+    openInBrowser(a, f)
     println(f"query_time=${qSec}%.3fs generation_time=${genSec}%.3fs " +
       s"read_rows=${stats.rowsRead} read_bytes=${stats.bytesRead}")
   }
@@ -259,6 +286,14 @@ object SearchCli {
         .map(r => r.getLong(0) -> Hit(r.getLong(0), r.getString(1),
           r.getString(2), r.getString(3), r.getLong(4),
           score(r.getLong(0)))).toMap
+    // every ANN hit id must resolve to a combined-table row — a
+    // silent flatMap drop would render fewer than k rows with no
+    // signal that ids were lost (an index serving ids outside the
+    // corpus is a staleness bug worth failing on, not hiding)
+    require(meta.size == scored.length,
+      s"ANN index returned ${scored.length} ids but only ${meta.size} " +
+        s"resolve in the combined table — stale index for ${a.dir}? " +
+        s"missing: ${scored.map(_.getLong(1)).filterNot(meta.contains).mkString(",")}")
     val ordered = scored.map(_.getLong(1)).flatMap(meta.get).toSeq
     val desc = s"${a.text.get} [ann $probedLabel]"
     val html = render(desc, a, ordered, genSec, stats)
@@ -266,6 +301,7 @@ object SearchCli {
     val w = new java.io.PrintWriter(f, "UTF-8")
     try w.write(html) finally w.close()
     println(s"file://${f.getAbsolutePath}")
+    openInBrowser(a, f)
     println(f"query_time=${qSec}%.3fs generation_time=${genSec}%.3fs " +
       s"read_rows=${stats.rowsRead} read_bytes=${stats.bytesRead} " +
       probedLabel)
@@ -311,6 +347,7 @@ object SearchCli {
     val w = new java.io.PrintWriter(f, "UTF-8")
     try w.write(html) finally w.close()
     println(s"file://${f.getAbsolutePath}")
+    openInBrowser(a, f)
     println(f"query_time=${qSec}%.3fs generation_time=${genSec}%.3fs " +
       s"read_rows=${stats.rowsRead} read_bytes=${stats.bytesRead}")
   }

@@ -146,6 +146,26 @@ object Ann {
   def probeBuckets(b: Int): Seq[Int] =
     b +: (0 until NumPlanes).map(p => b ^ (1 << p))
 
+  /** The multi-probe set ORDERED for truncation: home bucket first,
+    * then the Hamming-1 flips sorted by the query's |dot(v, plane_p)|
+    * margin, closest plane first (ties on plane index) — the flip a
+    * near neighbor most plausibly fell across. `take(p)` of this
+    * sequence is the best-p probe set multi-probe LSH intends (Lv et
+    * al., VLDB'07); fixed plane-index order gave intermediate
+    * `--probes` settings arbitrary Hamming-1 buckets. Same SET as
+    * [[probeBuckets]] at full width, so full-probe results (the gated
+    * a2/a2_indexed defaults and their oracles) are unchanged. */
+  def probeBucketsByMargin(v: Seq[Double]): Seq[Int] = {
+    val b = bucketOf(v)
+    val flips = planes.zipWithIndex
+      .map { case (pl, p) =>
+        (math.abs(pl.zip(v).map { case (a, x) => a * x }.sum), p)
+      }
+      .sortBy { case (m, p) => (m, p) }
+      .map { case (_, p) => b ^ (1 << p) }
+    b +: flips
+  }
+
   /** a2: LSH-bucketed ANN with multi-probe. Corpus bucket assignment is
     * a pure map (P codegen'd dot products per row); each query joins
     * its own bucket PLUS the P Hamming-1 probe buckets (~(P+1)·n/2^P of
@@ -160,7 +180,7 @@ object Ann {
       probes: Int = NumPlanes + 1)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     val queries = querySet.flatMap { case (i, v) =>
-      probeBuckets(bucketOf(v)).take(probes).map(pb => (i, pb, v))
+      probeBucketsByMargin(v).take(probes).map(pb => (i, pb, v))
     }.toDF("query_id", "qbucket", "qv")
     val bucketed = embs.withColumn("bkt", bucketCol(col("embedding")))
     twoPhaseCut(
@@ -241,10 +261,10 @@ object Ann {
     vectors.register(s)
     val idx = s.read.parquet(ensureLshIndex(s, d))
     val queries = queryVecs.flatMap { case (i, v) =>
-      probeBuckets(bucketOf(v)).take(probes).map(pb => (i, pb, v))
+      probeBucketsByMargin(v).take(probes).map(pb => (i, pb, v))
     }.toDF("query_id", "qbucket", "qv")
     val allProbes = queryVecs.flatMap { case (_, v) =>
-      probeBuckets(bucketOf(v)).take(probes)
+      probeBucketsByMargin(v).take(probes)
     }.distinct
     twoPhaseCut(
       idx.filter(col("bkt").isin(allProbes: _*))
@@ -380,22 +400,31 @@ object Ann {
     * mutation/removal — the same manifest rule
     * [[graft.sources.LocalIndex.ensureIncremental]] applies to the
     * index files themselves, so codebook and index lifecycles agree. */
-  def codebookFor(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
-    codebooks.compute(d, (_, cur) => {
-      val now = graft.sources.LocalIndex.dataManifest(
-        Seq(s"$d/embeddings.parquet"))
-      if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains))
-        // grow-only serve — but ADOPT the current manifest: a shard
-        // appended after training is part of the served corpus from
-        // here on, so a later in-place mutation of it must read as a
-        // mutation (retrain), not as an invisible non-member of the
-        // train-time file set
-        (now, cur._2)
-      else {
-        val embs = Tables.embeddings(s, d)
-        (now, trainCodebook(embs, seedCodebook(embs)))
-      }
-    })._2
+  def codebookFor(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+    // get/recompute/put, NOT compute(): Lloyd training is a multi-job
+    // Spark workload, and running it inside the ConcurrentHashMap bin
+    // lock would hold the bin for the whole job (and a reentrant call
+    // for the same dir would throw a recursive-update exception) —
+    // the Dpp.peakThreshold shape; a duplicate recompute on a race is
+    // cheaper than a long-held lock.
+    val now = graft.sources.LocalIndex.dataManifest(
+      Seq(s"$d/embeddings.parquet"))
+    val cur = codebooks.get(d)
+    if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains)) {
+      // grow-only serve — but ADOPT the current manifest: a shard
+      // appended after training is part of the served corpus from
+      // here on, so a later in-place mutation of it must read as a
+      // mutation (retrain), not as an invisible non-member of the
+      // train-time file set
+      if (cur._1 != now) codebooks.put(d, (now, cur._2))
+      cur._2
+    } else {
+      val embs = Tables.embeddings(s, d)
+      val trained = trainCodebook(embs, seedCodebook(embs))
+      codebooks.put(d, (now, trained))
+      trained
+    }
+  }
 
   /** a3: IVF coarse quantization over a trained codebook. Only the
     * bounded codebook is driver-side; it enters the plan as k literal
@@ -706,25 +735,33 @@ object Ann {
     * valid under the codebooks that wrote them, so grow-only corpora
     * serve the cached books and mutation retrains (+ the index
     * `extra` fingerprint forces the rebuild). */
-  def pqCodebookFor(s: SparkSession, d: String): Seq[Seq[(Long, Seq[Double])]] =
-    pqBooks.compute(d, (_, cur) => {
-      val now = graft.sources.LocalIndex.dataManifest(
-        Seq(s"$d/embeddings.parquet"))
-      if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains))
-        (now, cur._2)
-      else {
-        val cb = codebookFor(s, d)
-        val res = Tables.embeddings(s, d)
-          .withColumn("cid", nearestCentroid(cb, col("embedding")))
-          .withColumn("embedding", residualCol(cb, col("cid")))
-          .select(col("vec_id"), col("embedding"))
-        (now, (0 until PqSubspaces).map { m =>
-          trainCodebook(
-            res.select(col("vec_id"), subspaceCol(m).as("embedding")),
-            seedSubCodebook(res, m))
-        })
+  def pqCodebookFor(s: SparkSession, d: String): Seq[Seq[(Long, Seq[Double])]] = {
+    // get/recompute/put outside the map lock (the codebookFor /
+    // Dpp.peakThreshold shape): the 16-subspace Lloyd training is a
+    // long multi-job Spark workload that must not run inside a
+    // ConcurrentHashMap bin lock — and it CALLS codebookFor, so a
+    // compute()-held bin could deadlock-by-reentrancy.
+    val now = graft.sources.LocalIndex.dataManifest(
+      Seq(s"$d/embeddings.parquet"))
+    val cur = pqBooks.get(d)
+    if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains)) {
+      if (cur._1 != now) pqBooks.put(d, (now, cur._2))
+      cur._2
+    } else {
+      val cb = codebookFor(s, d)
+      val res = Tables.embeddings(s, d)
+        .withColumn("cid", nearestCentroid(cb, col("embedding")))
+        .withColumn("embedding", residualCol(cb, col("cid")))
+        .select(col("vec_id"), col("embedding"))
+      val trained = (0 until PqSubspaces).map { m =>
+        trainCodebook(
+          res.select(col("vec_id"), subspaceCol(m).as("embedding")),
+          seedSubCodebook(res, m))
       }
-    })._2
+      pqBooks.put(d, (now, trained))
+      trained
+    }
+  }
 
   /** The 16-nibble PQ code as a codegen'd column: one bounded
     * [[nearestCentroid]] argmin fold per subspace over the corpus

@@ -318,11 +318,16 @@ object InvertedIndex {
       needle: Seq[String] = Needle): (Map[String, Double], Double) = {
     // (dir, needle)-keyed with the source fingerprint in the VALUE
     // (the Ann.codebookFor shape): regeneration recomputes AND
-    // replaces — no dead entries accrete in a long-lived JVM
-    val v = bm25Stats.compute(d + "#" + needle.mkString(","), (_, cur) => {
-      val fp = Ann.trainedKey(d, "documents")
-      if (cur != null && cur._1 == fp) cur
-      else {
+    // replaces — no dead entries accrete in a long-lived JVM. The
+    // Spark work (aggregate + a possible full index BUILD via
+    // ensureIndex) runs OUTSIDE the map lock — get/recompute/put,
+    // like codebookFor; a duplicate recompute on a race is
+    // deterministic and harmless.
+    val key = d + "#" + needle.mkString(",")
+    val fp = Ann.trainedKey(d, "documents")
+    val cur = bm25Stats.get(key)
+    val v = if (cur != null && cur._1 == fp) cur
+    else {
       // corpus stats (N, avgdl): one bounded 1-row aggregate — the
       // constants a real deployment keeps in the index manifest
       val st = Tables.documents(s, d)
@@ -341,9 +346,10 @@ object InvertedIndex {
         val df = dfs.getOrElse(t, 0L)
         t -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
       }.toMap
-      (fp, idf, avgdl)
-      }
-    })
+      val trained = (fp, idf, avgdl)
+      bm25Stats.put(key, trained)
+      trained
+    }
     (v._2, v._3)
   }
 

@@ -82,12 +82,20 @@ object RpTree {
   // Ann.codebookFor shape): an in-place regenerated corpus retrains
   // AND replaces its entry — fingerprint-in-the-key would leave one
   // dead entry per regeneration in a long-lived JVM
-  def treeFor(s: SparkSession, d: String): Map[Int, Double] =
-    trees.compute(d, (_, cur) => {
-      val fp = Ann.trainedKey(d, "embeddings")
-      if (cur != null && cur._1 == fp) cur
-      else (fp, train(Tables.embeddings(s, d)))
-    })._2
+  // ...and like codebookFor, the training job runs OUTSIDE the map
+  // lock (get/recompute/put): a multi-level Spark workload inside a
+  // ConcurrentHashMap bin lock is the long-held-lock anti-pattern;
+  // a duplicate recompute on a race is deterministic and harmless.
+  def treeFor(s: SparkSession, d: String): Map[Int, Double] = {
+    val fp = Ann.trainedKey(d, "embeddings")
+    val cur = trees.get(d)
+    if (cur != null && cur._1 == fp) cur._2
+    else {
+      val trained = (fp, train(Tables.embeddings(s, d)))
+      trees.put(d, trained)
+      trained._2
+    }
+  }
 
   /** Trains each node's threshold as the MIDPOINT of the two order
     * statistics straddling the median split (k-th and (k+1)-th

@@ -76,9 +76,7 @@ class AnnRecallSpec extends SparkSpec {
     test(s"clustered corpus ($n vectors): gated settings recall >= 0.9") {
       implicit val s = spark
       graft.functions.vectors.register(spark)
-      val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft-clustered-$n").toString
-      graft.GenSf.clusteredEmbeddings(spark, dir, n)
+      val dir = graft.GenSf.ensureClusteredEmbeddings(spark, n)
       val cembs = Tables.embeddings(spark, dir)
       val ccb = Ann.codebookFor(spark, dir)
       val cExactCos = top(Ann.a1Query(spark, dir))

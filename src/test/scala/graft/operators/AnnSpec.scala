@@ -58,6 +58,21 @@ class AnnSpec extends SparkSpec {
     probes.tail.foreach { p => Integer.bitCount(p ^ b) shouldBe 1 }
   }
 
+  test("probeBucketsByMargin: home first, same set as probeBuckets, flips in ascending |margin| order") {
+    Ann.querySet.foreach { case (_, v) =>
+      val ordered = Ann.probeBucketsByMargin(v)
+      val b = Ann.bucketOf(v)
+      ordered.head shouldBe b
+      ordered.toSet shouldBe Ann.probeBuckets(b).toSet // full width = same SET
+      // the flip sequence follows the query's plane margins ascending
+      val margins = ordered.tail.map { pb =>
+        val p = Integer.numberOfTrailingZeros(pb ^ b)
+        math.abs(Ann.planes(p).zip(v).map { case (a, x) => a * x }.sum)
+      }
+      margins shouldBe margins.sorted
+    }
+  }
+
   test("lshKnn returns at most k per query, each from the query's bucket") {
     vectors.register(spark)
     val out = Ann.lshKnn(corpus(200))(spark).collect()
