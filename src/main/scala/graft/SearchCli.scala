@@ -36,10 +36,23 @@ import graft.functions.{concepts, vectors}
   */
 object SearchCli {
 
-  private val stub = new VectorSearch.StubBatchEmbedder()
+  /** The query-side model: the deterministic stub by default (the
+    * gate contract), or the REAL endpoint named by
+    * GRAFT_EMBED_ENDPOINT — a server wrapping an actual text encoder
+    * behind [[VectorSearch.HttpBatchEmbedder]]'s JSON contract, at
+    * the corpus dim (GRAFT_EMBED_DIM overrides when a real corpus was
+    * ingested at a different width). This is the search.py:40-42 swap
+    * point exercised end-to-end by RealEmbedderSmokeSpec. */
+  private lazy val embedder: VectorSearch.BatchEmbedder =
+    sys.env.get("GRAFT_EMBED_ENDPOINT") match {
+      case Some(ep) => new VectorSearch.HttpBatchEmbedder(ep,
+        sys.env.get("GRAFT_EMBED_DIM").map(_.toInt)
+          .getOrElse(VectorSearch.Dim))
+      case None => new VectorSearch.StubBatchEmbedder()
+    }
 
   private def embedOne(text: String): Seq[Double] =
-    stub.embed(Array(text)).head.map(_.toDouble).toSeq
+    embedder.embed(Array(text)).head.map(_.toDouble).toSeq
 
   /** `concept_math` environment: quoted phrases embed through the stub
     * model (the reference calls CLIP per concept, `search.py:71-73`);

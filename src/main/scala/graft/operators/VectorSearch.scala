@@ -364,6 +364,94 @@ object VectorSearch {
       }
   }
 
+  /** REAL-endpoint implementation of the seam (the CLIP server call at
+    * search.py:40-42 / udfs/embed_text.py:12-15 re-expressed as the
+    * [[BatchEmbedder]] contract): POST `{"texts":[...]}` to
+    * `endpoint`, read a JSON array of `dim`-long float rows back,
+    * order-aligned. JDK HttpClient — no new dependencies; fails
+    * loudly on HTTP status, row-count, or row-width mismatch (the
+    * embedBatched alignment guard depends on it). The endpoint's
+    * vectors must be at the CORPUS dim or knn against the stored
+    * embeddings is meaningless — that's the deployment contract, not
+    * a client check it could loosen. Selected by SearchCli when
+    * GRAFT_EMBED_ENDPOINT is set; plumbing is covered offline by the
+    * in-process fake server test, and end-to-end with a real model by
+    * RealEmbedderSmokeSpec when an endpoint is provided. */
+  final class HttpBatchEmbedder(endpoint: String, val dim: Int = Dim)
+      extends BatchEmbedder {
+    @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+    def embed(texts: Array[String]): Array[Array[Float]] = {
+      val body = texts.map(jsonString).mkString("{\"texts\":[", ",", "]}")
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(endpoint))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          body, java.nio.charset.StandardCharsets.UTF_8))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode == 200,
+        s"embed endpoint $endpoint: HTTP ${resp.statusCode}: " +
+          resp.body.take(200))
+      val rows = parseFloatRows(resp.body)
+      require(rows.length == texts.length,
+        s"embed endpoint returned ${rows.length} rows for ${texts.length} texts")
+      rows.foreach(r => require(r.length == dim,
+        s"embed endpoint returned a ${r.length}-dim row, expected $dim"))
+      rows
+    }
+  }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
+  /** Minimal parser for the endpoint's response shape — a JSON array
+    * of arrays of numbers (`[[0.1,-2e-3],[...]]`). Anything else
+    * fails loudly. No JSON library rides the classpath; the grammar
+    * here is three tokens. */
+  private[operators] def parseFloatRows(body: String): Array[Array[Float]] = {
+    var i = 0
+    def skipWs(): Unit = while (i < body.length && body(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      skipWs()
+      require(i < body.length && body(i) == c,
+        s"embed response: expected '$c' at offset $i in: ${body.take(120)}")
+      i += 1
+    }
+    def number(): Float = {
+      skipWs()
+      val start = i
+      while (i < body.length && "+-.eE0123456789".indexOf(body(i)) >= 0) i += 1
+      require(i > start, s"embed response: expected number at offset $start")
+      body.substring(start, i).toFloat
+    }
+    def row(): Array[Float] = {
+      expect('[')
+      val buf = Array.newBuilder[Float]
+      skipWs()
+      if (i < body.length && body(i) == ']') { i += 1; return buf.result() }
+      buf += number()
+      skipWs()
+      while (i < body.length && body(i) == ',') { i += 1; buf += number(); skipWs() }
+      expect(']')
+      buf.result()
+    }
+    expect('[')
+    val rows = Array.newBuilder[Array[Float]]
+    skipWs()
+    if (i < body.length && body(i) == ']') { i += 1; return rows.result() }
+    rows += row()
+    skipWs()
+    while (i < body.length && body(i) == ',') { i += 1; rows += row(); skipWs() }
+    expect(']')
+    rows.result()
+  }
+
   /** Partition-batched embedding of `textCol`: the mapInArrow shape in
     * Scala (columnar batches in, one external call per batch). Fails
     * loudly on a misbehaving server (row-count mismatch) rather than

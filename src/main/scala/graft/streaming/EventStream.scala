@@ -191,8 +191,32 @@ object EventStream {
         catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
     }
 
+  /** Phase timings (seconds) of the LAST invocation of each streaming
+    * gate in this JVM: gate prefix (s1..s10) → (startup, maintain).
+    * `startup` = scratch wipe + child session + gate pre-work
+    * (cutoff/index ensure) + stream plan build + `.start()`;
+    * `maintain` = awaitTermination — the micro-batch work itself. The
+    * SERVE side is whatever the caller measures executing the
+    * returned DataFrame. Together the three split a streaming gate's
+    * wall-clock into harness fixed overhead vs real plan work, so a
+    * genuine maintenance/serve regression can't hide inside (or be
+    * faked by) stream-startup noise — BASELINE's streaming-phase
+    * table; Bench records it under SPARK_GRAFT_BENCH_STREAM_PHASES. */
+  val lastPhases = new java.util.concurrent.ConcurrentHashMap[
+    String, (Double, Double)]()
+
+  /** Times awaitTermination as the maintain phase and everything from
+    * `t0` to the stream's start as the startup phase. */
+  private def awaitWithPhases(gate: String, t0: Long,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val t1 = System.nanoTime()
+    q.awaitTermination()
+    lastPhases.put(gate, ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9))
+  }
+
   private def runAvailableNow(s: SparkSession, gate: String, d: String)
       (build: SparkSession => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
     // Sanitized dataset path (not hashCode) keys the subdir: unique per
     // dataset, stable across runs of this process.
     val root = scratchRoot.resolve(
@@ -209,7 +233,7 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitWithPhases(gate, t0, q)
     // The s2/s3 oracles assume every source file lands in ONE data
     // micro-batch (in-batch session closure / dedup scope is
     // batch-global only then). FileStreamSource's default AvailableNow
@@ -436,6 +460,7 @@ object EventStream {
     * c15), then c15's served daily report — the oracle applies
     * verbatim. */
   def s9Query(s: SparkSession, d: String): DataFrame = {
+    val t0 = System.nanoTime()
     val root = scratchRoot.resolve(
       "s9-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
     wipe(root)
@@ -447,7 +472,7 @@ object EventStream {
     val layout = root.resolve("layout").toString
     val q = ttlMaintain(streamEvents(ss, d), layout, cutoff,
       root.resolve("ckpt").toString)
-    q.awaitTermination()
+    awaitWithPhases("s9", t0, q)
     graft.operators.Ttl.servedDaily(s, layout)
   }
 
@@ -489,6 +514,7 @@ object EventStream {
     * construction (pinned by the two-batch suite test), so the c10
     * oracle applies verbatim. */
   def s8Query(s: SparkSession, d: String): DataFrame = {
+    val t0 = System.nanoTime()
     val root = scratchRoot.resolve(
       "s8-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
     wipe(root)
@@ -499,7 +525,7 @@ object EventStream {
     val parts = root.resolve("parts").toString
     val q = upsertMaintain(streamEvents(ss, d), parts,
       root.resolve("ckpt").toString)
-    q.awaitTermination()
+    awaitWithPhases("s8", t0, q)
     graft.operators.Replacing.finalReport(s.read.parquet(parts))
   }
 
@@ -510,6 +536,7 @@ object EventStream {
     * batch-split-invariant by construction (pinned by the two-batch
     * suite test), so the c9 oracle applies verbatim. */
   def s7Query(s: SparkSession, d: String): DataFrame = {
+    val t0 = System.nanoTime()
     val root = scratchRoot.resolve(
       "s7-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
     wipe(root)
@@ -520,7 +547,7 @@ object EventStream {
     val out = root.resolve("rollup").toString
     val q = rollupMaintain(streamEvents(ss, d), out,
       root.resolve("ckpt").toString)
-    q.awaitTermination()
+    awaitWithPhases("s7", t0, q)
     graft.operators.Rollup.servedWithContract(s, d, out)
   }
 
@@ -530,6 +557,7 @@ object EventStream {
     * freshness check); no single-data-batch `require` — s6's output is
     * batch-split-invariant by construction. */
   def s6Query(s: SparkSession, d: String): DataFrame = {
+    val t0 = System.nanoTime()
     val root = scratchRoot.resolve(
       "s6-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
     wipe(root)
@@ -542,7 +570,7 @@ object EventStream {
     val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
     val q = ingestDedup(graft.operators.Dedup.d8Shard(src), d,
       root.resolve("out").toString, root.resolve("ckpt").toString)
-    q.awaitTermination()
+    awaitWithPhases("s6", t0, q)
     s.read.parquet(root.resolve("out").toString)
       .orderBy(col("shard_doc"), col("corpus_doc"))
   }
@@ -586,6 +614,7 @@ object EventStream {
     * bucket-pruned search served from the streamed layout. Oracle =
     * t8's verbatim (split-invariance makes them the same corpus). */
   def s10Query(s: SparkSession, d: String): DataFrame = {
+    val t0 = System.nanoTime()
     val root = scratchRoot.resolve(
       "s10-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
     wipe(root)
@@ -597,7 +626,7 @@ object EventStream {
     val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
     val q = indexMaintain(src, root.resolve("idx").toString,
       root.resolve("ckpt").toString)
-    q.awaitTermination()
+    awaitWithPhases("s10", t0, q)
     graft.operators.InvertedIndex.searchIndex(
       s.read.parquet(root.resolve("idx").toString))
   }

@@ -80,6 +80,55 @@ class EmbedSeamSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("vectors for")
   }
 
+  test("HttpBatchEmbedder round-trips JSON against an in-process server, order-aligned") {
+    // the real-endpoint seam's PLUMBING, exercised offline: a JDK
+    // HttpServer plays the model server, echoing per-text vectors so
+    // misalignment or mis-parsed floats would show
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/embed", { exchange =>
+        val body = new String(exchange.getRequestBody.readAllBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+        // texts arrive as {"texts":["..",".."]} — count + per-text len
+        val texts = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(body.dropWhile(_ != '[')).map(_.group(1)).toSeq
+        val rows = texts.map(t =>
+          s"[${t.length}.5, -2.0e-1, ${t.length}]").mkString("[", ",", "]")
+        val bytes = rows.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        exchange.getResponseHeaders.set("Content-Type", "application/json")
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+      server.start()
+      val ep = s"http://127.0.0.1:${server.getAddress.getPort}/embed"
+      val emb = new VectorSearch.HttpBatchEmbedder(ep, dim = 3)
+      val out = emb.embed(Array("ab", "wxyz"))
+      out.length shouldBe 2
+      out(0).toSeq shouldBe Seq(2.5f, -0.2f, 2f)
+      out(1).toSeq shouldBe Seq(4.5f, -0.2f, 4f)
+      // a wrong-width row fails loudly (dim contract)
+      val bad = new VectorSearch.HttpBatchEmbedder(ep, dim = 4)
+      val ex = intercept[IllegalArgumentException] {
+        bad.embed(Array("ab"))
+      }
+      ex.getMessage should include("expected 4")
+    } finally server.stop(0)
+  }
+
+  test("parseFloatRows accepts the endpoint grammar and rejects junk") {
+    VectorSearch.parseFloatRows("[]").length shouldBe 0
+    VectorSearch.parseFloatRows(" [ [1, -2.5e1] , [] ] ")
+      .map(_.toSeq).toSeq shouldBe Seq(Seq(1f, -25f), Seq())
+    intercept[IllegalArgumentException] {
+      VectorSearch.parseFloatRows("""{"rows": [[1]]}""")
+    }
+    intercept[IllegalArgumentException] {
+      VectorSearch.parseFloatRows("[[1,]]")
+    }
+  }
+
   test("knn over the batched embedding matches the v8 gate's top-k") {
     graft.functions.vectors.register(spark)
     val docs = graft.Tables.documents(spark, d)
