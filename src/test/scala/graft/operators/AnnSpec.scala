@@ -73,6 +73,26 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("twoPhaseCut equals a single global per-query rank under any partitioning, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 queries × 40 candidates with scores quantized to 7 levels, so
+    // every partitioning splits tied scores across partitions — the
+    // case where a non-total ordering would make the cut layout-dependent
+    val cand = (for { q <- 0 until 3; v <- 0 until 40 } yield
+      (q.toLong, v.toLong, (v % 7).toDouble / 7.0))
+      .toDF("query_id", "vec_id", "score")
+    val wG = Window.partitionBy(col("query_id"))
+      .orderBy(col("score"), col("vec_id"))
+    val expect = cand.withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy("query_id", "score", "vec_id").collect().toSeq
+    Seq(1, 3, 32).foreach { p =>
+      val got = Ann.twoPhaseCut(cand.repartition(p), "score", 5)
+        .orderBy("query_id", "score", "vec_id").collect().toSeq
+      withClue(s"partitions=$p: ") { got shouldBe expect }
+    }
+  }
+
   test("lshKnn returns at most k per query, each from the query's bucket") {
     vectors.register(spark)
     val out = Ann.lshKnn(corpus(200))(spark).collect()
