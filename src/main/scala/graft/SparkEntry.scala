@@ -109,6 +109,7 @@ object SparkEntry {
     "d6_dup_clusters" -> (Dedup.d6Query _),
     "d7_containment" -> (Dedup.d7Query _),
     "d8_incremental_dedup" -> (Dedup.d8Query _),
+    "d9_semdedup" -> (Dedup.d9Query _),
     "t1_langid" -> (TextAnalysis.t1Query _),
     "t2_quality" -> (TextAnalysis.t2Query _),
     "t3_tokens" -> (TextAnalysis.t3Query _),
@@ -962,7 +963,7 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
         |FROM events GROUP BY ROLLUP(event_type) ORDER BY 1""".stripMargin,
-  ) ++ Dedup.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
+  ) ++ Dedup.oracles ++ Dedup.dynOracles(d) ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ RpTree.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
     Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++
     TimeSeries.oracles ++ Ttl.oracles ++ Dictionary.oracles ++

@@ -555,3 +555,122 @@ case class L2DistanceI8(first: Expression, second: Expression,
       f: Expression, s: Expression, t: Expression) =
     copy(first = f, second = s, third = t)
 }
+
+/** argmin over a trained codebook: the id of the centroid with the
+  * smallest L2² distance to the input vector (ties → smallest cid;
+  * null vector → null, coalesced by the caller — the
+  * [[graft.operators.Ann.nearestCentroid]] contract).
+  *
+  * The codebook rides as two REFERENCE OBJECTS (`cids`, row-major
+  * `cents`), not as literal expressions: the earlier `least(struct(
+  * l2², cid), ...)` fold emitted k inlined distance loops into one
+  * generated method, which crossed Janino's 64 KB method limit at
+  * k≈a few hundred (observed: a sort stage at k=64×sf1 context, and
+  * the whole projection at d9's k=625) and dropped the ENTIRE
+  * projection to interpreted evaluation — a silent ~10× on the
+  * hottest map in the ANN family. Here the generated code is a
+  * constant-size double loop whatever k, so assignment stays inside
+  * WholeStageCodegen at any codebook size; the distance accumulation
+  * order (sequential over dims) and the tie rule are bit-identical to
+  * the replaced fold.
+  *
+  * The NaN guard mirrors `least`'s total order (NaN sorts greatest,
+  * equal-NaN ties fall to min cid): a finite distance always beats a
+  * NaN best, a NaN candidate never wins, all-NaN keeps the first
+  * (smallest) cid. Unreachable with finite embeddings; kept so the
+  * swap is observationally exact. */
+case class NearestCentroid(child: Expression, cids: Array[Long],
+                           cents: Array[Double])
+    extends UnaryExpression {
+  require(cids.nonEmpty, "nearest_centroid: empty codebook")
+  require(cids.forall(_ != -1L),
+    "nearest_centroid: cid -1 is reserved as the null sentinel")
+  require(cents.length % cids.length == 0,
+    s"nearest_centroid: ${cents.length} centroid doubles not divisible " +
+      s"by k=${cids.length}")
+  private val k = cids.length
+  private val dim = cents.length / k
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${other.catalogString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector has ${v.numElements()} components, codebook $dim")
+    val f = isFloat
+    var best = -1L
+    var bestD = Double.NaN
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      val off = j * dim
+      var i = 0
+      while (i < dim) {
+        val x = (if (f) v.getFloat(i).toDouble else v.getDouble(i)) -
+          cents(off + i)
+        s += x * x
+        i += 1
+      }
+      if (best == -1L || s < bestD ||
+          (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(s))) {
+        bestD = s; best = cids(j)
+      }
+      j += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+      val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val getV = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      val upd = ctx.freshName("upd")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException("$prettyName: vector has "
+         |    + $v.numElements() + " components, codebook $dim");
+         |}
+         |long $best = -1L;
+         |double $bestD = Double.NaN;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $s = 0.0;
+         |  int $off = $j * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $x = $getV - $centsRef[$off + $i];
+         |    $s += $x * $x;
+         |  }
+         |  boolean $upd = ($best == -1L) || ($s < $bestD) || (Double.isNaN($bestD) && !Double.isNaN($s));
+         |  if ($upd) { $bestD = $s; $best = $cidsRef[$j]; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}

@@ -25,6 +25,19 @@ object vectors {
     "int8_pack" -> { es => Int8Pack(es.head) },
     "cosine_distance_i8" -> { es => CosineDistanceI8(es(0), es(1)) },
     "l2_distance_i8" -> { es => L2DistanceI8(es(0), es(1), es(2)) },
+    "nearest_centroid" -> { es =>
+      // the codebook arguments must be CONSTANTS: they are folded to
+      // plain arrays at resolution time and ride the expression as
+      // reference objects (constant-size generated code at any k)
+      require(es.length == 3,
+        "nearest_centroid(vec, cids, cents) takes 3 arguments")
+      require(es(1).foldable && es(2).foldable,
+        "nearest_centroid: cids/cents must be constant arrays")
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      NearestCentroid(es(0),
+        es(1).eval().asInstanceOf[ArrayData].toLongArray(),
+        es(2).eval().asInstanceOf[ArrayData].toDoubleArray())
+    },
   )
 
   /** Idempotent; call before using the Column API in a session. */
@@ -45,4 +58,8 @@ object vectors {
     call_function("cosine_distance_i8", q8, query)
   def l2DistanceI8(q8: Column, scale: Column, query: Column): Column =
     call_function("l2_distance_i8", q8, scale, query)
+  def nearestCentroid(v: Column, cids: Seq[Long], cents: Seq[Double]): Column =
+    call_function("nearest_centroid", v,
+      org.apache.spark.sql.functions.typedlit(cids.toArray),
+      org.apache.spark.sql.functions.typedlit(cents.toArray))
 }

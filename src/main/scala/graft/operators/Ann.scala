@@ -299,17 +299,17 @@ object Ann {
     * [[ivfKnn]]/[[quantizedIvfKnn]] (exposed through SearchCli). */
   val NProbe: Int = math.ceil(math.sqrt(NumCentroids.toDouble)).toInt
 
-  /** Per-row nearest-centroid id as a fully CODEGEN'D expression: a
-    * `least(...)` fold over one `struct(dist², cid)` per centroid, each
-    * distance a native [[graft.functions.L2SquaredDistance]] with
-    * doGenCode. Lexicographic struct ordering = min distance, ties to
-    * min cid; dist² orders identically to the oracle's sqrt'd
-    * list_distance. This replaces the interpreted
-    * `array_min(transform(...aggregate(zip_with(...))))` fold (rounds
-    * 3–6): that shape dispatched ~2k closures per row — the exact
-    * pathology TextHashExpressions.scala:12-27 documents — where this
-    * one emits k straight-line distance loops into the enclosing
-    * WholeStageCodegen stage.
+  /** Per-row nearest-centroid id as a fully CODEGEN'D expression:
+    * the native [[graft.functions.NearestCentroid]] argmin loop with
+    * the codebook as a reference object (min dist², ties to min cid;
+    * dist² orders identically to the oracle's sqrt'd list_distance).
+    * History: rounds 3–6 used an interpreted `array_min(transform(...))`
+    * fold (~2k closure dispatches per row); rounds 7–16 a
+    * `least(struct(l2², cid), ...)` literal fold — codegen'd, but its
+    * k inlined distance loops crossed Janino's 64 KB method limit at
+    * large k (d9's k=625, and a3's fold fused into a sf1 sort stage),
+    * silently dropping the projection to interpreted. The reference-
+    * object loop generates constant-size code at any k.
     *
     * coalesce: cid is never null at runtime (the codebook is non-empty)
     * but least-over-nullable-children is statically nullable, and the
@@ -320,13 +320,14 @@ object Ann {
     * away. */
   def nearestCentroid(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
     require(cents.nonEmpty, "nearestCentroid: empty codebook")
-    val cand = cents.map { case (cid, cv) =>
-      struct(
-        vectors.l2SquaredDistance(v, typedlit(cv)).as("d"),
-        lit(cid).as("cid"))
-    }
-    val best = if (cand.size == 1) cand.head else least(cand: _*)
-    coalesce(best.getField("cid"), lit(-1L))
+    val dims = cents.map(_._2.length).distinct
+    require(dims.size == 1, s"nearestCentroid: mixed dims $dims")
+    // sorted by cid so the expression's first-wins tie-break equals the
+    // replaced least(struct(d, cid)) fold's min-cid-on-ties
+    val sorted = cents.sortBy(_._1)
+    coalesce(
+      vectors.nearestCentroid(v, sorted.map(_._1), sorted.flatMap(_._2)),
+      lit(-1L))
   }
 
   /** Codebook seed: the first [[NumCentroids]] corpus ids divisible by

@@ -840,6 +840,105 @@ object Dedup {
       .orderBy(col("shard_doc"), col("corpus_doc"))
   }
 
+  // ---------------------------------------------------------------- d9
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023) constants: the
+    * target MEAN cluster occupancy — the codebook size is derived from
+    * it, k = clamp(⌈n/target⌉, 16, 4096), which is the paper's own
+    * scaling rule (cluster count grows with the corpus so per-cluster
+    * pair cost stays ~target²) and what keeps every cell under the
+    * [[MaxNearDupBucket]] occupancy cap at any corpus size. */
+  val SemTargetCell = 32
+  val SemMinK = 16
+  val SemMaxK = 4096
+  /** Cosine-distance drop radius; d5's radius, so the two operators'
+    * verdicts are comparable on the same corpus. */
+  val SemMaxDistance = 0.55
+
+  def semK(n: Long): Int =
+    math.min(SemMaxK, math.max(SemMinK,
+      math.ceil(n.toDouble / SemTargetCell).toInt))
+
+  /** Deterministic seed for the d9 codebook: ~k corpus vectors at a
+    * fixed id stride (the [[Ann.seedCodebook]] discipline, with the
+    * stride derived from n and k instead of a constant). */
+  private def semSeed(embs: DataFrame, n: Long, k: Int): Seq[(Long, Seq[Double])] = {
+    val stride = math.max(1L, n / k)
+    embs.filter(col("vec_id") % stride === 0 &&
+        col("vec_id") < stride * k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Trained d9 codebook per corpus dir. Same literal-embedding oracle
+    * contract as a3's codebook ([[Ann.codebookFor]]); lifecycle is
+    * rebuild-on-any-change ([[Ann.trainedKey]]) because d9 is a batch
+    * operator with no persisted-index append contract. get/recompute/
+    * put OUTSIDE the map lock — Lloyd training is a multi-job Spark
+    * workload (the Dpp.peakThreshold shape). */
+  private val semCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(Long, Seq[Double])])]()
+
+  def semCodebookFor(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+    val key = Ann.trainedKey(d, "embeddings")
+    val cached = semCodebooks.get(d)
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val cents = Ann.trainCodebook(e, semSeed(e, n, semK(n)))
+      semCodebooks.put(d, (key, cents))
+      cents
+    }
+  }
+
+  /** d9: SemDeDup — semantic dedup scoped to trained k-means clusters,
+    * the published recipe for embedding-space dedup at corpus scale
+    * (cluster first so the quadratic pair step never sees the corpus,
+    * only ~target-occupancy cells). One row per DROPPED vector:
+    * `(vec_id, kept_by, score)` where `kept_by` is the smallest
+    * lower-id cluster-mate within the cosine radius and `score` its
+    * distance — the paper's drop rule (a point is removed iff a
+    * lower-index point of its cluster sits within the radius; no
+    * transitive re-check when the keeper is itself dropped).
+    *
+    * Plan: codegen'd [[Ann.nearestCentroid]] assignment (pure map, k
+    * literal distance folds, no shuffle), then the shared
+    * occupancy-capped [[bucketedPairs]] on the cell key, exact cosine
+    * verify on the surviving id pairs, and a partial-aggregable
+    * groupBy for the min keeper. k scales as n/[[SemTargetCell]] so
+    * cells stay ~constant; past [[SemMaxK]] the assignment becomes
+    * two-level (coarse literal fold routes to a region, per-region
+    * sub-codebooks broadcast) — the plan shape is unchanged. Unlike
+    * d5's multi-table LSH (recall from OR-ed tables, radius-bounded),
+    * d9's scope is the cluster: pairs straddling a cell boundary are
+    * invisible by design — the documented SemDeDup trade. */
+  def semDedup(embs: DataFrame, cents: Seq[(Long, Seq[Double])],
+               maxDistance: Double = SemMaxDistance): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val assigned = e.select(col("vec_id").as("doc_id"),
+      Ann.nearestCentroid(cents, col("embedding")).as("cell"))
+    val cand = bucketedPairs(assigned, Seq("cell"), MaxNearDupBucket)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    cand
+      .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
+      .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
+      .withColumn("score",
+        vectors.cosineDistance(col("ea.embedding"), col("eb.embedding")))
+      .filter(col("score") <= maxDistance)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("kept_by"),
+        min_by(col("score"), col("vec_a")).as("score"))
+      .orderBy(col("vec_id"))
+  }
+
+  def d9Query(s: SparkSession, d: String): DataFrame = {
+    vectors.register(s)
+    semDedup(Tables.embeddings(s, d), semCodebookFor(s, d))
+  }
+
   // ------------------------------------------------------------ oracles
 
   private val toksSql = textops.tokensSql("text")
@@ -1023,5 +1122,57 @@ object Dedup {
          |JOIN e eb ON vec_b = eb.vec_id
          |WHERE 1.0 - list_cosine_similarity(ea.emb, eb.emb) <= 0.55
          |ORDER BY 1, 2""".stripMargin,
+  )
+
+  /** d9's centroid CTE: the trained centroids as double literals when
+    * this JVM has trained on `d` (Verify runs queries before dumping
+    * oracle_sql, so the cache is populated by dump time — the
+    * [[Ann.codebookFor]] contract), else the seed formula replayed in
+    * SQL (formal only: a dir whose d9 never ran has no result to
+    * compare). */
+  private def semCentsSql(d: String): String = {
+    val cb = Option(semCodebooks.get(d)).map(_._2).getOrElse(Nil)
+    if (cb.nonEmpty)
+      "semcents(ccid, cv) AS (VALUES " + cb.map { case (cid, cv) =>
+        s"($cid, ${VectorSearch.sqlArray(cv)}::DOUBLE[])" }.mkString(", ") + ")"
+    else
+      s"""kk AS (SELECT least($SemMaxK, greatest($SemMinK,
+         |         CAST(ceil(count(*) / ${SemTargetCell}.0) AS BIGINT))) AS k,
+         |       count(*) AS n FROM embeddings),
+         |semcents AS (
+         |  SELECT vec_id AS ccid, embedding::DOUBLE[] AS cv
+         |  FROM embeddings, kk
+         |  WHERE vec_id % greatest(1, n // k) = 0
+         |    AND vec_id < greatest(1, n // k) * k)""".stripMargin
+  }
+
+  /** Data-dependent oracles (trained-state literals — the
+    * [[Ann.oracles]] pattern; `def`, per-dir on purpose). The
+    * assignment tie-break (cdist, ccid) matches
+    * [[Ann.nearestCentroid]]'s struct ordering; sqrt'd list_distance
+    * orders identically to the Spark side's dist². */
+  def dynOracles(d: String): Map[String, String] = Map(
+    "d9_semdedup" ->
+      s"""WITH ${semCentsSql(d)},
+         |asg AS (
+         |  SELECT vec_id, e, ccid AS cell FROM (
+         |    SELECT v.vec_id, v.embedding::DOUBLE[] AS e, c.ccid,
+         |           list_distance(v.embedding::DOUBLE[], c.cv) AS cdist
+         |    FROM embeddings v CROSS JOIN semcents c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, ccid) = 1),
+         |capped AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY cell) AS cn FROM asg)
+         |  WHERE cn <= $MaxNearDupBucket),
+         |pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         1.0 - list_cosine_similarity(a.e, b.e) AS score
+         |  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE 1.0 - list_cosine_similarity(a.e, b.e) <= $SemMaxDistance)
+         |SELECT vb AS vec_id, va AS kept_by, score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vb ORDER BY va) AS rn
+         |      FROM pairs)
+         |WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -342,4 +342,76 @@ class DedupSpec extends SparkSpec {
       contain((0L, 1L))
     out.foreach(r => r.getAs[Double]("score") should be <= 0.55)
   }
+
+  test("semK: codebook size tracks n/target, clamped at both ends") {
+    Dedup.semK(10) shouldBe Dedup.SemMinK
+    Dedup.semK(500) shouldBe Dedup.SemMinK
+    Dedup.semK(2000) shouldBe 63 // ceil(2000/32)
+    Dedup.semK(20000) shouldBe 625
+    Dedup.semK(1000000000L) shouldBe Dedup.SemMaxK
+  }
+
+  test("semDedup: near pair in one cell drops the higher id; cross-cell near pair is invisible by design") {
+    graft.functions.vectors.register(spark)
+    val dim = 8
+    def unit(axis: Int) = (0 until dim).map(i => if (i == axis) 1f else 0f)
+    def tilt(axis: Int, eps: Float) =
+      (0 until dim).map(i => if (i == axis) 1f else if (i == (axis + 1) % dim) eps else 0f)
+    // 0,1 near (same cell 10); 2 unrelated (cell 20); 3 near axis-0 but
+    // assigned to a third centroid placed on its tilt direction — the
+    // cluster-scope blindness case
+    val cents = Seq(
+      (10L, unit(0).map(_.toDouble)),
+      (20L, unit(4).map(_.toDouble)),
+      (30L, tilt(0, 0.9f).map(_.toDouble)))
+    val embs = Seq(
+      (0L, unit(0)), (1L, tilt(0, 0.1f)), (2L, unit(4)), (3L, tilt(0, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(embs, cents).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kept_by"))).toSeq
+    out shouldBe Seq((1L, 0L)) // 2 is distant; 3 is near 0 but in cell 30
+  }
+
+  test("semDedup matches driver-side brute force on random corpora") {
+    graft.functions.vectors.register(spark)
+    val rnd = new scala.util.Random(421)
+    val dim = 12
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 30
+      // half the corpus are jittered copies of earlier rows → real drops
+      val base = Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      for (i <- n / 2 until n) {
+        val src = rnd.nextInt(n / 2)
+        base(i) = base(src).map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      }
+      val cents = (0 until 7).map(c =>
+        (c.toLong * 3, Seq.fill(dim)(rnd.nextGaussian())))
+      val tau = 0.4
+      // brute force: argmin(dist², tie min cid) assignment, capped cells,
+      // in-cell pairs, min-suppressor drop rule
+      def d2(v: Array[Float], c: Seq[Double]) =
+        v.zip(c).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+      val cell = base.map { v =>
+        cents.map { case (cid, cv) => (d2(v, cv), cid) }.min._2 }
+      val occ = cell.groupBy(identity).view.mapValues(_.length).toMap
+      def cos(a: Array[Float], b: Array[Float]) = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        1.0 - dot / (na * nb)
+      }
+      val expect = (0 until n).flatMap { b =>
+        if (occ(cell(b)) > Dedup.MaxNearDupBucket) None
+        else (0 until b)
+          .filter(a => cell(a) == cell(b) && cos(base(a), base(b)) <= tau)
+          .minOption
+          .map(a => (b.toLong, a.toLong))
+      }.sorted
+      val embs = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toSeq.toDF("vec_id", "embedding")
+      val got = Dedup.semDedup(embs, cents, tau).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kept_by"))).toSeq
+      withClue(s"trial $trial: ") { got shouldBe expect }
+    }
+  }
 }
