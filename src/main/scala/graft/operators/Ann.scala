@@ -312,9 +312,9 @@ object Ann {
     * object loop generates constant-size code at any k.
     *
     * coalesce: cid is never null at runtime (the codebook is non-empty)
-    * but least-over-nullable-children is statically nullable, and the
-    * probe join downstream would infer IsNotNull(cid) and
-    * predicate-push the WHOLE argmin fold into the scan-stage filter —
+    * but the expression inherits the input column's nullability, and
+    * the probe join downstream would infer IsNotNull(cid) and
+    * predicate-push the WHOLE argmin loop into the scan-stage filter —
     * evaluated per row, serially on few-split inputs, then again in the
     * projection. Non-nullable key → the inferred filter constant-folds
     * away. */

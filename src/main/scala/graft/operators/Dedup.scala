@@ -904,8 +904,8 @@ object Dedup {
     * lower-index point of its cluster sits within the radius; no
     * transitive re-check when the keeper is itself dropped).
     *
-    * Plan: codegen'd [[Ann.nearestCentroid]] assignment (pure map, k
-    * literal distance folds, no shuffle), then the shared
+    * Plan: codegen'd [[Ann.nearestCentroid]] assignment (pure map —
+    * the reference-object argmin loop, no shuffle), then the shared
     * occupancy-capped [[bucketedPairs]] on the cell key, exact cosine
     * verify on the surviving id pairs, and a partial-aggregable
     * groupBy for the min keeper. k scales as n/[[SemTargetCell]] so
