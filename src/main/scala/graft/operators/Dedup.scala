@@ -860,6 +860,14 @@ object Dedup {
     math.min(SemMaxK, math.max(SemMinK,
       math.ceil(n.toDouble / SemTargetCell).toInt))
 
+  /** Single-level SemDeDup capacity: once k saturates at [[SemMaxK]],
+    * mean cell occupancy n/k grows with the corpus and eventually
+    * crosses the [[MaxNearDupBucket]] occupancy cap — beyond which the
+    * guard would drop every cell. False → the caller must fail loudly
+    * (two-level assignment territory), never return silently-empty. */
+  def semOccupancyOk(n: Long): Boolean =
+    n.toDouble / semK(n) <= MaxNearDupBucket
+
   /** Deterministic seed for the d9 codebook: ~k corpus vectors at a
     * fixed id stride (the [[Ann.seedCodebook]] discipline, with the
     * stride derived from n and k instead of a constant). */
@@ -888,6 +896,14 @@ object Dedup {
     else {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val n = e.count()
+      // No silent caps ([[semOccupancyOk]]): fail loudly at the
+      // capacity cliff; the fix at that scale is the documented
+      // two-level assignment (raise the effective k), not a looser cap.
+      require(semOccupancyOk(n),
+        s"semDedup: $n vectors / k=${semK(n)} clusters = mean occupancy " +
+          f"${n.toDouble / semK(n)}%.0f > bucket cap $MaxNearDupBucket — " +
+          "every cell would be dropped by the occupancy guard. Scale k " +
+          "past SemMaxK (two-level assignment) for corpora this large.")
       val cents = Ann.trainCodebook(e, semSeed(e, n, semK(n)))
       semCodebooks.put(d, (key, cents))
       cents

@@ -351,6 +351,16 @@ class DedupSpec extends SparkSpec {
     Dedup.semK(1000000000L) shouldBe Dedup.SemMaxK
   }
 
+  test("semOccupancyOk: holds at every gate scale, flips loudly past the single-level capacity cliff") {
+    Seq(500L, 2000L, 20000L, 200000L).foreach { n =>
+      withClue(s"n=$n: ") { Dedup.semOccupancyOk(n) shouldBe true }
+    }
+    // capacity = SemMaxK × MaxNearDupBucket once k saturates
+    val cliff = Dedup.SemMaxK.toLong * Dedup.MaxNearDupBucket
+    Dedup.semOccupancyOk(cliff) shouldBe true
+    Dedup.semOccupancyOk(cliff + Dedup.SemMaxK) shouldBe false
+  }
+
   test("semDedup: near pair in one cell drops the higher id; cross-cell near pair is invisible by design") {
     graft.functions.vectors.register(spark)
     val dim = 8
