@@ -363,8 +363,25 @@ object Dedup {
     * never corpus². Pairs found by several tables are deduplicated on
     * the id pair BEFORE re-joining embeddings for the exact cosine
     * verify, so only (vec_a, vec_b) id pairs cross the dedup shuffle. */
+  /** Single-level d5 capacity (the [[semOccupancyOk]] discipline):
+    * hyperplane buckets are GEOMETRIC — random vectors spread over the
+    * fixed 2^[[NearDupPlanes]] buckets — so mean occupancy n/2^planes
+    * grows with the corpus and past [[MaxNearDupBucket]] the occupancy
+    * guard would drop every bucket: a silently empty result, not a
+    * skew trade. False → fail loudly; the fix is more planes
+    * (planes ≈ log₂(n / target-occupancy), the scaladoc's own rule),
+    * which is a re-tabled index decision, not a runtime knob. */
+  def nearDupOccupancyOk(n: Long): Boolean =
+    n.toDouble / (1L << NearDupPlanes) <= MaxNearDupBucket
+
   def embeddingNearDup(embs: DataFrame, maxDistance: Double = 0.55): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    require(nearDupOccupancyOk(n),
+      s"embeddingNearDup: $n vectors over 2^$NearDupPlanes buckets = mean " +
+        f"occupancy ${n.toDouble / (1L << NearDupPlanes)}%.0f > bucket cap " +
+        s"$MaxNearDupBucket — every bucket would be dropped by the occupancy " +
+        "guard. Raise NearDupPlanes (~log2(n/32)) for corpora this large.")
     val tableBuckets = (0 until NearDupTables).map { t =>
       val bkt = nearDupPlanes(t).zipWithIndex.map { case (pl, p) =>
         when(vectors.dotProduct(col("embedding"), typedlit(pl)) >= 0,

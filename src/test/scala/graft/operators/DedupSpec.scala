@@ -359,6 +359,10 @@ class DedupSpec extends SparkSpec {
     val cliff = Dedup.SemMaxK.toLong * Dedup.MaxNearDupBucket
     Dedup.semOccupancyOk(cliff) shouldBe true
     Dedup.semOccupancyOk(cliff + Dedup.SemMaxK) shouldBe false
+    // d5's geometric buckets have the same cliff at 2^planes × cap
+    val d5cliff = (1L << Dedup.NearDupPlanes) * Dedup.MaxNearDupBucket
+    Dedup.nearDupOccupancyOk(d5cliff) shouldBe true
+    Dedup.nearDupOccupancyOk(d5cliff + (1L << Dedup.NearDupPlanes)) shouldBe false
   }
 
   test("semDedup: near pair in one cell drops the higher id; cross-cell near pair is invisible by design") {
