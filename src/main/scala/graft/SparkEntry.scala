@@ -110,6 +110,7 @@ object SparkEntry {
     "d7_containment" -> (Dedup.d7Query _),
     "d8_incremental_dedup" -> (Dedup.d8Query _),
     "d9_semdedup" -> (Dedup.d9Query _),
+    "d10_incremental_semdedup" -> (Dedup.d10Query _),
     "t1_langid" -> (TextAnalysis.t1Query _),
     "t2_quality" -> (TextAnalysis.t2Query _),
     "t3_tokens" -> (TextAnalysis.t3Query _),

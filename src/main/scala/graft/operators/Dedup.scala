@@ -885,6 +885,23 @@ object Dedup {
   def semOccupancyOk(n: Long): Boolean =
     n.toDouble / semK(n) <= MaxNearDupBucket
 
+  /** The d10 INDEX's cell-size target. Deliberately larger than the
+    * batch operator's [[SemTargetCell]]: d9's 32 minimizes in-cell
+    * PAIR volume (quadratic in occupancy), but an index cell is a
+    * parquet partition whose serve cost is file opens — at target 32
+    * the sf1 index was 625 footer-dominated files and the serve wall
+    * was I/O, not math. A shard probe does occupancy-many cheap
+    * distance checks per vector (corpus-independent by construction),
+    * so the index trades 8× more vector math for 8× fewer files. */
+  val SemIndexTargetCell = 256
+
+  def semIndexK(n: Long): Int =
+    math.min(SemMaxK, math.max(SemMinK,
+      math.ceil(n.toDouble / SemIndexTargetCell).toInt))
+
+  def semIndexOccupancyOk(n: Long): Boolean =
+    n.toDouble / semIndexK(n) <= MaxNearDupBucket
+
   /** Deterministic seed for the d9 codebook: ~k corpus vectors at a
     * fixed id stride (the [[Ann.seedCodebook]] discipline, with the
     * stride derived from n and k instead of a constant). */
@@ -970,6 +987,121 @@ object Dedup {
   def d9Query(s: SparkSession, d: String): DataFrame = {
     vectors.register(s)
     semDedup(Tables.embeddings(s, d), semCodebookFor(s, d))
+  }
+
+  // --------------------------------------------------------------- d10
+
+  /** d10 shard: every 11th corpus embedding re-ingested verbatim under
+    * offset ids — the semantic-dedup twin of [[d8Shard]]'s re-crawl
+    * (the synthetic corpus has no incoming ingest batch of its own).
+    * Verbatim on purpose: any float perturbation would have to be
+    * replayed bit-exactly in DuckDB double arithmetic; the exactness
+    * under test is the index/assignment/join shape, not the noise. */
+  def d10Shard(embs: DataFrame): DataFrame =
+    embs.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + lit(8000000L)).as("vec_id"), col("embedding"))
+
+  /** The d10 codebook cache — same training as [[semCodebookFor]] but
+    * the GROW-ONLY lifecycle of [[Ann.codebookFor]]: an incremental
+    * index must keep its codebook FIXED while the corpus only gains
+    * files (a retrained codebook moves cells and silently invalidates
+    * every persisted assignment — the documented LSM drift trade,
+    * folded back at full rebuild). Separate cache from d9's on
+    * purpose: the batch operator retrains per corpus state (fresh
+    * k ∝ n is the right batch behavior), the index must not. */
+  private val semIndexCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Seq[(Long, Seq[Double])])]()
+
+  def semIndexCodebookFor(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+    val now = graft.sources.LocalIndex.dataManifest(Seq(s"$d/embeddings.parquet"))
+    val cur = semIndexCodebooks.get(d)
+    if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains)) {
+      if (cur._1 != now) semIndexCodebooks.put(d, (now, cur._2))
+      cur._2
+    } else {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      require(semIndexOccupancyOk(n),
+        s"incrementalSemDedup: $n vectors / k=${semIndexK(n)} clusters exceeds " +
+          s"the $MaxNearDupBucket-occupancy design point at build time — " +
+          "scale k past SemMaxK (two-level assignment) for corpora this large.")
+      val trained = Ann.trainCodebook(e, semSeed(e, n, semIndexK(n)))
+      semIndexCodebooks.put(d, (now, trained))
+      trained
+    }
+  }
+
+  /** The persisted kept-vector index of a corpus dir: embeddings
+    * written `partitionBy(cell)` under the d10 codebook — the
+    * [[Ann.ensureIvfIndex]] layout with [[semK]] cells instead of the
+    * serving codebook's 64, managed by the same
+    * [[graft.sources.LocalIndex.ensureIncremental]] contract: a
+    * grow-only corpus assigns ONLY the new shard's rows under the
+    * unchanged codebook and appends them into the existing cell=
+    * dirs; any codebook change falls back to the full rebuild. */
+  def ensureSemIndex(s: SparkSession, d: String): String = {
+    vectors.register(s)
+    val cb = semIndexCodebookFor(s, d)
+    // repartition on the cell key before the partitioned write (the
+    // ensurePostingIndex aligned-append discipline): partitionBy from
+    // an unaligned layout emits one file per (task × cell) — measured
+    // 3,737 files over 625 cells at sf1, and the serve wall was
+    // file-open-dominated. Aligned, each cell's delta is ONE file.
+    graft.sources.LocalIndex.ensureIncremental("sem-index", d,
+      "_k" + cb.size, Seq(s"$d/embeddings.parquet"),
+      extra = "cb:" + cb.hashCode) { path =>
+      Tables.embeddings(s, d)
+        .withColumn("cell", Ann.nearestCentroid(cb, col("embedding")))
+        .repartition(col("cell"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cell").parquet(path)
+    } { (newFiles, path) =>
+      s.read.parquet(newFiles: _*)
+        .withColumn("cell", Ann.nearestCentroid(cb, col("embedding")))
+        .repartition(col("cell"))
+        .write.mode("append").option("compression", "zstd")
+        .partitionBy("cell").parquet(path)
+    }
+  }
+
+  /** d10: incremental SemDeDup — the per-ingest-batch shape of d9, and
+    * the production shape at 100 TB (a batch pass that re-clusters the
+    * corpus per ingest would be quadratic in corpus size; the index
+    * amortizes it). Each shard vector is assigned with the INDEX's
+    * fixed codebook (one codegen'd map), the shard's cell set — ≤
+    * shard-size driver-side constants, the t8 needle-bucket
+    * discipline — prunes the index read to matching `cell=` partitions
+    * at planning time, and the shard BROADCASTS into the pruned scan:
+    * per-batch cost ∝ shard × its cells' occupancy, corpus-side ZERO
+    * exchange. Output is d8's verdict shape, one row per (shard_vec,
+    * corpus_vec) within the cosine radius in the same cell. */
+  def incrementalSemDedup(shard: DataFrame, s: SparkSession, d: String,
+      maxDistance: Double = SemMaxDistance): DataFrame = {
+    vectors.register(s)
+    val path = ensureSemIndex(s, d)
+    val cb = semIndexCodebookFor(s, d)
+    val assigned = shard.select(col("vec_id").as("shard_vec"),
+      col("embedding").as("semb"),
+      Ann.nearestCentroid(cb, col("embedding")).as("cell"))
+    val cells = assigned.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val corpus = s.read.parquet(path).filter(col("cell").isin(cells: _*))
+    // round(4) on the REPORTED score (the d2/d8 jaccard convention):
+    // self-matches sit at 1-2 ulps of zero, where engine-order float
+    // tails dominate any relative compare; the radius filter itself
+    // stays on the raw value
+    broadcast(assigned).join(corpus, Seq("cell"))
+      .withColumn("score",
+        vectors.cosineDistance(col("semb"), col("embedding")))
+      .filter(col("score") <= maxDistance)
+      .select(col("shard_vec"), col("vec_id").as("corpus_vec"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("shard_vec"), col("corpus_vec"))
+  }
+
+  def d10Query(s: SparkSession, d: String): DataFrame = {
+    vectors.register(s)
+    incrementalSemDedup(d10Shard(Tables.embeddings(s, d)), s, d)
   }
 
   // ------------------------------------------------------------ oracles
@@ -1163,21 +1295,32 @@ object Dedup {
     * [[Ann.codebookFor]] contract), else the seed formula replayed in
     * SQL (formal only: a dir whose d9 never ran has no result to
     * compare). */
-  private def semCentsSql(d: String): String = {
-    val cb = Option(semCodebooks.get(d)).map(_._2).getOrElse(Nil)
+  private def semCentsSqlFrom(cb: Seq[(Long, Seq[Double])],
+      fallbackTarget: Int): String =
     if (cb.nonEmpty)
       "semcents(ccid, cv) AS (VALUES " + cb.map { case (cid, cv) =>
         s"($cid, ${VectorSearch.sqlArray(cv)}::DOUBLE[])" }.mkString(", ") + ")"
     else
       s"""kk AS (SELECT least($SemMaxK, greatest($SemMinK,
-         |         CAST(ceil(count(*) / ${SemTargetCell}.0) AS BIGINT))) AS k,
+         |         CAST(ceil(count(*) / $fallbackTarget.0) AS BIGINT))) AS k,
          |       count(*) AS n FROM embeddings),
          |semcents AS (
          |  SELECT vec_id AS ccid, embedding::DOUBLE[] AS cv
          |  FROM embeddings, kk
          |  WHERE vec_id % greatest(1, n // k) = 0
          |    AND vec_id < greatest(1, n // k) * k)""".stripMargin
-  }
+
+  private def semCentsSql(d: String): String =
+    semCentsSqlFrom(Option(semCodebooks.get(d)).map(_._2).getOrElse(Nil),
+      SemTargetCell)
+
+  /** d10's centroid CTE — the INDEX cache's codebook (trained under
+    * the grow-only lifecycle), not d9's batch cache: the two train
+    * separately (different k targets) and float-avg values need not
+    * match bit-wise. */
+  private def semIndexCentsSql(d: String): String =
+    semCentsSqlFrom(Option(semIndexCodebooks.get(d)).map(_._2).getOrElse(Nil),
+      SemIndexTargetCell)
 
   /** Data-dependent oracles (trained-state literals — the
     * [[Ann.oracles]] pattern; `def`, per-dir on purpose). The
@@ -1207,5 +1350,27 @@ object Dedup {
          |      FROM pairs)
          |WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+    "d10_incremental_semdedup" ->
+      s"""WITH ${semIndexCentsSql(d)},
+         |shard AS (
+         |  SELECT vec_id + 8000000 AS shard_vec, embedding::DOUBLE[] AS semb
+         |  FROM embeddings WHERE vec_id % 11 = 0),
+         |sasg AS (
+         |  SELECT shard_vec, semb, ccid AS cell FROM (
+         |    SELECT sh.shard_vec, sh.semb, c.ccid,
+         |           list_distance(sh.semb, c.cv) AS cdist
+         |    FROM shard sh CROSS JOIN semcents c)
+         |  QUALIFY row_number() OVER (PARTITION BY shard_vec ORDER BY cdist, ccid) = 1),
+         |casg AS (
+         |  SELECT vec_id, e, ccid AS cell FROM (
+         |    SELECT v.vec_id, v.embedding::DOUBLE[] AS e, c.ccid,
+         |           list_distance(v.embedding::DOUBLE[], c.cv) AS cdist
+         |    FROM embeddings v CROSS JOIN semcents c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, ccid) = 1)
+         |SELECT s.shard_vec, c.vec_id AS corpus_vec,
+         |       round(1.0 - list_cosine_similarity(s.semb, c.e), 4) AS score
+         |FROM sasg s JOIN casg c USING (cell)
+         |WHERE 1.0 - list_cosine_similarity(s.semb, c.e) <= $SemMaxDistance
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

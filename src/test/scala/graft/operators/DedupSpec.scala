@@ -363,6 +363,9 @@ class DedupSpec extends SparkSpec {
     val d5cliff = (1L << Dedup.NearDupPlanes) * Dedup.MaxNearDupBucket
     Dedup.nearDupOccupancyOk(d5cliff) shouldBe true
     Dedup.nearDupOccupancyOk(d5cliff + (1L << Dedup.NearDupPlanes)) shouldBe false
+    // the d10 index variant saturates at the same SemMaxK × cap point
+    Dedup.semIndexOccupancyOk(cliff) shouldBe true
+    Dedup.semIndexOccupancyOk(cliff + Dedup.SemMaxK) shouldBe false
   }
 
   test("semDedup: near pair in one cell drops the higher id; cross-cell near pair is invisible by design") {
@@ -426,6 +429,70 @@ class DedupSpec extends SparkSpec {
       val got = Dedup.semDedup(embs, cents, tau).collect()
         .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kept_by"))).toSeq
       withClue(s"trial $trial: ") { got shouldBe expect }
+    }
+  }
+
+  private def dataFilesOf(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getAbsolutePath -> (f.length, f.lastModified))
+      .toMap
+  }
+
+  test("ensureSemIndex: grow-only append keeps old cell files and the codebook; d10 verdicts match brute force") {
+    graft.functions.vectors.register(spark)
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(1234)
+    val dim = 8
+    val n = 200
+    val base = Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    for (i <- n / 2 until n) {
+      val src = rnd.nextInt(n / 2)
+      base(i) = base(src).map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    }
+    val full = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-semidx-").toString
+    full.filter(col("vec_id") < 150)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val idxPath = Dedup.ensureSemIndex(spark, dir)
+    val cb = Dedup.semIndexCodebookFor(spark, dir)
+    val before = dataFilesOf(idxPath)
+    full.filter(col("vec_id") >= 150)
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Dedup.ensureSemIndex(spark, dir)
+    val after = dataFilesOf(idxPath)
+    // every pre-append index file survives byte-identical; only new
+    // cell deltas appear; the codebook stayed FIXED (append contract)
+    before.foreach { case (p, meta) => after.get(p) shouldBe Some(meta) }
+    after.size should be > before.size
+    Dedup.semIndexCodebookFor(spark, dir) shouldBe cb
+
+    val shard = full.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val got = Dedup.incrementalSemDedup(shard, spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard_vec"), r.getAs[Long]("corpus_vec"),
+        r.getAs[Double]("score")))
+    def d2v(v: Array[Float], c: Seq[Double]) =
+      v.zip(c).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+    def cellOf(v: Array[Float]) =
+      cb.map { case (cid, cv) => (d2v(v, cv), cid) }.min._2
+    def cos(a: Array[Float], b: Array[Float]) = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      1.0 - dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expect = for {
+      si <- 0 until n if si % 5 == 0
+      ci <- 0 until n
+      if cellOf(base(si)) == cellOf(base(ci))
+      d = cos(base(si), base(ci)) if d <= Dedup.SemMaxDistance
+    } yield (si + 900000L, ci.toLong, d)
+    got.map(g => (g._1, g._2)).toSeq shouldBe expect.map(e => (e._1, e._2))
+    got.zip(expect).foreach { case (g, e) =>
+      g._3 shouldBe e._3 +- 1e-4 // reported score is round(raw, 4)
     }
   }
 }
