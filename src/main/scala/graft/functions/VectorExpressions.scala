@@ -671,6 +671,24 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
        """.stripMargin
     })
 
+  /* Case-class equality over Array fields is reference identity, which
+   * would make two structurally identical nearest_centroid expressions
+   * compare unequal — defeating expression canonicalization,
+   * subexpression elimination and exchange reuse. Compare (and hash)
+   * the codebook CONTENTS instead. */
+  override def equals(other: Any): Boolean = other match {
+    case nc: NearestCentroid =>
+      nc.child == child &&
+        java.util.Arrays.equals(nc.cids, cids) &&
+        java.util.Arrays.equals(nc.cents, cents)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child,
+      Integer.valueOf(java.util.Arrays.hashCode(cids)),
+      Integer.valueOf(java.util.Arrays.hashCode(cents)))
+
   override protected def withNewChildInternal(c: Expression) =
     copy(child = c)
 }

@@ -416,8 +416,12 @@ object Ann {
       // appended after training is part of the served corpus from
       // here on, so a later in-place mutation of it must read as a
       // mutation (retrain), not as an invisible non-member of the
-      // train-time file set
-      if (cur._1 != now) codebooks.put(d, (now, cur._2))
+      // train-time file set. CAS-replace against the OBSERVED entry:
+      // a plain put here could stomp a concurrent mutation-triggered
+      // retrain with this thread's pre-mutation codebook (the adopt
+      // loses the race, which is the safe direction — next call
+      // re-reads whatever won)
+      if (cur._1 != now) codebooks.replace(d, cur, (now, cur._2))
       cur._2
     } else {
       val embs = Tables.embeddings(s, d)
@@ -746,7 +750,9 @@ object Ann {
       Seq(s"$d/embeddings.parquet"))
     val cur = pqBooks.get(d)
     if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains)) {
-      if (cur._1 != now) pqBooks.put(d, (now, cur._2))
+      // CAS adopt (codebookFor's rule): never overwrite a concurrent
+      // mutation-triggered retrain with the stale observed books
+      if (cur._1 != now) pqBooks.replace(d, cur, (now, cur._2))
       cur._2
     } else {
       val cb = codebookFor(s, d)

@@ -374,9 +374,13 @@ object Dedup {
   def nearDupOccupancyOk(n: Long): Boolean =
     n.toDouble / (1L << NearDupPlanes) <= MaxNearDupBucket
 
-  def embeddingNearDup(embs: DataFrame, maxDistance: Double = 0.55): DataFrame = {
+  def embeddingNearDup(embs: DataFrame, maxDistance: Double = 0.55,
+                       knownN: Option[Long] = None): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"))
-    val n = e.count()
+    // the capacity-cliff guard needs only n; callers that know the
+    // corpus (d5Query) pass the parquet-footer count so the guard
+    // costs no extra source scan — count() only for ad-hoc frames
+    val n = knownN.getOrElse(e.count())
     require(nearDupOccupancyOk(n),
       s"embeddingNearDup: $n vectors over 2^$NearDupPlanes buckets = mean " +
         f"occupancy ${n.toDouble / (1L << NearDupPlanes)}%.0f > bucket cap " +
@@ -410,7 +414,9 @@ object Dedup {
 
   def d5Query(s: SparkSession, d: String): DataFrame = {
     vectors.register(s)
-    embeddingNearDup(Tables.embeddings(s, d))
+    embeddingNearDup(Tables.embeddings(s, d),
+      knownN = Some(graft.sources.LocalIndex.parquetRowCount(
+        s"$d/embeddings.parquet")))
   }
 
   // ---------------------------------------------------------------- d6
@@ -929,7 +935,11 @@ object Dedup {
     if (cached != null && cached._1 == key) cached._2
     else {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val n = e.count()
+      // n from parquet footers (the d5 guard's discipline) — the
+      // retrain path needs the corpus size only for k and the
+      // capacity guard, not another source scan
+      val n = graft.sources.LocalIndex.parquetRowCount(
+        s"$d/embeddings.parquet")
       // No silent caps ([[semOccupancyOk]]): fail loudly at the
       // capacity cliff; the fix at that scale is the documented
       // two-level assignment (raise the effective k), not a looser cap.
@@ -1016,11 +1026,17 @@ object Dedup {
     val now = graft.sources.LocalIndex.dataManifest(Seq(s"$d/embeddings.parquet"))
     val cur = semIndexCodebooks.get(d)
     if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains)) {
-      if (cur._1 != now) semIndexCodebooks.put(d, (now, cur._2))
+      // CAS adopt (Ann.codebookFor's rule): a stale adopt must never
+      // overwrite a concurrent mutation-triggered retrain
+      if (cur._1 != now) semIndexCodebooks.replace(d, cur, (now, cur._2))
       cur._2
     } else {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val n = e.count()
+      // n from parquet footers (the d5 guard's discipline) — the
+      // retrain path needs the corpus size only for k and the
+      // capacity guard, not another source scan
+      val n = graft.sources.LocalIndex.parquetRowCount(
+        s"$d/embeddings.parquet")
       require(semIndexOccupancyOk(n),
         s"incrementalSemDedup: $n vectors / k=${semIndexK(n)} clusters exceeds " +
           s"the $MaxNearDupBucket-occupancy design point at build time — " +
@@ -1292,35 +1308,32 @@ object Dedup {
   /** d9's centroid CTE: the trained centroids as double literals when
     * this JVM has trained on `d` (Verify runs queries before dumping
     * oracle_sql, so the cache is populated by dump time — the
-    * [[Ann.codebookFor]] contract), else the seed formula replayed in
-    * SQL (formal only: a dir whose d9 never ran has no result to
-    * compare). */
-  private def semCentsSqlFrom(cb: Seq[(Long, Seq[Double])],
-      fallbackTarget: Int): String =
+    * [[Ann.codebookFor]] contract). When the cache is EMPTY the dump
+    * cannot match the operator (Lloyd-trained centroids exist only in
+    * the training JVM), so instead of a seed formula that LOOKS
+    * runnable but silently disagrees, emit a sentinel CTE that fails
+    * loudly at oracle execution time — a d9/d10 comparison against an
+    * untrained dump is a harness bug, not a near-miss to debug. */
+  private def semCentsSqlFrom(cb: Seq[(Long, Seq[Double])]): String =
     if (cb.nonEmpty)
       "semcents(ccid, cv) AS (VALUES " + cb.map { case (cid, cv) =>
         s"($cid, ${VectorSearch.sqlArray(cv)}::DOUBLE[])" }.mkString(", ") + ")"
     else
-      s"""kk AS (SELECT least($SemMaxK, greatest($SemMinK,
-         |         CAST(ceil(count(*) / $fallbackTarget.0) AS BIGINT))) AS k,
-         |       count(*) AS n FROM embeddings),
-         |semcents AS (
-         |  SELECT vec_id AS ccid, embedding::DOUBLE[] AS cv
-         |  FROM embeddings, kk
-         |  WHERE vec_id % greatest(1, n // k) = 0
-         |    AND vec_id < greatest(1, n // k) * k)""".stripMargin
+      """semcents AS (
+        |  SELECT CAST(error('graft: semDedup codebook UNTRAINED in the ' ||
+        |    'dumping JVM (run the d9/d10 query before dumping ' ||
+        |    'oracle_sql.json) — this oracle cannot match the operator')
+        |    AS BIGINT) AS ccid, NULL::DOUBLE[] AS cv)""".stripMargin
 
   private def semCentsSql(d: String): String =
-    semCentsSqlFrom(Option(semCodebooks.get(d)).map(_._2).getOrElse(Nil),
-      SemTargetCell)
+    semCentsSqlFrom(Option(semCodebooks.get(d)).map(_._2).getOrElse(Nil))
 
   /** d10's centroid CTE — the INDEX cache's codebook (trained under
     * the grow-only lifecycle), not d9's batch cache: the two train
     * separately (different k targets) and float-avg values need not
     * match bit-wise. */
   private def semIndexCentsSql(d: String): String =
-    semCentsSqlFrom(Option(semIndexCodebooks.get(d)).map(_._2).getOrElse(Nil),
-      SemIndexTargetCell)
+    semCentsSqlFrom(Option(semIndexCodebooks.get(d)).map(_._2).getOrElse(Nil))
 
   /** Data-dependent oracles (trained-state literals — the
     * [[Ann.oracles]] pattern; `def`, per-dir on purpose). The

@@ -165,4 +165,23 @@ object LocalIndex {
     }
     dir
   }
+
+  /** Corpus row count from parquet FOOTERS, driver-side — no Spark
+    * job, no data pages decoded: footers are a few KB per file
+    * whatever the data volume, so a capacity guard that only needs n
+    * (e.g. [[graft.operators.Dedup.embeddingNearDup]]'s occupancy
+    * cliff) doesn't pay an extra source scan per invocation. */
+  def parquetRowCount(path: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val f = new java.io.File(path)
+    val files = (if (f.isDirectory) f.listFiles().toSeq else Seq(f))
+      .filter(x => x.isFile && x.getName.endsWith(".parquet") &&
+        !x.getName.startsWith("_") && !x.getName.startsWith("."))
+    files.map { x =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(x.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }
