@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, BloomLookup, Collapsing, Curation, Dedup, Dpp, InvertedIndex, Mixture, Multimodal, Packing, RangeJoin, Replacing, Dictionary, Rollup, RpTree, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, BloomLookup, Collapsing, Curation, Dedup, Dpp, InvertedIndex, Mixture, Multimodal, Mutation, Packing, RangeJoin, Replacing, Dictionary, Rollup, RpTree, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -140,6 +140,7 @@ object SparkEntry {
     "s8_stream_upsert" -> (EventStream.s8Query _),
     "s9_stream_ttl" -> (EventStream.s9Query _),
     "s10_stream_index" -> (EventStream.s10Query _),
+    "s11_stream_delete" -> (EventStream.s11Query _),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),
     "c3_group_canonical" -> (Curation.c3Query _),
@@ -166,6 +167,8 @@ object SparkEntry {
     "q67_any_join" -> (Analytics.q67AnyJoin _),
     "q68_with_totals" -> (Analytics.q68WithTotals _),
     "c19_dict_hierarchy" -> (Dictionary.c19Query _),
+    "c20_mutation_delete" -> (Mutation.c20Query _),
+    "c21_mutation_update" -> (Mutation.c21Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -967,6 +970,6 @@ object SparkEntry {
   ) ++ Dedup.oracles ++ Dedup.dynOracles(d) ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ RpTree.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
     Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++
-    TimeSeries.oracles ++ Ttl.oracles ++ Dictionary.oracles ++
+    TimeSeries.oracles ++ Ttl.oracles ++ Dictionary.oracles ++ Mutation.oracles ++
     AsofJoin.oracles ++ RangeJoin.oracles ++ EventStream.oracles
 }

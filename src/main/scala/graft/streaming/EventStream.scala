@@ -476,6 +476,63 @@ object EventStream {
     graft.operators.Ttl.servedDaily(s, layout)
   }
 
+  /** s11: streaming mutation maintenance — the CONTINUOUS form of c20
+    * ([[graft.operators.Mutation]]): delete REQUESTS (bounded key
+    * batches — the compliance queue a production deployment drains)
+    * arrive as a stream; each micro-batch collects its k-bounded key
+    * set (bounded by the mutation contract, the trained-literal class
+    * of collect) and applies the pruned part rewrite against the
+    * persisted bucketed layout inside `foreachBatch`. ZERO streaming
+    * state, and key-deletes are IDEMPOTENT and COMMUTATIVE — each
+    * key's delete rewrites only its own bucket's rows, and deleting
+    * {A} then {B} leaves the same bytes as deleting {A,B} — so the
+    * final layout is identical for ANY split of the requests into
+    * micro-batches (pinned by the maxFilesPerTrigger=1 suite test). */
+  def deleteMaintain(requests: DataFrame, layoutDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val keys = batch.toDF().select(col("user_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (keys.nonEmpty)
+          graft.operators.Mutation.deleteKeys(
+            batch.sparkSession, layoutDir, keys)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** s11 gate: a FRESH pre-mutation bucketed layout (not the c20
+    * cache — that one is fingerprint-managed and already post-delete),
+    * the pinned forget set written as a 2-file request stream (so even
+    * the gate run crosses a batch boundary under file-source
+    * splitting), [[deleteMaintain]] drains it, then c20's served
+    * report — the oracle applies verbatim. */
+  def s11Query(s: SparkSession, d: String): DataFrame = {
+    val t0 = System.nanoTime()
+    val root = scratchRoot.resolve(
+      "s11-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    wipe(root)
+    java.nio.file.Files.createDirectories(root)
+    val ss = s.newSession()
+    inheritStreamingConfs(s, ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val events = graft.Tables.events(ss, d)
+    val layout = root.resolve("layout").toString
+    graft.operators.Mutation.buildLayout(events, layout)
+    val keys = graft.operators.Mutation.forgetSet(events)
+    import ss.implicits._
+    keys.toDF("user_id").repartition(2)
+      .write.parquet(root.resolve("requests").toString)
+    val src = ss.readStream
+      .schema("user_id BIGINT")
+      .parquet(root.resolve("requests").toString)
+    val q = deleteMaintain(src, layout, root.resolve("ckpt").toString)
+    awaitWithPhases("s11", t0, q)
+    graft.operators.Mutation.servedReport(s, layout)
+  }
+
   /** s8: streaming upsert maintenance — the CONTINUOUS form of c10
     * ([[graft.operators.Replacing]]), i.e. ReplacingMergeTree fed by a
     * stream: each event micro-batch compacts to ONE part (the batch's
@@ -799,6 +856,10 @@ object EventStream {
     // versions), so its oracle IS c10's latest-per-key replay
     "s8_stream_upsert" ->
       graft.operators.Replacing.oracles("c10_replacing_upsert"),
+    // s11 drains the same pinned forget set c20 deletes (idempotent,
+    // commutative key-deletes) — the oracle is c20's verbatim
+    "s11_stream_delete" ->
+      graft.operators.Mutation.oracles("c20_mutation_delete"),
     // emitted = closed-in-batch (not the user's last session) OR timed
     // out (end + gap strictly below the final watermark)
     "s2_stream_sessionize" ->

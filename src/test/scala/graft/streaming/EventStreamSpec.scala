@@ -469,6 +469,45 @@ class EventStreamSpec extends EventStreamSuiteBase {
     served shouldBe want
   }
 
+  test("s11 delete maintenance is batch-split-invariant: per-key request files, one batch each, same layout as one-shot delete") {
+    // stateless foreachBatch (key-deletes are idempotent + commutative),
+    // so the provider axis is vacuous — one-store test by design.
+    import spark.implicits._
+    val events = graft.Tables.events(spark, graft.SparkSpec.TinySf)
+    val keys = graft.operators.Mutation.forgetSet(events)
+    keys.length should be > 2
+    // streamed: each key arrives in its OWN micro-batch
+    val reqRoot = java.nio.file.Files.createTempDirectory("graft-s11-rq-").toString
+    keys.zipWithIndex.foreach { case (k, i) =>
+      Seq(k).toDF("user_id").coalesce(1).write.parquet(s"$reqRoot/rq_$i.parquet")
+    }
+    val layoutA = java.nio.file.Files.createTempDirectory("graft-s11-a-")
+      .resolve("layout").toString
+    graft.operators.Mutation.buildLayout(events, layoutA)
+    val src = spark.readStream.schema("user_id BIGINT")
+      .option("maxFilesPerTrigger", "1") // force one micro-batch per file
+      .parquet(s"$reqRoot/rq_*.parquet")
+    val ck = java.nio.file.Files.createTempDirectory("graft-s11-ck-").toString
+    val q = EventStream.deleteMaintain(src, layoutA, ck)
+    try q.awaitTermination() finally q.stop()
+    q.recentProgress.count(_.numInputRows > 0) shouldBe keys.length
+    // one-shot: the whole forget set deleted in a single mutation
+    val layoutB = java.nio.file.Files.createTempDirectory("graft-s11-b-")
+      .resolve("layout").toString
+    graft.operators.Mutation.buildLayout(events, layoutB)
+    graft.operators.Mutation.deleteKeys(spark, layoutB, keys)
+    val got = graft.operators.Mutation.servedReport(spark, layoutA).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = graft.operators.Mutation.servedReport(spark, layoutB).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got shouldBe want
+    // and no forget key survives anywhere in the streamed layout
+    spark.read.parquet(layoutA)
+      .filter(org.apache.spark.sql.functions.col("user_id")
+        .isin(keys.map(Long.box): _*))
+      .count() shouldBe 0L
+  }
+
   test("auto-compaction folds accreted parts back to ~1-part serve cost, reports unchanged") {
     // the 50-part accretion stress showed a 2.0× serve wall; this pins
     // the fix: 8 micro-batches with compactEvery=4 must end at the
