@@ -162,6 +162,7 @@ object SparkEntry {
     "c17_pack_sequences" -> (Packing.c17Query _),
     "t9_bm25" -> (InvertedIndex.t9Query _),
     "t9b_bm25_needle2" -> (InvertedIndex.t9bQuery _),
+    "t10_lm_score" -> (TextAnalysis.t10Query _),
     "c18_dpp" -> (Dpp.c18Query _),
     "q66_sample" -> (Analytics.q66Sample _),
     "q67_any_join" -> (Analytics.q67AnyJoin _),

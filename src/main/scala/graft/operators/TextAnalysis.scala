@@ -325,6 +325,54 @@ object TextAnalysis {
   def t7Query(s: SparkSession, d: String): DataFrame =
     editDistance(Tables.documents(s, d))
 
+  // --------------------------------------------------------------- t10
+
+  /** t10: bigram language-model quality scoring — the CCNet
+    * perplexity-filter shape (Wenzek et al. 2020, public method:
+    * score each document under a smoothed n-gram LM, drop the tail).
+    * The LM is an add-one-smoothed bigram model trained on the corpus
+    * itself; each doc's score is its mean bigram log2-likelihood
+    * (higher = more language-like; gibberish and boilerplate land in
+    * the tails — the filter signal).
+    *
+    * Scale shape: tokenize+explode is one corpus map (t8's posting
+    * volume); bigram counts are ONE partial-aggregable groupBy;
+    * prefix counts DERIVE from the bigram table (sum of cb per w1 —
+    * aggregates the already-shrunk model, never the corpus again);
+    * the vocabulary size rides the plan as a 1-row broadcast (q40's
+    * bounds pattern). Scoring joins the exploded bigrams back to the
+    * model on (w1, w2) then w1 — shuffle joins on model keys, both
+    * sides co-partitioned, nothing corpus-growing broadcast — then
+    * folds per doc. The per-doc mean of a double sum is
+    * order-dependent → round(4) on both engines (the contract's
+    * discipline). Docs with < 2 tokens have no bigrams and no score
+    * row (pinned on both engines). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = spread(docs)
+      .select(col("doc_id"), textops.tokens(col("text")).as("w"))
+    // sequence(1, n) counts DOWN for n < 1 — the size guard is load-bearing
+    val bg = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), expr(
+        "explode(transform(sequence(1, size(w) - 1), i -> " +
+          "named_struct('w1', element_at(w, i), " +
+          "'w2', element_at(w, i + 1))))").as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val ugc = bgc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val v = bg.agg(countDistinct(col("w1")).as("vv"))
+    bg.join(bgc, Seq("w1", "w2"))
+      .join(ugc, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log2((col("cb") + lit(1.0)) / (col("cu") + col("vv")))) /
+          count(lit(1)), 4).as("avg_ll"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t10Query(s: SparkSession, d: String): DataFrame =
+    lmScore(Tables.documents(s, d))
+
   // ------------------------------------------------------------ oracles
 
   private val toksSql = textops.tokensSql("text")
@@ -332,6 +380,19 @@ object TextAnalysis {
     s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x)))"
 
   val oracles: Map[String, String] = Map(
+    "t10_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+         |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+         |  WHERE len(w) >= 2),
+         |bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         |ugc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM bgc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS vv FROM bg)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(sum(log2((cb + 1.0) / (cu + vv))) / count(*), 4) AS avg_ll
+         |FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1), v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t1_langid" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,

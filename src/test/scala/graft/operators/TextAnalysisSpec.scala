@@ -121,4 +121,52 @@ class TextAnalysisSpec extends SparkSpec {
     out(1L) shouldBe 1
     out(2L) shouldBe 6
   }
+
+  test("lmScore: brute-force add-one bigram LM on a handmade corpus") {
+    // corpus: docs over a tiny vocab; expected score computed by a
+    // direct driver-side simulation of the pinned definition
+    val texts = Seq(
+      0L -> "the cat sat on the mat",
+      1L -> "the cat ate the cat",
+      2L -> "dog",                    // 1 token → no bigrams → no row
+      3L -> "",                       // 0 tokens → no row
+      4L -> "zebra quark flux zebra quark",
+    )
+    val df = texts.toDF("doc_id", "text")
+
+    def toks(t: String): Seq[String] =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    val bigrams = texts.map { case (id, t) =>
+      id -> toks(t).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq
+    }.toMap
+    val allBg = bigrams.values.flatten.toSeq
+    val cb = allBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cu = allBg.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val vv = allBg.map(_._1).distinct.size.toLong
+    def expectScore(id: Long): Option[(Long, Double)] = {
+      val bs = bigrams(id)
+      if (bs.isEmpty) None
+      else {
+        val s = bs.map(b => math.log((cb(b) + 1.0) / (cu(b._1) + vv)) /
+          math.log(2.0)).sum / bs.length
+        Some((bs.length.toLong,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+
+    val out = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_ll"))).toMap
+    out.keySet shouldBe Set(0L, 1L, 4L) // <2-token docs emit no row
+    Seq(0L, 1L, 4L).foreach { id =>
+      val (en, es) = expectScore(id).get
+      out(id)._1 shouldBe en
+      out(id)._2 shouldBe es +- 1e-9
+    }
+    // repeated-bigram doc (4: "zebra quark" twice) scores HIGHER than
+    // the equally-sized all-distinct doc under its own LM — the
+    // predictability signal the filter exists for
+    out(4L)._2 should be > out(0L)._2
+  }
 }
