@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, AsofJoin, BloomLookup, Collapsing, Curation, Dedup, Dpp, InvertedIndex, Mixture, Multimodal, Mutation, Packing, RangeJoin, Replacing, Dictionary, Rollup, RpTree, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
+import graft.operators.{Analytics, Ann, AsofJoin, BloomLookup, Collapsing, Curation, Dedup, Dpp, Dsir, InvertedIndex, Mixture, Multimodal, Mutation, Packing, RangeJoin, Replacing, Dictionary, Rollup, RpTree, Stats, TextAnalysis, TimeSeries, Ttl, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -170,6 +170,7 @@ object SparkEntry {
     "c19_dict_hierarchy" -> (Dictionary.c19Query _),
     "c20_mutation_delete" -> (Mutation.c20Query _),
     "c21_mutation_update" -> (Mutation.c21Query _),
+    "c22_dsir" -> (Dsir.c22Query _),
   )
 
   private def vec(seed: Int): String = VectorSearch.sqlArray(VectorSearch.qvec(seed))
@@ -971,6 +972,6 @@ object SparkEntry {
   ) ++ Dedup.oracles ++ Dedup.dynOracles(d) ++ TextAnalysis.oracles ++ Multimodal.oracles ++
     Ann.oracles(d) ++ RpTree.oracles(d) ++ Curation.oracles ++ Rollup.oracles ++ Replacing.oracles ++
     Collapsing.oracles ++ Mixture.oracles ++ Stats.oracles ++
-    TimeSeries.oracles ++ Ttl.oracles ++ Dictionary.oracles ++ Mutation.oracles ++
+    TimeSeries.oracles ++ Ttl.oracles ++ Dictionary.oracles ++ Mutation.oracles ++ Dsir.oracles ++
     AsofJoin.oracles ++ RangeJoin.oracles ++ EventStream.oracles
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.textops
+
+/** c22: data selection via importance resampling — DSIR (Xie et al.,
+  * NeurIPS 2023; public method), the model-based selection step of a
+  * pretraining-corpus build: score every raw document by how much
+  * more likely its hashed n-gram features are under a TARGET
+  * distribution (the high-quality reference — Wikipedia in the paper,
+  * the `lang = 'en'` slice here) than under the RAW crawl
+  * distribution, then keep the importance top-k.
+  *
+  * Features are the paper's hashed bag of n-grams: every unigram and
+  * bigram occurrence hashes into one of [[NumBuckets]] fixed buckets
+  * ([[textops.hash60]] mod B — cross-engine exact). Each side fits an
+  * add-one-smoothed multinomial over the buckets; a document's
+  * importance is Σ over its gram occurrences of
+  * log2(p_target(bucket) / p_raw(bucket)).
+  *
+  * Scale shape: the two bucket models are ONE partial-aggregable
+  * groupBy over the exploded gram stream each — output is B-bounded
+  * (constant) whatever the corpus, so the log-ratio table BROADCASTS;
+  * totals derive from the already-shrunk count tables, never a second
+  * corpus pass. Scoring is the exploded stream joined to the
+  * broadcast ratio + one groupBy(doc_id); selection is a
+  * TakeOrderedAndProject on the rounded score (rank on the ROUNDED
+  * value, unique-id tie-break — so cross-engine rank order is exact
+  * wherever the 4-dp score is). Nothing corpus-growing is ever
+  * broadcast or collected.
+  */
+object Dsir {
+
+  /** Hashed-feature bucket count (the paper uses 10k at web scale;
+    * fixed and SF-independent here — the model stays B-bounded at any
+    * corpus size by construction). */
+  val NumBuckets = 1024
+
+  /** Selection size: the importance top-k manifest the gate emits. */
+  val SelectN = 64
+
+  /** The raw gram-occurrence stream: every unigram and space-joined
+    * bigram occurrence with its feature bucket (doc_id, lang, bkt). */
+  private def gramBuckets(docs: DataFrame): DataFrame =
+    graft.Spread.ifNarrow(docs)
+      .select(col("doc_id"), col("lang"),
+        textops.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        // sequence(1, n) counts DOWN for n < 1 — guard the bigram arm
+        "concat(w, CASE WHEN size(w) >= 2 THEN " +
+          "transform(sequence(1, size(w) - 1), i -> " +
+          "concat_ws(' ', element_at(w, i), element_at(w, i + 1))) " +
+          "ELSE array() END)")).as("g"))
+      .select(col("doc_id"), col("lang"),
+        pmod(textops.hash60(col("g")), lit(NumBuckets.toLong)).as("bkt"))
+
+  /** Importance scores for every doc, and the top-[[SelectN]]
+    * selection. `targetLang` defines the target slice (the reference
+    * distribution). */
+  def importanceSelect(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val b = gramBuckets(docs)
+    // the two multinomials: B-bounded count tables (constant size at
+    // any corpus scale) — totals fold from the counts, not the corpus
+    val rc = b.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+    val tc = b.filter(col("lang") === lit(targetLang))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+    val ratio = rc.join(tc, Seq("bkt"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(
+        rc.agg(sum(col("cr")).as("tr"))
+          .crossJoin(tc.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))))
+      .select(col("bkt"),
+        (log2((col("ct") + lit(1.0)) / (col("tt") + lit(NumBuckets))) -
+          log2((col("cr") + lit(1.0)) / (col("tr") + lit(NumBuckets))))
+          .as("r"))
+    b.join(broadcast(ratio), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("r")), 4).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(SelectN)
+      .orderBy(col("logw").desc, col("doc_id"))
+  }
+
+  def c22Query(s: SparkSession, d: String): DataFrame =
+    importanceSelect(Tables.documents(s, d))
+
+  private val h60 = textops.hash60Sql("g")
+
+  val oracles: Map[String, String] = Map(
+    "c22_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, ${textops.tokensSql("text")} AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, lang, g FROM toks, unnest(w) AS u(g)
+         |  UNION ALL
+         |  SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS g
+         |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+         |  WHERE len(w) >= 2),
+         |b AS (SELECT doc_id, lang, $h60 % ${NumBuckets} AS bkt FROM grams),
+         |rc AS (SELECT bkt, count(*) AS cr FROM b GROUP BY 1),
+         |tc AS (SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT
+         |  (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS tr,
+         |  (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) FROM tc) AS tt),
+         |ratio AS (
+         |  SELECT rc.bkt,
+         |    log2((coalesce(ct, 0) + 1.0) / (tt + ${NumBuckets})) -
+         |    log2((cr + 1.0) / (tr + ${NumBuckets})) AS r
+         |  FROM rc LEFT JOIN tc ON rc.bkt = tc.bkt, tot),
+         |score AS (
+         |  SELECT doc_id, count(*) AS n_grams, round(sum(r), 4) AS logw
+         |  FROM b JOIN ratio USING (bkt) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, logw FROM score
+         |ORDER BY logw DESC, doc_id LIMIT $SelectN""".stripMargin,
+  )
+}
