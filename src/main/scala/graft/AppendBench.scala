@@ -127,6 +127,20 @@ object AppendBench {
       (s, d) => Ann.ensureIvfPqIndex(s, d),
       (s, d) => rmTree(graft.sources.LocalIndex.path(
         "ivf-pq-index", d, "_k" + Ann.NumCentroids + "m" + Ann.PqSubspaces))),
+    // the d10 sem-index shares the IVF cell layout but under its own
+    // (larger-k, read-granularity) codebook — its append contract is
+    // the same grow-only fixed-codebook shape and must hold here too
+    Fam("d10_sem_index", "embeddings", "vec_id",
+      (s, d) => Dedup.ensureSemIndex(s, d),
+      (s, d) => {
+        val parent = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft-sem-index")
+        val prefix = d.replaceAll("[^A-Za-z0-9._-]", "_") +
+          f"_${d.hashCode & 0xffffffffL}%08x"
+        Option(parent.listFiles()).getOrElse(Array[java.io.File]())
+          .filter(_.getName.startsWith(prefix))
+          .foreach(f => rmTree(f.getPath))
+      }),
     Fam("c9_rollup_parts", "events", "event_id",
       (s, d) => Rollup.ensureRollup(s, d),
       (s, d) => rmTree(graft.sources.LocalIndex.path("rollup", d, ""))),
