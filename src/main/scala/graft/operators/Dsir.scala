@@ -62,16 +62,20 @@ object Dsir {
     * distribution). */
   def importanceSelect(docs: DataFrame, targetLang: String = "en"): DataFrame = {
     val b = gramBuckets(docs)
-    // the two multinomials: B-bounded count tables (constant size at
-    // any corpus scale) — totals fold from the counts, not the corpus
-    val rc = b.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
-    val tc = b.filter(col("lang") === lit(targetLang))
-      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
-    val ratio = rc.join(tc, Seq("bkt"), "left")
-      .na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(
-        rc.agg(sum(col("cr")).as("tr"))
-          .crossJoin(tc.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))))
+    // BOTH multinomials from ONE corpus aggregate (conditional count
+    // for the target side) — B-bounded output whatever the corpus;
+    // totals fold from the counts table, never a second corpus pass
+    // localCheckpoint: `counts` feeds BOTH the ratio table and the
+    // totals fold — without it each reference re-executes the corpus
+    // aggregate (the r14 double-broadcast lesson); checkpointing the
+    // ≤B-row result costs one bounded materialization instead
+    val counts = b.groupBy(col("bkt")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === lit(targetLang), lit(1))).as("ct"))
+      .localCheckpoint()
+    val ratio = counts
+      .crossJoin(broadcast(counts.agg(
+        sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))))
       .select(col("bkt"),
         (log2((col("ct") + lit(1.0)) / (col("tt") + lit(NumBuckets))) -
           log2((col("cr") + lit(1.0)) / (col("tr") + lit(NumBuckets))))

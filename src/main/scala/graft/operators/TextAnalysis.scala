@@ -357,9 +357,15 @@ object TextAnalysis {
           "named_struct('w1', element_at(w, i), " +
           "'w2', element_at(w, i + 1))))").as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // localCheckpoint: the trained LM feeds three consumers (the join,
+    // the prefix fold, the vocab fold) — materialize the model ONCE
+    // instead of re-running the corpus aggregate per reference (the
+    // r14 double-broadcast lesson); prefix counts and vocabulary then
+    // derive from the already-shrunk table, never a second corpus pass
     val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
     val ugc = bgc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
-    val v = bg.agg(countDistinct(col("w1")).as("vv"))
+    val v = bgc.agg(countDistinct(col("w1")).as("vv"))
     bg.join(bgc, Seq("w1", "w2"))
       .join(ugc, Seq("w1"))
       .crossJoin(broadcast(v))

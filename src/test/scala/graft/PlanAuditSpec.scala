@@ -601,4 +601,37 @@ class PlanAuditSpec extends SparkSpec {
     p.toLowerCase should not include "join"
     "Scan parquet".r.findAllIn(p).size shouldBe 1
   }
+
+  test("c20/c21 mutation serve is one scan of the mutated layout — raw events never rescanned") {
+    // the mutation leaves an ORDINARY table behind (no filter debt, no
+    // view indirection): serve = one parquet scan of the layout
+    Seq("c20_mutation_delete" -> "graft-mutdel",
+        "c21_mutation_update" -> "graft-mutupd").foreach {
+      case (q, layout) => withClue(q) {
+        val p = plan(q)
+        p should not include "events.parquet"
+        p.toLowerCase should not include "join"
+        p should include(layout)
+        "Scan parquet".r.findAllIn(p).size shouldBe 1
+      }
+    }
+  }
+
+  test("t10 LM scoring: the trained model folds never rescan the corpus") {
+    // bgc is localCheckpoint'd at build — prefix counts and vocabulary
+    // derive from the materialized model, so the executed plan holds
+    // exactly ONE documents scan (the scoring stream)
+    val p = plan("t10_lm_score")
+    "documents\\.parquet".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("c22 DSIR: constant-size model broadcasts; one corpus scan scores") {
+    // the count table is checkpoint-materialized (B-bounded), the
+    // log-ratio table rides a broadcast join onto the gram stream —
+    // nothing corpus-growing is broadcast, no sort-merge join appears
+    val p = plan("c22_dsir")
+    "documents\\.parquet".r.findAllIn(p).size shouldBe 1
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
 }
