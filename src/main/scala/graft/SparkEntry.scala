@@ -158,6 +158,7 @@ object SparkEntry {
     "m4_phash_neardup" -> (Multimodal.m4Query _),
     "t8_inverted_search" -> (InvertedIndex.t8Query _),
     "t8b_search_needle2" -> (InvertedIndex.t8bQuery _),
+    "t8c_delete_search" -> (InvertedIndex.t8cQuery _),
     "c16_bloom_lookup" -> (BloomLookup.c16Query _),
     "c17_pack_sequences" -> (Packing.c17Query _),
     "t9_bm25" -> (InvertedIndex.t9Query _),
@@ -934,6 +935,7 @@ object SparkEntry {
   ) ++ Map(
     "t8_inverted_search" -> InvertedIndex.oracle,
     "t8b_search_needle2" -> InvertedIndex.oracleFor(InvertedIndex.NeedleB),
+    "t8c_delete_search" -> InvertedIndex.oracleDeleted,
     "c16_bloom_lookup" -> BloomLookup.oracle,
     "c17_pack_sequences" -> Packing.oracle,
     "t9_bm25" -> InvertedIndex.oracleT9(d),

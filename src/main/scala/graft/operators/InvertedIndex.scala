@@ -282,6 +282,106 @@ object InvertedIndex {
   def t8bQuery(s: SparkSession, d: String): DataFrame =
     searchIndexed(s, d, NeedleB)
 
+  // ------------------------------------ t8c: delete propagation (r18)
+
+  /** Pinned gate deletion size — deletions are BOUNDED-key operations
+    * (the c20 mutation contract); the gate deletes the [[DeleteN]]
+    * smallest-hash60 doc_ids of t8's own hit set. */
+  val DeleteN = 4
+
+  def tombstonePath(indexDir: String): String = indexDir + "/_tombstones"
+
+  /** Register deleted doc_ids as a TOMBSTONE SIDECAR inside the index
+    * dir — the index-side twin of the c20 corpus mutation. A doc's
+    * postings scatter across ALL token buckets, so an eager delete
+    * would be a full index rewrite; the sidecar makes deletion O(set
+    * size) metadata instead (ClickHouse's lightweight DELETE makes the
+    * same trade with its `_row_exists` mask). Underscore-prefixed, so
+    * every posting scan ignores it and the data-manifest lifecycle
+    * doesn't read tombstoning as index mutation — every posting file
+    * stays byte-identical (spec-asserted). Overwrite semantics: the
+    * sidecar holds the CURRENT deleted set, so re-deletes are
+    * idempotent. Serve honors it via a bounded anti-join
+    * ([[searchIndexedLive]]); [[compactTombstones]] folds it
+    * physically. */
+  def tombstoneDocs(s: SparkSession, indexDir: String,
+      docIds: Seq[Long]): Unit = {
+    import s.implicits._
+    docIds.toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(tombstonePath(indexDir))
+  }
+
+  private def tombstones(s: SparkSession, indexDir: String): Option[DataFrame] = {
+    val p = tombstonePath(indexDir)
+    if (new java.io.File(p, "_SUCCESS").exists())
+      Some(s.read.parquet(p).select(col("doc_id")).distinct())
+    else None
+  }
+
+  /** t8's serve with deletions honored: the bucket-pruned needle hits
+    * anti-join the BOUNDED tombstone set (broadcast) before scoring —
+    * O(|deleted|) extra work per query, zero posting bytes rewritten.
+    * Without a sidecar this IS [[searchIndexed]]. (The t9 ranked tier
+    * would serve the same way with df/idf slightly stale until
+    * compaction — the standard tombstone trade; its stats re-derive
+    * per request from the pruned read, so they refresh the moment
+    * [[compactTombstones]] folds the rows.) */
+  def searchIndexedLive(s: SparkSession, d: String,
+      needle: Seq[String] = Needle, minMatch: Int = MinMatch): DataFrame = {
+    val dir = ensureIndex(s, d)
+    val pruned = s.read.parquet(dir)
+      .filter(col("tb").isin(needleBuckets(needle).map(Int.box): _*) &&
+        col("token").isin(needle: _*))
+    val live = tombstones(s, dir)
+      .map(t => pruned.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(pruned)
+    score(live, minMatch)
+  }
+
+  /** Fold the tombstones into the layout: one bucket-aligned rewrite
+    * drops the deleted docs' posting rows physically. The sidecar and
+    * the `_GRAFT_SRC` lifecycle marker are CARRIED into the rewritten
+    * dir: the sidecar is the durable deletion ledger (serve results
+    * are identical before and after — the anti-join was already hiding
+    * those rows, and an anti-join against already-absent keys is a
+    * no-op), and the marker keeps the ensure lifecycle from reading
+    * compaction as staleness and rebuilding (which would resurrect the
+    * deleted postings from the unchanged source). */
+  def compactTombstones(s: SparkSession, indexDir: String): Unit =
+    tombstones(s, indexDir).foreach { t =>
+      val rows = s.read.parquet(indexDir)
+        .join(broadcast(t), Seq("doc_id"), "left_anti")
+        .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+      val marker = java.nio.file.Paths.get(indexDir, "_GRAFT_SRC")
+      val markerBytes =
+        if (java.nio.file.Files.exists(marker))
+          Some(java.nio.file.Files.readAllBytes(marker))
+        else None
+      val tombBytes = t.collect().map(_.getLong(0)).toSeq // bounded set
+      graft.streaming.Compaction.rewrite(indexDir) { tmp =>
+        rows.repartition(col("tb"))
+          .write.mode("overwrite").option("compression", "zstd")
+          .partitionBy("tb").parquet(tmp)
+        tombstoneDocs(s, tmp, tombBytes)
+        markerBytes.foreach(b => java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "_GRAFT_SRC"), b))
+      }
+    }
+
+  /** t8c gate: delete the pinned doc set (the [[DeleteN]] smallest-
+    * hash60 doc_ids among t8's hits — k-bounded driver derivation, the
+    * c20 forget-set discipline), then serve delete-honoring search.
+    * The oracle replays t8's result minus the same pinned set. */
+  def t8cQuery(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureIndex(s, d)
+    val del = searchIndexed(s, d)
+      .withColumn("h", textops.hash60(col("doc_id").cast("string")))
+      .orderBy(col("h"), col("doc_id")).limit(DeleteN)
+      .collect().map(_.getLong(0)).toSeq
+    tombstoneDocs(s, dir, del)
+    searchIndexedLive(s, d)
+  }
+
   // ------------------------------------------------------------- t9
 
   /** BM25 constants (Robertson-Spärck Jones; the Lucene defaults). */
@@ -395,6 +495,27 @@ object InvertedIndex {
        |SELECT doc_id, count(*)::BIGINT AS n_terms,
        |       sum(tf)::BIGINT AS total_tf
        |FROM hits GROUP BY 1 HAVING count(*) >= $minMatch
+       |ORDER BY doc_id""".stripMargin
+
+  /** t8c oracle: t8's result minus the pinned deleted set (smallest-
+    * hash60 hit doc_ids — the same md5 twin the c20 forget set pins). */
+  def oracleDeleted: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${textops.tokensSql("text")}) AS tok
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, tok, count(*)::BIGINT AS tf
+       |  FROM toks WHERE tok IN ${sqlList(Needle)} GROUP BY 1, 2),
+       |res AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_terms,
+       |         sum(tf)::BIGINT AS total_tf
+       |  FROM hits GROUP BY 1 HAVING count(*) >= $MinMatch),
+       |del AS (
+       |  SELECT doc_id FROM res
+       |  ORDER BY ${textops.hash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id
+       |  LIMIT $DeleteN)
+       |SELECT doc_id, n_terms, total_tf FROM res
+       |WHERE doc_id NOT IN (SELECT doc_id FROM del)
        |ORDER BY doc_id""".stripMargin
 
   /** t9 oracle: DuckDB recomputes tf and dl from the raw corpus, but

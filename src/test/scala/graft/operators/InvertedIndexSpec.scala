@@ -36,6 +36,49 @@ class InvertedIndexSpec extends SparkSpec {
     scan shouldBe got
   }
 
+  test("tombstone delete: sidecar-only write, live serve hides docs, compaction folds rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-").toString
+    writeDocs(dir, docs)
+    val idxDir = InvertedIndex.ensureIndex(spark, dir)
+    def postingFiles(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idxDir))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getAbsolutePath.contains("_tombstones"))
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    val before = postingFiles()
+    // delete doc 1 (a 3-term hit) and doc 3 (a non-hit — harmless)
+    InvertedIndex.tombstoneDocs(spark, idxDir, Seq(1L, 3L))
+    // tombstoning is metadata: every posting file byte-identical
+    postingFiles() shouldBe before
+    val live = InvertedIndex.searchIndexedLive(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    live shouldBe Array((2L, 2L, 4L), (5L, 2L, 5L))
+    // the plain t8 view is unaffected (tombstones are the live view's)
+    InvertedIndex.searchIndexed(spark, dir).collect().length shouldBe 3
+    // re-delete is idempotent (overwrite semantics)
+    InvertedIndex.tombstoneDocs(spark, idxDir, Seq(1L, 3L))
+    InvertedIndex.searchIndexedLive(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe live
+    // compaction drops the rows physically; serve identical; the
+    // sidecar (deletion ledger) and lifecycle marker survive the swap
+    InvertedIndex.compactTombstones(spark, idxDir)
+    spark.read.parquet(idxDir).filter(col("doc_id").isin(1L, 3L))
+      .count() shouldBe 0L
+    InvertedIndex.searchIndexedLive(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe live
+    new java.io.File(InvertedIndex.tombstonePath(idxDir), "_SUCCESS")
+      .exists() shouldBe true
+    // post-compaction the plain view agrees too (rows are gone), and
+    // the ensure lifecycle still reads the index as fresh (no rebuild
+    // resurrecting the deleted postings)
+    InvertedIndex.ensureIndex(spark, dir) shouldBe idxDir
+    InvertedIndex.searchIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe live
+  }
+
   test("needle buckets prune the index partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx-").toString
     writeDocs(dir, docs)
