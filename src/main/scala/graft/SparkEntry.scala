@@ -141,6 +141,7 @@ object SparkEntry {
     "s9_stream_ttl" -> (EventStream.s9Query _),
     "s10_stream_index" -> (EventStream.s10Query _),
     "s11_stream_delete" -> (EventStream.s11Query _),
+    "s12_stream_score" -> (EventStream.s12Query _),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),
     "c3_group_canonical" -> (Curation.c3Query _),

@@ -57,36 +57,66 @@ object Dsir {
       .select(col("doc_id"), col("lang"),
         pmod(textops.hash60(col("g")), lit(NumBuckets.toLong)).as("bkt"))
 
-  /** Importance scores for every doc, and the top-[[SelectN]]
-    * selection. `targetLang` defines the target slice (the reference
-    * distribution). */
-  def importanceSelect(docs: DataFrame, targetLang: String = "en"): DataFrame = {
-    val b = gramBuckets(docs)
-    // BOTH multinomials from ONE corpus aggregate (conditional count
-    // for the target side) — B-bounded output whatever the corpus;
-    // totals fold from the counts table, never a second corpus pass
-    // localCheckpoint: `counts` feeds BOTH the ratio table and the
-    // totals fold — without it each reference re-executes the corpus
-    // aggregate (the r14 double-broadcast lesson); checkpointing the
-    // ≤B-row result costs one bounded materialization instead
-    val counts = b.groupBy(col("bkt")).agg(
+  /** The trained model: the B-bounded (bkt, r) log-ratio table.
+    * BOTH multinomials come from ONE corpus aggregate (conditional
+    * count for the target side) — output is B-bounded whatever the
+    * corpus; totals fold from the counts table, never a second corpus
+    * pass. localCheckpoint: `counts` feeds BOTH the ratio table and
+    * the totals fold — without it each reference re-executes the
+    * corpus aggregate (the r14 double-broadcast lesson); checkpointing
+    * the ≤B-row result costs one bounded materialization instead. */
+  def ratioTable(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val counts = gramBuckets(docs).groupBy(col("bkt")).agg(
       count(lit(1)).as("cr"),
       count(when(col("lang") === lit(targetLang), lit(1))).as("ct"))
       .localCheckpoint()
-    val ratio = counts
+    counts
       .crossJoin(broadcast(counts.agg(
         sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))))
       .select(col("bkt"),
         (log2((col("ct") + lit(1.0)) / (col("tt") + lit(NumBuckets))) -
           log2((col("cr") + lit(1.0)) / (col("tr") + lit(NumBuckets))))
           .as("r"))
-    b.join(broadcast(ratio), Seq("bkt"))
+  }
+
+  /** Score any docs frame against a (bkt, r) model: the gram stream
+    * joined to the BROADCAST model + one groupBy(doc_id) — per-doc
+    * cost ∝ the doc's grams, independent of corpus and model history.
+    * This is the shape a shard pays at ingest (s12). */
+  def scoreAgainst(docs: DataFrame, model: DataFrame): DataFrame =
+    gramBuckets(docs)
+      .join(broadcast(model), Seq("bkt"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         round(sum(col("r")), 4).as("logw"))
+
+  /** The importance top-k: rank on the ROUNDED score, unique-id
+    * tie-break (cross-engine-exact order). */
+  def selectTop(scored: DataFrame): DataFrame =
+    scored
       .orderBy(col("logw").desc, col("doc_id"))
       .limit(SelectN)
       .orderBy(col("logw").desc, col("doc_id"))
+
+  /** Importance scores for every doc, and the top-[[SelectN]]
+    * selection. `targetLang` defines the target slice (the reference
+    * distribution). */
+  def importanceSelect(docs: DataFrame, targetLang: String = "en"): DataFrame =
+    selectTop(scoreAgainst(docs, ratioTable(docs, targetLang)))
+
+  /** The PERSISTED frozen model — the ingest-scoring lifecycle: train
+    * once per corpus state, score every arriving shard against the
+    * frozen (bkt, r) table (s12's contract; the paper's own deployment
+    * shape — the importance model is fit on reference data, not
+    * refit per shard). One B-bounded parquet file; staleness keyed on
+    * the source fingerprint like every trained-state cache. */
+  def ensureModel(s: SparkSession, d: String, targetLang: String = "en"): String = {
+    val fp = graft.sources.LocalIndex.fingerprint(Seq(s"$d/documents.parquet")) +
+      s"_b$NumBuckets-$targetLang"
+    graft.sources.LocalIndex.ensure("dsir-model", d, "", fp) { out =>
+      ratioTable(Tables.documents(s, d), targetLang)
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    }
   }
 
   def c22Query(s: SparkSession, d: String): DataFrame =

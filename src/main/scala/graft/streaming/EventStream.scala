@@ -533,6 +533,56 @@ object EventStream {
     graft.operators.Mutation.servedReport(s, layout)
   }
 
+  /** s12: streaming importance scoring at ingest — the CONTINUOUS
+    * form of c22 ([[graft.operators.Dsir]]) and the paper's own
+    * deployment shape: the importance model is trained ONCE on the
+    * reference corpus ([[graft.operators.Dsir.ensureModel]], a
+    * B-bounded frozen (bkt, r) table), and every arriving document
+    * micro-batch scores against the broadcast frozen model inside
+    * `foreachBatch`, appending (doc_id, n_grams, logw) rows to the
+    * score sink. ZERO streaming state, and per-doc scores depend only
+    * on the doc and the frozen model, so the maintained score table —
+    * and the top-k selection served from it — is batch-split-INVARIANT
+    * by construction (pinned by the maxFilesPerTrigger=1 suite test).
+    * Per-batch cost ∝ the batch's grams; the corpus is never
+    * rescanned at ingest. */
+  def scoreMaintain(docs: DataFrame, modelPath: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ss = batch.sparkSession
+        graft.operators.Dsir.scoreAgainst(
+            batch.toDF(), ss.read.parquet(modelPath))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** s12 gate: train/reuse the frozen model for `d`, stream the
+    * documents table through [[scoreMaintain]] into a fresh scratch
+    * sink, then serve c22's top-k selection from the accumulated
+    * scores — the oracle is c22's verbatim. */
+  def s12Query(s: SparkSession, d: String): DataFrame = {
+    val t0 = System.nanoTime()
+    val root = scratchRoot.resolve(
+      "s12-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    wipe(root)
+    java.nio.file.Files.createDirectories(root)
+    val ss = s.newSession()
+    inheritStreamingConfs(s, ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val model = graft.operators.Dsir.ensureModel(ss, d)
+    val raw = ss.read.parquet(s"$d/documents.parquet")
+    val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
+    val q = scoreMaintain(src, model, root.resolve("scores").toString,
+      root.resolve("ckpt").toString)
+    awaitWithPhases("s12", t0, q)
+    graft.operators.Dsir.selectTop(
+      s.read.parquet(root.resolve("scores").toString))
+  }
+
   /** s8: streaming upsert maintenance — the CONTINUOUS form of c10
     * ([[graft.operators.Replacing]]), i.e. ReplacingMergeTree fed by a
     * stream: each event micro-batch compacts to ONE part (the batch's
@@ -860,6 +910,9 @@ object EventStream {
     // commutative key-deletes) — the oracle is c20's verbatim
     "s11_stream_delete" ->
       graft.operators.Mutation.oracles("c20_mutation_delete"),
+    // s12 scores every doc against the frozen model exactly once
+    // whatever the batch split — the oracle is c22's verbatim
+    "s12_stream_score" -> graft.operators.Dsir.oracles("c22_dsir"),
     // emitted = closed-in-batch (not the user's last session) OR timed
     // out (end + gap strictly below the final watermark)
     "s2_stream_sessionize" ->

@@ -508,6 +508,52 @@ class EventStreamSpec extends EventStreamSuiteBase {
       .count() shouldBe 0L
   }
 
+  test("s12 ingest scoring is batch-split-invariant: two doc files, two batches, same selection as one-shot scoring") {
+    // stateless foreachBatch (per-doc scores depend only on the doc and
+    // the FROZEN model), so the provider axis is vacuous.
+    import spark.implicits._
+    def doc(i: Int): (Long, String, String, String, Long) = {
+      val lang = Seq("en", "de", "fr")(i % 3)
+      val text = Seq("the cat sat on the mat and the dog ran",
+        "der hund lief im park und der vogel sang",
+        "le chat dort sur le tapis et le chien court")(i % 3) + s" tok$i"
+      (i.toLong, text, lang, "s", text.length.toLong)
+    }
+    val rowsA = (0 until 30).map(doc)
+    val rowsB = (100 until 125).map(doc)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-s12-src-").toString
+    (rowsA ++ rowsB).toDF(cols: _*)
+      .coalesce(1).write.parquet(s"$srcDir/documents.parquet")
+    // frozen model trained on the whole corpus dir (c22's lifecycle)
+    val model = graft.operators.Dsir.ensureModel(spark, srcDir)
+    // streamed: the same docs arrive as TWO shard files, one batch each
+    val shardRoot = java.nio.file.Files.createTempDirectory("graft-s12-sh-").toString
+    rowsA.toDF(cols: _*).coalesce(1).write.parquet(s"$shardRoot/sh_a.parquet")
+    rowsB.toDF(cols: _*).coalesce(1).write.parquet(s"$shardRoot/sh_b.parquet")
+    val schema = spark.read.parquet(s"$shardRoot/sh_a.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one micro-batch per file
+      .parquet(s"$shardRoot/sh_*.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-s12-out-").toString
+    val q = EventStream.scoreMaintain(src, model, s"$out/scores", s"$out/ckpt")
+    try q.awaitTermination() finally q.stop()
+    q.recentProgress.count(_.numInputRows > 0) shouldBe 2
+    val got = graft.operators.Dsir.selectTop(
+        spark.read.parquet(s"$out/scores")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Double]("logw")))
+    // one-shot: every doc scored against the same frozen model at once
+    val want = graft.operators.Dsir.selectTop(
+        graft.operators.Dsir.scoreAgainst(
+          (rowsA ++ rowsB).toDF(cols: _*),
+          spark.read.parquet(model))).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Double]("logw")))
+    got shouldBe want
+    got.length shouldBe (rowsA ++ rowsB).length.min(graft.operators.Dsir.SelectN)
+  }
+
   test("auto-compaction folds accreted parts back to ~1-part serve cost, reports unchanged") {
     // the 50-part accretion stress showed a 2.0× serve wall; this pins
     // the fix: 8 micro-batches with compactEvery=4 must end at the
