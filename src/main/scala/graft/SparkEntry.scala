@@ -160,6 +160,7 @@ object SparkEntry {
     "t8_inverted_search" -> (InvertedIndex.t8Query _),
     "t8b_search_needle2" -> (InvertedIndex.t8bQuery _),
     "t8c_delete_search" -> (InvertedIndex.t8cQuery _),
+    "a3_delete_ann" -> (Ann.a3DeleteQuery _),
     "c16_bloom_lookup" -> (BloomLookup.c16Query _),
     "c17_pack_sequences" -> (Packing.c17Query _),
     "t9_bm25" -> (InvertedIndex.t9Query _),

@@ -539,6 +539,76 @@ object Ann {
       .orderBy(col("query_id"), col("score"), col("vec_id"))
   }
 
+  // --------------------------------- a3 delete propagation (r18)
+
+  /** Pinned gate deletion size (the c20/t8c bounded-key contract). */
+  val DeleteN = 4
+
+  /** Register deleted vec_ids against the persisted IVF index — the
+    * vector-store right-to-be-forgotten path. A vector's row lives in
+    * ONE cell file, but that file holds thousands of neighbors, so an
+    * eager per-request delete is still a file rewrite per key;
+    * tombstones make it O(set) metadata, served by a bounded
+    * anti-join, folded at compaction. Machinery and contract:
+    * [[graft.sources.Tombstones]]. */
+  def tombstoneVecs(s: SparkSession, d: String, vecIds: Seq[Long]): Unit =
+    graft.sources.Tombstones.write(s, ensureIvfIndex(s, d), "vec_id", vecIds)
+
+  /** a3_indexed's serve with deletions honored: the partition-pruned
+    * probe scan anti-joins the bounded tombstone set BEFORE the
+    * two-phase rank, so deleted vectors can never occupy a top-k slot
+    * (the k-th rank refills from the live candidates — unlike a
+    * post-filter on the old top-k, which would silently return k−|del|
+    * rows). Without a sidecar this IS [[indexedIvfKnn]]. */
+  def indexedIvfKnnLive(s: SparkSession, d: String, k: Int = K,
+      nprobe: Int = NProbe): DataFrame = {
+    import s.implicits._
+    vectors.register(s)
+    val cb = codebookFor(s, d)
+    val dir = ensureIvfIndex(s, d)
+    val idx = s.read.parquet(dir)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val probePairs: Seq[(Int, Long, Seq[Double])] =
+      querySet.flatMap { case (i, qv) =>
+        cb.map { case (cid, cv) => (cid, l2(qv, cv)) }
+          .sortBy { case (cid, dd) => (dd, cid) }
+          .take(nprobe)
+          .map { case (cid, _) => (i, cid, qv) }
+      }
+    val probes = probePairs.toDF("query_id", "pcid", "qv")
+    val probedCells = probePairs.map(_._2).distinct
+    val live = graft.sources.Tombstones.filterLive(s, dir, "vec_id")(
+      idx.filter(col("cid").isin(probedCells: _*)))
+    twoPhaseCut(
+      live.join(broadcast(probes), col("cid") === col("pcid"))
+        .withColumn("score", vectors.l2Distance(col("embedding"), col("qv")))
+        .select(col("query_id"), col("vec_id"), col("score")),
+      "score", k)
+      .orderBy(col("query_id"), col("score"), col("vec_id"))
+  }
+
+  /** Fold vector tombstones physically (cell-aligned rewrite; serve
+    * identical before/after — spec-pinned). */
+  def compactVecTombstones(s: SparkSession, d: String): Unit =
+    graft.sources.Tombstones.compact(s, ensureIvfIndex(s, d), "vec_id", "cid")
+
+  /** a3_delete_ann gate: delete the pinned vec set (the [[DeleteN]]
+    * smallest-hash60 vec_ids among a3_indexed's own hits — k-bounded
+    * driver derivation, the c20 forget-set discipline), then serve the
+    * delete-honoring probe. The oracle re-ranks the probed candidates
+    * minus the same pinned set, so refilled ranks are checked too. */
+  def a3DeleteQuery(s: SparkSession, d: String): DataFrame = {
+    val del = indexedIvfKnn(s, d)
+      .select(col("vec_id")).distinct()
+      .withColumn("h", graft.functions.textops.hash60(
+        col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(DeleteN)
+      .collect().map(_.getLong(0)).toSeq
+    tombstoneVecs(s, d, del)
+    indexedIvfKnnLive(s, d)
+  }
+
   /** vq3's quantized twin of [[ensureIvfIndex]]: the same cell
     * partitioning (cid assigned on the FULL-precision embedding, same
     * codebook — so vq3 probes exactly the cells a3 would), but each
@@ -941,6 +1011,7 @@ object Ann {
     // scan-side originals.
     "a2_indexed" -> a2Sql,
     "a3_indexed" -> a3Sql(d),
+    "a3_delete_ann" -> a3DeleteSql(d),
     "a3_ivf_ann" -> a3Sql(d),
     "vq3_ivf_i8" -> vq3Sql(d),
     "vq4_ivfpq" -> vq4Sql(d),
@@ -1050,6 +1121,39 @@ object Ann {
          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdist, ccid) <= $NProbe)
          |SELECT query_id, vec_id, list_distance(e, qv) AS score
          |FROM assigned JOIN qprobe USING (cid)
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
+         |ORDER BY query_id, score, vec_id""".stripMargin
+
+  /** a3's SQL with the pinned deletion replayed: `del` derives from
+    * the ORIGINAL probe ranking (the gate's forget rule — smallest
+    * hash60 among a3's own hits), and the final ranking RE-RANKS the
+    * probed candidates with the set excluded, so the oracle checks the
+    * refilled k-th ranks too, not just the survivors. */
+  private def a3DeleteSql(d: String): String =
+    s"""WITH ${centsSql(d)},
+         |assigned AS (
+         |  SELECT vec_id, e, ccid AS cid FROM (
+         |    SELECT v.vec_id, v.embedding::DOUBLE[] AS e, c.ccid,
+         |           list_distance(v.embedding::DOUBLE[], c.cv) AS cdist
+         |    FROM embeddings v CROSS JOIN cents c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, ccid) = 1),
+         |queries(query_id, qv) AS (VALUES $queriesValuesSql),
+         |qprobe AS (
+         |  SELECT query_id, qv, ccid AS cid FROM (
+         |    SELECT q.query_id, q.qv, c.ccid, list_distance(q.qv, c.cv) AS qdist
+         |    FROM queries q CROSS JOIN cents c)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdist, ccid) <= $NProbe),
+         |res AS (
+         |  SELECT query_id, vec_id, list_distance(e, qv) AS score
+         |  FROM assigned JOIN qprobe USING (cid)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K),
+         |del AS (
+         |  SELECT vec_id FROM (SELECT DISTINCT vec_id FROM res)
+         |  ORDER BY ${graft.functions.textops.hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT $DeleteN)
+         |SELECT query_id, vec_id, list_distance(e, qv) AS score
+         |FROM assigned JOIN qprobe USING (cid)
+         |WHERE vec_id NOT IN (SELECT vec_id FROM del)
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
          |ORDER BY query_id, score, vec_id""".stripMargin
 

@@ -289,34 +289,18 @@ object InvertedIndex {
     * smallest-hash60 doc_ids of t8's own hit set. */
   val DeleteN = 4
 
-  def tombstonePath(indexDir: String): String = indexDir + "/_tombstones"
+  def tombstonePath(indexDir: String): String =
+    graft.sources.Tombstones.path(indexDir)
 
   /** Register deleted doc_ids as a TOMBSTONE SIDECAR inside the index
     * dir — the index-side twin of the c20 corpus mutation. A doc's
     * postings scatter across ALL token buckets, so an eager delete
     * would be a full index rewrite; the sidecar makes deletion O(set
-    * size) metadata instead (ClickHouse's lightweight DELETE makes the
-    * same trade with its `_row_exists` mask). Underscore-prefixed, so
-    * every posting scan ignores it and the data-manifest lifecycle
-    * doesn't read tombstoning as index mutation — every posting file
-    * stays byte-identical (spec-asserted). Overwrite semantics: the
-    * sidecar holds the CURRENT deleted set, so re-deletes are
-    * idempotent. Serve honors it via a bounded anti-join
-    * ([[searchIndexedLive]]); [[compactTombstones]] folds it
-    * physically. */
+    * size) metadata instead. Machinery and contract:
+    * [[graft.sources.Tombstones]]. */
   def tombstoneDocs(s: SparkSession, indexDir: String,
-      docIds: Seq[Long]): Unit = {
-    import s.implicits._
-    docIds.toDF("doc_id").coalesce(1)
-      .write.mode("overwrite").parquet(tombstonePath(indexDir))
-  }
-
-  private def tombstones(s: SparkSession, indexDir: String): Option[DataFrame] = {
-    val p = tombstonePath(indexDir)
-    if (new java.io.File(p, "_SUCCESS").exists())
-      Some(s.read.parquet(p).select(col("doc_id")).distinct())
-    else None
-  }
+      docIds: Seq[Long]): Unit =
+    graft.sources.Tombstones.write(s, indexDir, "doc_id", docIds)
 
   /** t8's serve with deletions honored: the bucket-pruned needle hits
     * anti-join the BOUNDED tombstone set (broadcast) before scoring —
@@ -332,41 +316,16 @@ object InvertedIndex {
     val pruned = s.read.parquet(dir)
       .filter(col("tb").isin(needleBuckets(needle).map(Int.box): _*) &&
         col("token").isin(needle: _*))
-    val live = tombstones(s, dir)
-      .map(t => pruned.join(broadcast(t), Seq("doc_id"), "left_anti"))
-      .getOrElse(pruned)
-    score(live, minMatch)
+    score(graft.sources.Tombstones.filterLive(s, dir, "doc_id")(pruned),
+      minMatch)
   }
 
   /** Fold the tombstones into the layout: one bucket-aligned rewrite
-    * drops the deleted docs' posting rows physically. The sidecar and
-    * the `_GRAFT_SRC` lifecycle marker are CARRIED into the rewritten
-    * dir: the sidecar is the durable deletion ledger (serve results
-    * are identical before and after — the anti-join was already hiding
-    * those rows, and an anti-join against already-absent keys is a
-    * no-op), and the marker keeps the ensure lifecycle from reading
-    * compaction as staleness and rebuilding (which would resurrect the
-    * deleted postings from the unchanged source). */
+    * drops the deleted docs' posting rows physically; serve results
+    * identical before and after (spec-pinned). Sidecar + lifecycle
+    * marker carried: [[graft.sources.Tombstones.compact]]. */
   def compactTombstones(s: SparkSession, indexDir: String): Unit =
-    tombstones(s, indexDir).foreach { t =>
-      val rows = s.read.parquet(indexDir)
-        .join(broadcast(t), Seq("doc_id"), "left_anti")
-        .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
-      val marker = java.nio.file.Paths.get(indexDir, "_GRAFT_SRC")
-      val markerBytes =
-        if (java.nio.file.Files.exists(marker))
-          Some(java.nio.file.Files.readAllBytes(marker))
-        else None
-      val tombBytes = t.collect().map(_.getLong(0)).toSeq // bounded set
-      graft.streaming.Compaction.rewrite(indexDir) { tmp =>
-        rows.repartition(col("tb"))
-          .write.mode("overwrite").option("compression", "zstd")
-          .partitionBy("tb").parquet(tmp)
-        tombstoneDocs(s, tmp, tombBytes)
-        markerBytes.foreach(b => java.nio.file.Files.write(
-          java.nio.file.Paths.get(tmp, "_GRAFT_SRC"), b))
-      }
-    }
+    graft.sources.Tombstones.compact(s, indexDir, "doc_id", "tb")
 
   /** t8c gate: delete the pinned doc set (the [[DeleteN]] smallest-
     * hash60 doc_ids among t8's hits — k-bounded driver derivation, the

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Tombstone sidecars — deletion propagation for persisted derived
+  * layouts (posting indexes, ANN indexes): a deleted key's rows
+  * scatter across the layout's partitions (a doc's postings across
+  * every token bucket, a vector's row inside its cell file), so an
+  * eager delete would be a layout rewrite per request. Instead the
+  * deleted key set — BOUNDED by the mutation contract
+  * ([[graft.operators.Mutation]]) — lands in an underscore-prefixed
+  * sidecar dir inside the layout:
+  *
+  *  - invisible to every data scan (Spark ignores `_`-prefixed paths)
+  *    and to the data-file manifest lifecycle, so registering a
+  *    delete leaves EVERY data file byte-identical;
+  *  - served via a bounded broadcast anti-join (O(|deleted|) extra
+  *    work per query, zero bytes rewritten) — ClickHouse's
+  *    lightweight-DELETE `_row_exists` trade;
+  *  - folded physically by [[compact]] (one aligned rewrite), which
+  *    CARRIES the sidecar (the durable deletion ledger — an anti-join
+  *    against already-absent keys is a no-op) and the `_GRAFT_SRC`
+  *    lifecycle marker, so the ensure contract never reads compaction
+  *    as staleness and rebuilds the deleted rows back from the
+  *    unchanged source.
+  *
+  * Overwrite semantics: the sidecar holds the CURRENT deleted set, so
+  * re-deletes are idempotent.
+  */
+object Tombstones {
+
+  def path(layoutDir: String): String = layoutDir + "/_tombstones"
+
+  /** Register `ids` as the layout's deleted set (sidecar-only write). */
+  def write(s: SparkSession, layoutDir: String, keyCol: String,
+      ids: Seq[Long]): Unit = {
+    import s.implicits._
+    ids.toDF(keyCol).coalesce(1)
+      .write.mode("overwrite").parquet(path(layoutDir))
+  }
+
+  /** The live deleted set, if any delete was ever registered. */
+  def read(s: SparkSession, layoutDir: String, keyCol: String): Option[DataFrame] = {
+    val p = path(layoutDir)
+    if (new java.io.File(p, "_SUCCESS").exists())
+      Some(s.read.parquet(p).select(col(keyCol)).distinct())
+    else None
+  }
+
+  /** Hide deleted keys from a (pruned) scan: bounded broadcast
+    * anti-join; identity when no delete was ever registered. */
+  def filterLive(s: SparkSession, layoutDir: String, keyCol: String)
+      (scan: DataFrame): DataFrame =
+    read(s, layoutDir, keyCol)
+      .map(t => scan.join(broadcast(t), Seq(keyCol), "left_anti"))
+      .getOrElse(scan)
+
+  /** Fold the deleted rows out of the layout physically: one
+    * partition-aligned rewrite; serve results are identical before and
+    * after (spec-pinned per layout). Sidecar and lifecycle marker are
+    * carried through the swap — see the object scaladoc. */
+  def compact(s: SparkSession, layoutDir: String, keyCol: String,
+      partitionCol: String): Unit =
+    read(s, layoutDir, keyCol).foreach { t =>
+      val rows = s.read.parquet(layoutDir)
+        .join(broadcast(t), Seq(keyCol), "left_anti")
+      val marker = java.nio.file.Paths.get(layoutDir, "_GRAFT_SRC")
+      val markerBytes =
+        if (java.nio.file.Files.exists(marker))
+          Some(java.nio.file.Files.readAllBytes(marker))
+        else None
+      val ids = t.collect().map(_.getLong(0)).toSeq // bounded set
+      graft.streaming.Compaction.rewrite(layoutDir) { tmp =>
+        rows.repartition(col(partitionCol))
+          .write.mode("overwrite").option("compression", "zstd")
+          .partitionBy(partitionCol).parquet(tmp)
+        write(s, tmp, keyCol, ids)
+        markerBytes.foreach(b => java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "_GRAFT_SRC"), b))
+      }
+    }
+}

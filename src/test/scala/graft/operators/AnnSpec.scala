@@ -327,4 +327,46 @@ class AnnSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     Ann.codebookFor(spark, dir) should not equal cb
   }
+
+  test("vector tombstones: sidecar-only delete, ranks refill, compaction folds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-del-").toString
+    corpus(400).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val idxDir = Ann.ensureIvfIndex(spark, dir)
+    def cellFiles(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idxDir))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getAbsolutePath.contains("_tombstones"))
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    val base = Ann.indexedIvfKnn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // delete two vectors that HOLD top slots (query 0's best two)
+    val del = base.filter(_._1 == 0).sortBy(_._3).take(2).map(_._2).toSeq
+    val before = cellFiles()
+    Ann.tombstoneVecs(spark, dir, del)
+    cellFiles() shouldBe before // sidecar-only: no cell file touched
+    val live = Ann.indexedIvfKnnLive(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    live.map(_._2).toSet.intersect(del.toSet) shouldBe empty
+    // ranks REFILL: still k rows per query, not k - |deleted|
+    live.count(_._1 == 0) shouldBe Ann.K
+    live.length shouldBe base.length
+    // undeleted ranks are consistent: query 0's live top-1 is base rank 3
+    val liveTop = live.filter(_._1 == 0).minBy(_._3)
+    val baseSurvivors = base.filter(r => r._1 == 0 && !del.contains(r._2))
+    liveTop shouldBe baseSurvivors.minBy(_._3)
+    // the plain a3_indexed view is unaffected (tombstones are live-only)
+    Ann.indexedIvfKnn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))) shouldBe base
+    // compaction drops the rows physically; live serve identical; the
+    // lifecycle still reads fresh (no rebuild resurrecting the rows)
+    Ann.compactVecTombstones(spark, dir)
+    spark.read.parquet(idxDir)
+      .filter(col("vec_id").isin(del.map(Long.box): _*)).count() shouldBe 0L
+    Ann.indexedIvfKnnLive(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))) shouldBe live
+    Ann.ensureIvfIndex(spark, dir) shouldBe idxDir
+  }
 }
