@@ -634,4 +634,20 @@ class PlanAuditSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
   }
+
+  test("tombstone serves: bounded anti-join is a broadcast, pruning intact") {
+    // t8c keeps t8's bucket pruning (the needle's tb dirs) and hides
+    // the deleted set via a BROADCAST anti-join — deletion must never
+    // turn the pruned probe into a shuffle
+    val t8c = plan("t8c_delete_search")
+    t8c should include("BroadcastHashJoin")
+    t8c should include("LeftAnti")
+    t8c should not include "SortMergeJoin"
+    // a3_delete_ann keeps the partition-pruned probe scan and the
+    // two-phase rank cut (SPARK_PARTITION_ID prefilter)
+    val a3d = plan("a3_delete_ann")
+    a3d should include("LeftAnti")
+    a3d should include("SPARK_PARTITION_ID")
+    a3d should not include "SortMergeJoin"
+  }
 }
