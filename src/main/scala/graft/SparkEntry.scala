@@ -161,6 +161,7 @@ object SparkEntry {
     "t8b_search_needle2" -> (InvertedIndex.t8bQuery _),
     "t8c_delete_search" -> (InvertedIndex.t8cQuery _),
     "a3_delete_ann" -> (Ann.a3DeleteQuery _),
+    "t11_phrase_search" -> (InvertedIndex.t11Query _),
     "c16_bloom_lookup" -> (BloomLookup.c16Query _),
     "c17_pack_sequences" -> (Packing.c17Query _),
     "t9_bm25" -> (InvertedIndex.t9Query _),
@@ -938,6 +939,7 @@ object SparkEntry {
     "t8_inverted_search" -> InvertedIndex.oracle,
     "t8b_search_needle2" -> InvertedIndex.oracleFor(InvertedIndex.NeedleB),
     "t8c_delete_search" -> InvertedIndex.oracleDeleted,
+    "t11_phrase_search" -> InvertedIndex.oraclePhrase,
     "c16_bloom_lookup" -> BloomLookup.oracle,
     "c17_pack_sequences" -> Packing.oracle,
     "t9_bm25" -> InvertedIndex.oracleT9(d),

@@ -456,6 +456,110 @@ object InvertedIndex {
        |FROM hits GROUP BY 1 HAVING count(*) >= $minMatch
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------- t11: positional phrase search (r18)
+
+  /** The pinned phrase needle (exists at every gate SF; df 3/7/11 at
+    * sf0.001/0.01/0.1). Like t8's needle, a constant standing in for
+    * the per-request parameter. */
+  val Phrase: Seq[String] = Seq("stream", "table", "hash")
+
+  def posIndexPath(d: String): String =
+    graft.sources.LocalIndex.path("token-pos-index", d, s"_b${Buckets}v1")
+
+  /** Positional posting rows: (token, doc_id, positions, tb) with
+    * 1-based within-doc positions, sorted. Positions are DOC-LOCAL —
+    * the property that keeps the layout append-safe (a new shard's
+    * postings never revise an old doc's rows), exactly t8's
+    * contract. */
+  def posPostings(docs: DataFrame): DataFrame =
+    graft.Spread.ifNarrow(docs)
+      .select(col("doc_id"),
+        posexplode(textops.tokens(col("text"))).as(Seq("p0", "token")))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(sort_array(collect_list(col("p0") + lit(1))).as("positions"))
+      .withColumn("tb",
+        pmod(textops.hash60(col("token")), lit(Buckets.toLong)).cast("int"))
+
+  /** The persisted positional index: t8's bucket-partitioned layout
+    * with a positions array riding each posting row (the Lucene
+    * positions tier — what turns a boolean token index into a
+    * phrase/proximity engine). Same grow-only lifecycle; the aligned
+    * repartition keeps ~one file per bucket. */
+  def ensurePosIndex(s: SparkSession, d: String): String =
+    graft.sources.LocalIndex.ensureIncremental("token-pos-index", d,
+      s"_b${Buckets}v1", Seq(s"$d/documents.parquet"), s"b${Buckets}v1") { path =>
+      posPostings(Tables.documents(s, d)).repartition(col("tb"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("tb").parquet(path)
+    } { (newFiles, path) =>
+      posPostings(s.read.parquet(newFiles: _*)).repartition(col("tb"))
+        .write.mode("append").option("compression", "zstd")
+        .partitionBy("tb").parquet(path)
+    }
+
+  /** Phrase search over the positional index: bucket-pruned read of
+    * the phrase's tokens (the t8 needle discipline — planning-time
+    * PartitionFilters), one groupBy(doc_id) gathering the ≤|phrase|
+    * position arrays per candidate doc, then the adjacency check as a
+    * pure array expression: an occurrence is a position p of the
+    * first term with p+i in term i's array for every i. Per-doc cost
+    * ∝ the doc's positions for the phrase terms; no joins, no window,
+    * nothing corpus-sized past the pruned read. */
+  def phraseSearch(idx: DataFrame,
+      phrase: Seq[String] = Phrase): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch: need at least two terms")
+    val pruned = idx
+      .filter(col("tb").isin(needleBuckets(phrase).map(Int.box): _*) &&
+        col("token").isin(phrase: _*))
+    val adjacency = phrase.tail.zipWithIndex.map { case (t, i) =>
+      s"array_contains(element_at(pm, '$t'), p + ${i + 1})"
+    }.mkString(" AND ")
+    pruned
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("token"), col("positions")))).as("pm"))
+      .filter(size(col("pm")) === phrase.distinct.size)
+      .withColumn("n_matches", expr(
+        s"size(filter(element_at(pm, '${phrase.head}'), p -> $adjacency))")
+        .cast("long"))
+      .filter(col("n_matches") >= 1)
+      .select(col("doc_id"), col("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t11Query(s: SparkSession, d: String): DataFrame =
+    phraseSearch(s.read.parquet(ensurePosIndex(s, d)))
+
+  /** t11 oracle: positions replayed 1-based in SQL, the same
+    * candidate-gather + adjacency filter. */
+  def oraclePhrase: String = {
+    val terms = Phrase
+    val picks = terms.map(t =>
+      s"any_value(CASE WHEN tok = '$t' THEN ps END) AS p_${t}")
+      .mkString(",\n       ")
+    val adj = terms.tail.zipWithIndex.map { case (t, i) =>
+      s"list_contains(p_$t, x + ${i + 1})" }.mkString(" AND ")
+    val notNull = terms.map(t => s"p_$t IS NOT NULL").mkString(" AND ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${textops.tokensSql("text")} AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w[i] AS tok, i AS p
+       |  FROM toks, unnest(generate_series(1, len(w))) AS t(i)),
+       |pl AS (
+       |  SELECT doc_id, tok, list_sort(list(p)) AS ps
+       |  FROM pos WHERE tok IN ${sqlList(terms)} GROUP BY 1, 2),
+       |byd AS (
+       |  SELECT doc_id,
+       |       $picks
+       |  FROM pl GROUP BY doc_id)
+       |SELECT doc_id,
+       |  len(list_filter(p_${terms.head}, x -> $adj))::BIGINT AS n_matches
+       |FROM byd
+       |WHERE $notNull
+       |  AND len(list_filter(p_${terms.head}, x -> $adj)) >= 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** t8c oracle: t8's result minus the pinned deleted set (smallest-
     * hash60 hit doc_ids — the same md5 twin the c20 forget set pins). */
   def oracleDeleted: String =

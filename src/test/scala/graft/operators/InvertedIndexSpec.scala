@@ -79,6 +79,26 @@ class InvertedIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe live
   }
 
+  test("phraseSearch: adjacency, not bag-of-words; occurrences counted; order matters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-ph-").toString
+    writeDocs(dir, Seq(
+      1L -> "a stream table hash here",            // 1 occurrence
+      2L -> "stream table hash stream table hash", // 2 occurrences
+      3L -> "table stream hash",                   // all terms, wrong order
+      4L -> "stream table of hash",                // gap breaks the phrase
+      5L -> "stream table hash",                   // exact doc
+      6L -> "stream table",                        // missing last term
+    ))
+    val idx = spark.read.parquet(InvertedIndex.ensurePosIndex(spark, dir))
+    val got = InvertedIndex.phraseSearch(idx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 2L, 5L -> 1L)
+    // the phrase scan stays bucket-pruned like t8 (planning-time
+    // PartitionFilters on the phrase tokens' buckets)
+    val plan = InvertedIndex.phraseSearch(idx).queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+  }
+
   test("needle buckets prune the index partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx-").toString
     writeDocs(dir, docs)
