@@ -157,6 +157,7 @@ object SparkEntry {
     "c13_projection_rewrite" -> (Rollup.c13Query _),
     "c14_dictget" -> (Dictionary.c14Query _),
     "m4_phash_neardup" -> (Multimodal.m4Query _),
+    "m5_audio_energy" -> (Multimodal.m5Query _),
     "t8_inverted_search" -> (InvertedIndex.t8Query _),
     "t8b_search_needle2" -> (InvertedIndex.t8bQuery _),
     "t8c_delete_search" -> (InvertedIndex.t8cQuery _),

@@ -255,6 +255,92 @@ object Multimodal {
   def m3Query(s: SparkSession, d: String): DataFrame =
     frameSample(Tables.documents(s, d))
 
+  // ---------------------------------------------------------------- m5
+
+  /** Audio framing constants — the standard speech-pipeline window:
+    * 25 ms frames, 10 ms hop at 16 kHz. */
+  val SampleRate = 16000
+  val FrameLen = 400
+  val Hop = 160
+
+  /** Typed metadata the audio "decoder" yields. */
+  case class AudioMeta(doc_id: Long, n_samples: Int, sample_rate: Int)
+
+  /** The audio decode seam — m1's [[ImageDecoder]] discipline for the
+    * third modality: the gate runs the deterministic stub (the corpus
+    * ships text payloads, not PCM); a real pipeline drops an FFmpeg/
+    * javasound implementation behind the same interface and the SAME
+    * partition-batched plumbing decodes real bytes. */
+  trait AudioDecoder extends Serializable {
+    def decode(docId: Long, payload: Array[Byte]): AudioMeta
+  }
+
+  /** STUB decode: deterministic fake duration from hash60(payload‖ns)
+    * — the same formula as [[audioFrames]]'s expression path, so the
+    * two paths agree bit for bit (spec-pinned). 0.25–2 s at 16 kHz. */
+  object StubAudioDecoder extends AudioDecoder {
+    def decode(docId: Long, payload: Array[Byte]): AudioMeta = {
+      val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      AudioMeta(docId,
+        n_samples = (4000 + hash60(text + "|ns") % 28000).toInt,
+        sample_rate = SampleRate)
+    }
+  }
+
+  /** Partition-batched audio decode — [[decodeImages]]' twin. */
+  def decodeAudio(payloads: Dataset[(Long, Array[Byte])],
+      decoder: AudioDecoder = StubAudioDecoder): Dataset[AudioMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) => decoder.decode(id, bytes) }
+    }
+  }
+
+  /** m5: audio feature extraction — framing + per-frame energy +
+    * per-doc fold. What is REAL and load-bearing at 100 TB: the
+    * librosa-standard frame count `(n_samples − FrameLen) div Hop + 1`,
+    * the generator explode that multiplies to per-frame rows WITHOUT
+    * materialising samples, the per-frame feature hook, and the
+    * partial-aggregable fold back to one row per doc (so the gate's
+    * output is corpus-bounded, not frame-bounded). The frame RMS
+    * itself is the stubbed step (hash-derived in [0,1) — no audio
+    * libs here); a real pipeline computes it from the decoded window
+    * behind the same seam. `n_hot` (frames above [[HotRms]]) is the
+    * voice-activity-detection shape of the fold. */
+  val HotRms = 0.8
+
+  def audioFrames(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        (lit(4000) +
+          textops.hash60(concat(col("text"), lit("|ns"))) % 28000)
+          .cast("int").as("n_samples"))
+      .withColumn("n_frames",
+        (expr(s"(n_samples - $FrameLen) div $Hop") + lit(1)).cast("int"))
+      .select(col("doc_id"), col("n_samples"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("f"))
+      // stub frame energy in EXACT integer 1e-4 units (rms = rms_1e4 /
+      // 1e4): per-frame values are grid multiples, so a float mean can
+      // land exactly on the round-4 tie boundary where engines split —
+      // the q40/q63 lesson says keep the fold integral and let the
+      // caller divide
+      .withColumn("rms_1e4",
+        textops.hash60(concat_ws("", col("doc_id").cast("string"),
+          lit("|f"), col("f").cast("string"))) % 10000)
+
+  def audioEnergy(docs: DataFrame): DataFrame =
+    audioFrames(docs)
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_samples")).as("n_samples"),
+        first(col("n_frames")).as("n_frames"),
+        sum(col("rms_1e4")).as("rms_sum_1e4"),
+        sum(when(col("rms_1e4") > lit((HotRms * 10000).toLong), 1L)
+          .otherwise(0L)).as("n_hot"))
+      .orderBy(col("doc_id"))
+
+  def m5Query(s: SparkSession, d: String): DataFrame =
+    audioEnergy(Tables.documents(s, d))
+
   // ---------------------------------------------------------------- m4
 
   /** Bucket-occupancy cap for pHash chunk buckets — same skew rationale
@@ -314,6 +400,30 @@ object Multimodal {
     phashPairs(Tables.documents(s, d))
 
   val oracles: Map[String, String] = Map(
+    // m5 replays the stub duration, the librosa frame-count formula,
+    // the per-frame hash RMS and the per-doc fold
+    "m5_audio_energy" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    (4000 + ${textops.hash60Sql("text || '|ns'")} % 28000)::INTEGER
+         |      AS n_samples
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, n_samples,
+         |    ((n_samples - $FrameLen) // $Hop + 1)::INTEGER AS n_frames
+         |  FROM base),
+         |r AS (
+         |  SELECT doc_id, n_samples, n_frames,
+         |    ${textops.hash60Sql(
+               "CAST(doc_id AS VARCHAR) || '|f' || CAST(f AS VARCHAR)")}
+         |      % 10000 AS rms_1e4
+         |  FROM fr, unnest(generate_series(0, n_frames - 1)) AS t(f))
+         |SELECT doc_id, any_value(n_samples) AS n_samples,
+         |  any_value(n_frames) AS n_frames,
+         |  CAST(sum(rms_1e4) AS BIGINT) AS rms_sum_1e4,
+         |  CAST(sum(CASE WHEN rms_1e4 > ${(HotRms * 10000).toLong}
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // m4 replays the byte-gram SimHash, chunk split, occupancy cap and
     // hamming verify (the d4 oracle pattern over payload 8-grams)
     "m4_phash_neardup" ->

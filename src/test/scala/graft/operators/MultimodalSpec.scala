@@ -61,6 +61,39 @@ class MultimodalSpec extends SparkSpec {
     decoded shouldBe viaExpr
   }
 
+  test("audio: decodeAudio (seam) == audioFrames (expression path); framing formula; fold") {
+    val payloads = docs.map { case (id, t) => (id, t.getBytes("UTF-8")) }.toDS()
+    val decoded = Multimodal.decodeAudio(payloads).collect()
+      .map(m => m.doc_id -> m.n_samples).toMap
+    val frames = Multimodal.audioFrames(docs.toDF("doc_id", "text"))
+    val viaExpr = frames.select("doc_id", "n_samples").distinct().collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    viaExpr shouldBe decoded
+    decoded.values.foreach { ns =>
+      ns should be >= 4000
+      ns should be < 32000
+    }
+    // frame count is the librosa formula; frame indices are dense 0..n-1
+    val byDoc = frames.collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rows) =>
+      val ns = decoded(id)
+      val expect = (ns - Multimodal.FrameLen) / Multimodal.Hop + 1
+      rows.length shouldBe expect
+      rows.map(_.getAs[Int]("f")).sorted shouldBe (0 until expect).toArray
+    }
+    // the fold: exact integer energy sum + hot count match a driver replay
+    val got = Multimodal.audioEnergy(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rms_sum_1e4"), r.getAs[Long]("n_hot"))).toMap
+    val want = frames.collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues { rows =>
+        val v = rows.map(_.getAs[Long]("rms_1e4"))
+        (v.sum, v.count(_ > (Multimodal.HotRms * 10000).toLong).toLong)
+      }.toMap
+    got shouldBe want
+  }
+
   test("phash is LOCAL: identical payloads hamming 0, small edits small hamming, unrelated payloads far") {
     val base = ("the quick brown fox jumps over the lazy dog, " * 8).trim
     val edited = base.replace("lazy dog", "lazy cat") // one small edit
