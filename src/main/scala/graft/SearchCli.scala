@@ -65,7 +65,8 @@ object SearchCli {
 
   final case class Args(command: String, text: Option[String] = None,
       imageVec: Option[Long] = None, image: Option[String] = None,
-      tokens: Option[String] = None, dir: String = "/root/testdata/sf0.001",
+      tokens: Option[String] = None, phrase: Option[String] = None,
+      dir: String = "/root/testdata/sf0.001",
       limit: Int = 10, filter: Option[String] = None,
       out: String = "results.html",
       nprobe: Option[Int] = None, probes: Option[Int] = None,
@@ -86,6 +87,7 @@ object SearchCli {
         case "--image-vec" => a = a.copy(imageVec = Some(argv(i + 1).toLong)); i += 2
         case "--image"     => a = a.copy(image = Some(argv(i + 1))); i += 2
         case "--tokens"    => a = a.copy(tokens = Some(argv(i + 1))); i += 2
+        case "--phrase"    => a = a.copy(phrase = Some(argv(i + 1))); i += 2
         case "--dir"       => a = a.copy(dir = argv(i + 1)); i += 2
         case "--limit"     => a = a.copy(limit = argv(i + 1).toInt); i += 2
         case "--filter"    => a = a.copy(filter = Some(argv(i + 1))); i += 2
@@ -112,6 +114,7 @@ object SearchCli {
       |  SearchCli search --image-vec 42 [...]
       |  SearchCli search --image /path/to/picture.png [...]
       |  SearchCli search --tokens "vector,stream,join" [...]
+      |  SearchCli search --phrase "stream table hash" [...]
       |  SearchCli search --text "a query" --nprobe 6   (ANN: int8 IVF index)
       |  SearchCli search --text "a query" --nprobe 6 --pq  (ANN: 8-byte IVF-PQ index)
       |  SearchCli search --text "a query" --probes 4   (ANN: LSH bucket index)
@@ -176,6 +179,7 @@ object SearchCli {
 
   def run(spark: SparkSession, a: Args): Unit = {
     if (a.command == "search" && a.tokens.isDefined) return tokenSearch(spark, a)
+    if (a.command == "search" && a.phrase.isDefined) return phraseSearchCli(spark, a)
     if (a.command == "search" &&
       (a.nprobe.isDefined || a.probes.isDefined || a.flips.isDefined))
       return annSearch(spark, a)
@@ -363,6 +367,45 @@ object SearchCli {
     openInBrowser(a, f)
     println(f"query_time=${qSec}%.3fs generation_time=${genSec}%.3fs " +
       s"read_rows=${stats.rowsRead} read_bytes=${stats.bytesRead}")
+  }
+
+  /** `--phrase "w1 w2 ..."`: the positions tier (t11) as a
+    * per-request surface — adjacency-exact phrase retrieval over the
+    * persisted positional index, ranked by occurrence count. Like
+    * --tokens, the needle is a true request parameter (bucket pruning
+    * re-derives per phrase); a phrase with any out-of-vocabulary term
+    * renders an empty result table, not an error. */
+  private def phraseSearchCli(spark: SparkSession, a: Args): Unit = {
+    import graft.operators.InvertedIndex
+    val terms = a.phrase.get.split("\\s+").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSeq
+    require(terms.size >= 2, s"--phrase needs at least two terms\n$usage")
+    val genT0 = System.nanoTime()
+    val idx = spark.read.parquet(InvertedIndex.ensurePosIndex(spark, a.dir))
+    val matches = InvertedIndex.phraseSearch(idx, terms)
+    val genSec = (System.nanoTime() - genT0) / 1e9 // index ensure
+    val docs = a.filter.fold(
+      spark.read.parquet(s"${a.dir}/documents.parquet"))(f =>
+      spark.read.parquet(s"${a.dir}/documents.parquet").filter(expr(f)))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val hits = docs
+      .join(org.apache.spark.sql.functions.broadcast(matches), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_matches"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(a.limit)
+    val qT0 = System.nanoTime()
+    val rows = hits.collect()
+    val qSec = (System.nanoTime() - qT0) / 1e9
+    val stats = QueryStats.of(hits, qSec)
+    val html = render(s"phrase: ${terms.mkString(" ")}", a,
+      rows.toSeq.map(r => Hit(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(4).toDouble)), genSec, stats)
+    val f = new java.io.File(a.out)
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.write(html) finally w.close()
+    println(s"file://${f.getAbsolutePath}")
+    openInBrowser(a, f)
   }
 
   final case class Hit(docId: Long, caption: String, lang: String,

@@ -101,6 +101,25 @@ class SearchCliSpec extends SparkSpec {
     html2 should include("tokens: zzqx, xxyzz")
   }
 
+  test("search --phrase serves adjacency-exact hits; an OOV phrase renders empty") {
+    // "stream table hash" exists at sf0.001 (df 3) — rows match t11's
+    // adjacency semantics, ranked by occurrence count
+    val (html, rows) = runTo(SearchCli.Args("search",
+      phrase = Some("stream table hash"), dir = SparkSpec.TinySf, limit = 10))
+    rows.size should be > 0
+    html should include("phrase: stream table hash")
+    val counts = rows.map(_.split("<td>")(5).takeWhile(_ != '<').toLong)
+    counts shouldBe counts.sorted.reverse
+    counts.foreach(_ should be >= 1L)
+    // any out-of-vocabulary term empties the phrase, not errors
+    val (_, rows2) = runTo(SearchCli.Args("search",
+      phrase = Some("stream zzqx"), dir = SparkSpec.TinySf, limit = 10))
+    rows2 shouldBe empty
+    // a one-term "phrase" is a misuse, refused loudly
+    an[IllegalArgumentException] should be thrownBy runTo(
+      SearchCli.Args("search", phrase = Some("stream"), dir = SparkSpec.TinySf))
+  }
+
   test("search --nprobe serves from the int8 IVF index; full probe == exact") {
     // full probe (every cell) must reproduce the exact L2 top-k the
     // knob-less brute-force path computes over the same image side
