@@ -504,7 +504,15 @@ object InvertedIndex {
     * pure array expression: an occurrence is a position p of the
     * first term with p+i in term i's array for every i. Per-doc cost
     * ∝ the doc's positions for the phrase terms; no joins, no window,
-    * nothing corpus-sized past the pruned read. */
+    * nothing corpus-sized past the pruned read.
+    *
+    * Contract note: (token, doc_id) rows are unique under the layout's
+    * new-doc_ids-only append contract; a CONTRACT-VIOLATING
+    * re-delivered append would produce duplicate map keys here and
+    * the serve FAILS LOUDLY (Spark's default
+    * `spark.sql.mapKeyDedupPolicy=EXCEPTION`) rather than silently
+    * double-counting — the fail-loud discipline t8 enforces up front
+    * with its re-delivery probe. */
   def phraseSearch(idx: DataFrame,
       phrase: Seq[String] = Phrase): DataFrame = {
     require(phrase.size >= 2, "phraseSearch: need at least two terms")

@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions.{broadcast, col}
   *
   * Overwrite semantics: the sidecar holds the CURRENT deleted set, so
   * re-deletes are idempotent.
+  *
+  * Lifecycle boundary: a full REBUILD from source (overwrite write)
+  * drops the sidecar with the old dir — correct, because the rebuild
+  * re-derives the layout from the source, and the durable compliance
+  * action is the c20 CORPUS mutation: once the source row is deleted,
+  * a rebuild never re-creates the derived rows. The sidecar covers the
+  * window between the delete request and the next source-consistent
+  * rebuild/compaction — ClickHouse's mutation queue plays the same
+  * role.
   */
 object Tombstones {
 
