@@ -287,6 +287,25 @@ object Multimodal {
     }
   }
 
+  /** REAL decode via `javax.sound.sampled` (in the JDK — no external
+    * libs): frame count and sample rate from the parsed container
+    * (WAV/AIFF/AU out of the box; an FFmpeg-backed implementation
+    * widens the format set behind the same interface). Fails loudly
+    * on undecodable bytes — the [[ImageIoDecoder]] discipline. */
+  object JavaSoundDecoder extends AudioDecoder {
+    def decode(docId: Long, payload: Array[Byte]): AudioMeta = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val n = in.getFrameLength
+        require(n >= 0 && n <= Int.MaxValue,
+          s"doc $docId: container reports no usable frame length ($n)")
+        AudioMeta(docId, n.toInt, fmt.getSampleRate.toInt)
+      } finally in.close()
+    }
+  }
+
   /** Partition-batched audio decode — [[decodeImages]]' twin. */
   def decodeAudio(payloads: Dataset[(Long, Array[Byte])],
       decoder: AudioDecoder = StubAudioDecoder): Dataset[AudioMeta] = {

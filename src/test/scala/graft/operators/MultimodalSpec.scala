@@ -94,6 +94,36 @@ class MultimodalSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("JavaSoundDecoder decodes REAL WAV bytes through the same seam; junk fails loudly") {
+    // synthesize a 16 kHz mono 16-bit WAV of exactly 1234 frames
+    val nFrames = 1234
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) { // a little sawtooth so bytes are non-trivial
+      val v = ((i % 200) * 163 - 16300).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val decoded = Multimodal.decodeAudio(
+      Seq((7L, wav)).toDS(), Multimodal.JavaSoundDecoder).collect()
+    decoded.length shouldBe 1
+    decoded.head shouldBe Multimodal.AudioMeta(7L, nFrames, 16000)
+
+    // junk bytes: the seam fails loudly, never fakes a duration
+    val junk = Seq((8L, "definitely not audio".getBytes("UTF-8"))).toDS()
+    an[Exception] should be thrownBy
+      Multimodal.decodeAudio(junk, Multimodal.JavaSoundDecoder).collect()
+  }
+
   test("phash is LOCAL: identical payloads hamming 0, small edits small hamming, unrelated payloads far") {
     val base = ("the quick brown fox jumps over the lazy dog, " * 8).trim
     val edited = base.replace("lazy dog", "lazy cat") // one small edit
