@@ -554,6 +554,19 @@ object Ann {
   def tombstoneVecs(s: SparkSession, d: String, vecIds: Seq[Long]): Unit =
     graft.sources.Tombstones.write(s, ensureIvfIndex(s, d), "vec_id", vecIds)
 
+  /** Register the deletion against EVERY serving copy of the corpus —
+    * float IVF, int8 and PQ: a compliance delete that reached only one
+    * tier would keep serving the vector from the others. Each copy
+    * gets its own sidecar (their dirs have independent lifecycles);
+    * the quantized live serves ([[quantizedIvfKnn]]/[[ivfPqKnn]] with
+    * `live = true`) honor it the same way [[indexedIvfKnnLive]]
+    * does. */
+  def tombstoneVecsAll(s: SparkSession, d: String, vecIds: Seq[Long]): Unit = {
+    graft.sources.Tombstones.write(s, ensureIvfIndex(s, d), "vec_id", vecIds)
+    graft.sources.Tombstones.write(s, ensureIvfIndexI8(s, d), "vec_id", vecIds)
+    graft.sources.Tombstones.write(s, ensureIvfPqIndex(s, d), "vec_id", vecIds)
+  }
+
   /** a3_indexed's serve with deletions honored: the partition-pruned
     * probe scan anti-joins the bounded tombstone set BEFORE the
     * two-phase rank, so deleted vectors can never occupy a top-k slot
@@ -605,7 +618,7 @@ object Ann {
         col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(DeleteN)
       .collect().map(_.getLong(0)).toSeq
-    tombstoneVecs(s, d, del)
+    tombstoneVecsAll(s, d, del) // every serving copy gets the delete
     indexedIvfKnnLive(s, d)
   }
 
@@ -672,12 +685,22 @@ object Ann {
   def quantizedIvfKnn(s: SparkSession, d: String, k: Int = K,
       nprobe: Int = NProbe,
       queryVecs: Seq[(Int, Seq[Double])] = querySet,
-      rerankDepth: Int = RerankDepth): DataFrame = {
+      rerankDepth: Int = RerankDepth,
+      live: Boolean = false): DataFrame = {
     import s.implicits._
     require(rerankDepth >= k, s"rerankDepth $rerankDepth < k $k")
     vectors.register(s)
     val cb = codebookFor(s, d)
-    val idx = s.read.parquet(ensureIvfIndexI8(s, d))
+    val i8Dir = ensureIvfIndexI8(s, d)
+    // live = honor registered deletes ([[tombstoneVecsAll]]): filter
+    // the rank-stage scan, so deleted vectors never reach a candidate
+    // slot and the refine (a point join against candidates) inherits
+    // the exclusion. The gate serves live = false — its contract is
+    // the plain index.
+    val idxRaw = s.read.parquet(i8Dir)
+    val idx = if (live)
+      graft.sources.Tombstones.filterLive(s, i8Dir, "vec_id")(idxRaw)
+    else idxRaw
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
     val probePairs: Seq[(Int, Long, Seq[Double])] =
@@ -905,13 +928,20 @@ object Ann {
   def ivfPqKnn(s: SparkSession, d: String, k: Int = K,
       nprobe: Int = NProbe,
       queryVecs: Seq[(Int, Seq[Double])] = querySet,
-      rerankDepth: Int = PqRerankDepth): DataFrame = {
+      rerankDepth: Int = PqRerankDepth,
+      live: Boolean = false): DataFrame = {
     import s.implicits._
     require(rerankDepth >= k, s"rerankDepth $rerankDepth < k $k")
     vectors.register(s)
     val cb = codebookFor(s, d)
     val sub = pqCodebookFor(s, d)
-    val idx = s.read.parquet(ensureIvfPqIndex(s, d))
+    val pqDir = ensureIvfPqIndex(s, d)
+    // live: the quantizedIvfKnn rule — deletes filtered at the rank
+    // scan, inherited by the candidate-bounded refine
+    val idxRaw = s.read.parquet(pqDir)
+    val idx = if (live)
+      graft.sources.Tombstones.filterLive(s, pqDir, "vec_id")(idxRaw)
+    else idxRaw
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
     val cmap = cb.toMap

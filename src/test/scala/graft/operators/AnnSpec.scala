@@ -369,4 +369,29 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))) shouldBe live
     Ann.ensureIvfIndex(spark, dir) shouldBe idxDir
   }
+
+  test("tombstoneVecsAll propagates the delete to EVERY serving copy (vq3/vq4 live)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-delall-").toString
+    corpus(400).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val baseI8 = Ann.quantizedIvfKnn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val basePq = Ann.ivfPqKnn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val del = baseI8.filter(_._1 == 0).take(2).map(_._2).toSeq
+    Ann.tombstoneVecsAll(spark, dir, del)
+    // both quantized LIVE serves hide the set and refill to k
+    Seq(
+      Ann.quantizedIvfKnn(spark, dir, live = true),
+      Ann.ivfPqKnn(spark, dir, live = true)
+    ).foreach { served =>
+      val rows = served.collect().map(r => (r.getInt(0), r.getLong(1)))
+      rows.map(_._2).toSet.intersect(del.toSet) shouldBe empty
+      rows.count(_._1 == 0) shouldBe Ann.K
+    }
+    // the plain (gate) serves are untouched by the sidecars
+    Ann.quantizedIvfKnn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))) shouldBe baseI8
+    Ann.ivfPqKnn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))) shouldBe basePq
+  }
 }
