@@ -612,12 +612,22 @@ object Ann {
     * delete-honoring probe. The oracle re-ranks the probed candidates
     * minus the same pinned set, so refilled ranks are checked too. */
   def a3DeleteQuery(s: SparkSession, d: String): DataFrame = {
-    val del = indexedIvfKnn(s, d)
-      .select(col("vec_id")).distinct()
-      .withColumn("h", graft.functions.textops.hash60(
-        col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(DeleteN)
-      .collect().map(_.getLong(0)).toSeq
+    // Derivation stability (the t8cQuery discipline): the sidecar is
+    // the durable pinned-set record, carried through compaction — a
+    // rerun reuses it, so the gate never pins the next-smallest ids
+    // after compactVecTombstones folded the first set and drifts from
+    // the oracle's source-replayed derivation.
+    val del = graft.sources.Tombstones
+      .read(s, ensureIvfIndex(s, d), "vec_id")
+      .map(_.collect().map(_.getLong(0)).toSeq.sorted)
+      .getOrElse {
+        indexedIvfKnn(s, d)
+          .select(col("vec_id")).distinct()
+          .withColumn("h", graft.functions.textops.hash60(
+            col("vec_id").cast("string")))
+          .orderBy(col("h"), col("vec_id")).limit(DeleteN)
+          .collect().map(_.getLong(0)).toSeq
+      }
     tombstoneVecsAll(s, d, del) // every serving copy gets the delete
     indexedIvfKnnLive(s, d)
   }

@@ -70,9 +70,20 @@ object Dsir {
       count(lit(1)).as("cr"),
       count(when(col("lang") === lit(targetLang), lit(1))).as("ct"))
       .localCheckpoint()
-    counts
+    // The smoothed multinomials are defined over ALL B buckets (that is
+    // what add-one smoothing means), so the model table spans the full
+    // constant-size bucket domain — buckets unseen at train time carry
+    // the smoothed unseen ratio log2(1/(tt+B)) − log2(1/(tr+B)) instead
+    // of being absent. [[scoreAgainst]]'s join is therefore TOTAL: a
+    // shard gram hashing to a train-unseen bucket (the s12 frozen-model
+    // ingest case) scores the smoothed probability rather than being
+    // silently dropped from n_grams and logw.
+    val spine = docs.sparkSession.range(NumBuckets).select(col("id").as("bkt"))
+    spine.join(counts, Seq("bkt"), "left")
+      .na.fill(0L, Seq("cr", "ct"))
       .crossJoin(broadcast(counts.agg(
-        sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))))
+        coalesce(sum(col("cr")), lit(0L)).as("tr"),
+        coalesce(sum(col("ct")), lit(0L)).as("tt"))))
       .select(col("bkt"),
         (log2((col("ct") + lit(1.0)) / (col("tt") + lit(NumBuckets))) -
           log2((col("cr") + lit(1.0)) / (col("tr") + lit(NumBuckets))))
@@ -82,7 +93,9 @@ object Dsir {
   /** Score any docs frame against a (bkt, r) model: the gram stream
     * joined to the BROADCAST model + one groupBy(doc_id) — per-doc
     * cost ∝ the doc's grams, independent of corpus and model history.
-    * This is the shape a shard pays at ingest (s12). */
+    * This is the shape a shard pays at ingest (s12). The join is total
+    * because [[ratioTable]] spans the full bucket domain — arbitrary
+    * arriving shards score every gram, including train-unseen ones. */
   def scoreAgainst(docs: DataFrame, model: DataFrame): DataFrame =
     gramBuckets(docs)
       .join(broadcast(model), Seq("bkt"))
@@ -111,8 +124,10 @@ object Dsir {
     * refit per shard). One B-bounded parquet file; staleness keyed on
     * the source fingerprint like every trained-state cache. */
   def ensureModel(s: SparkSession, d: String, targetLang: String = "en"): String = {
+    // v2: the model spans the full bucket domain (train-unseen buckets
+    // carry the smoothed ratio) — rebuild models persisted before that.
     val fp = graft.sources.LocalIndex.fingerprint(Seq(s"$d/documents.parquet")) +
-      s"_b$NumBuckets-$targetLang"
+      s"_b$NumBuckets-$targetLang-v2"
     graft.sources.LocalIndex.ensure("dsir-model", d, "", fp) { out =>
       ratioTable(Tables.documents(s, d), targetLang)
         .coalesce(1).write.mode("overwrite").parquet(out)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -330,13 +330,27 @@ object InvertedIndex {
   /** t8c gate: delete the pinned doc set (the [[DeleteN]] smallest-
     * hash60 doc_ids among t8's hits — k-bounded driver derivation, the
     * c20 forget-set discipline), then serve delete-honoring search.
-    * The oracle replays t8's result minus the same pinned set. */
+    * The oracle replays t8's result minus the same pinned set.
+    *
+    * Derivation stability: the oracle derives the set from the SOURCE
+    * corpus, so the gate's derivation must not drift when
+    * [[compactTombstones]] physically folds the rows (a post-compaction
+    * `searchIndexed` no longer returns the deleted hits and would pin
+    * the NEXT-smallest ids on a rerun — doubling the excluded set vs
+    * the oracle). The sidecar IS the durable pinned-set record — it is
+    * carried through compaction by contract — so a rerun reuses it and
+    * only a virgin index (no sidecar ⇒ no compaction ever ran) derives
+    * from the serve, where serve == source by definition. */
   def t8cQuery(s: SparkSession, d: String): DataFrame = {
     val dir = ensureIndex(s, d)
-    val del = searchIndexed(s, d)
-      .withColumn("h", textops.hash60(col("doc_id").cast("string")))
-      .orderBy(col("h"), col("doc_id")).limit(DeleteN)
-      .collect().map(_.getLong(0)).toSeq
+    val del = graft.sources.Tombstones.read(s, dir, "doc_id")
+      .map(_.collect().map(_.getLong(0)).toSeq.sorted)
+      .getOrElse {
+        searchIndexed(s, d)
+          .withColumn("h", textops.hash60(col("doc_id").cast("string")))
+          .orderBy(col("h"), col("doc_id")).limit(DeleteN)
+          .collect().map(_.getLong(0)).toSeq
+      }
     tombstoneDocs(s, dir, del)
     searchIndexedLive(s, d)
   }
@@ -519,17 +533,21 @@ object InvertedIndex {
     val pruned = idx
       .filter(col("tb").isin(needleBuckets(phrase).map(Int.box): _*) &&
         col("token").isin(phrase: _*))
-    val adjacency = phrase.tail.zipWithIndex.map { case (t, i) =>
-      s"array_contains(element_at(pm, '$t'), p + ${i + 1})"
-    }.mkString(" AND ")
+    // Adjacency as TYPED column functions, never interpolated SQL —
+    // phrase terms are user input via `search --phrase`, and a term
+    // carrying a quote must follow the documented OOV empty-result
+    // path, not break (or inject into) an expression parse.
+    def occurrences(pm: Column): Column =
+      filter(element_at(pm, lit(phrase.head)), p =>
+        phrase.tail.zipWithIndex.map { case (t, i) =>
+          array_contains(element_at(pm, lit(t)), p + lit(i + 1))
+        }.reduce(_ && _))
     pruned
       .groupBy(col("doc_id"))
       .agg(map_from_entries(
         collect_list(struct(col("token"), col("positions")))).as("pm"))
       .filter(size(col("pm")) === phrase.distinct.size)
-      .withColumn("n_matches", expr(
-        s"size(filter(element_at(pm, '${phrase.head}'), p -> $adjacency))")
-        .cast("long"))
+      .withColumn("n_matches", size(occurrences(col("pm"))).cast("long"))
       .filter(col("n_matches") >= 1)
       .select(col("doc_id"), col("n_matches"))
       .orderBy(col("doc_id"))

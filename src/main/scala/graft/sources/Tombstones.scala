@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions.{broadcast, col}
   *    as staleness and rebuilds the deleted rows back from the
   *    unchanged source.
   *
-  * Overwrite semantics: the sidecar holds the CURRENT deleted set, so
-  * re-deletes are idempotent.
+  * Accumulate semantics: [[write]] UNIONS the incoming ids with the
+  * set already in the sidecar before persisting (the overwrite is only
+  * the persistence mechanism), so independent delete registrations
+  * compose — a second request with different keys can never resurrect
+  * earlier, not-yet-compacted deletes — and re-deletes stay idempotent.
   *
   * Lifecycle boundary: a full REBUILD from source (overwrite write)
   * drops the sidecar with the old dir — correct, because the rebuild
@@ -41,11 +44,16 @@ object Tombstones {
 
   def path(layoutDir: String): String = layoutDir + "/_tombstones"
 
-  /** Register `ids` as the layout's deleted set (sidecar-only write). */
+  /** Register `ids` as deleted (sidecar-only write): the incoming set
+    * is UNIONED with any set already registered — the mutation contract
+    * keeps both bounded, so the merge is a driver-side set union — and
+    * the merged set is persisted atomically-enough via overwrite. */
   def write(s: SparkSession, layoutDir: String, keyCol: String,
       ids: Seq[Long]): Unit = {
     import s.implicits._
-    ids.toDF(keyCol).coalesce(1)
+    val prior = read(s, layoutDir, keyCol)
+      .map(_.collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
+    (prior ++ ids).distinct.sorted.toDF(keyCol).coalesce(1)
       .write.mode("overwrite").parquet(path(layoutDir))
   }
 

@@ -370,6 +370,26 @@ class AnnSpec extends SparkSpec {
     Ann.ensureIvfIndex(spark, dir) shouldBe idxDir
   }
 
+  test("a3DeleteQuery's pinned forget set is stable across compaction (no oracle drift)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-t8c-").toString
+    corpus(400).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val first = Ann.a3DeleteQuery(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val idxDir = Ann.ensureIvfIndex(spark, dir)
+    val pinned = graft.sources.Tombstones.read(spark, idxDir, "vec_id").get
+      .collect().map(_.getLong(0)).sorted
+    pinned.length shouldBe Ann.DeleteN
+    // fold the rows physically, rerun the gate: it must reuse the
+    // sidecar's pinned set, not derive DeleteN MORE keys from the
+    // compacted serve and drift from the oracle's source-replayed set
+    Ann.compactVecTombstones(spark, dir)
+    val second = Ann.a3DeleteQuery(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    second shouldBe first
+    graft.sources.Tombstones.read(spark, idxDir, "vec_id").get
+      .collect().map(_.getLong(0)).sorted shouldBe pinned
+  }
+
   test("tombstoneVecsAll propagates the delete to EVERY serving copy (vq3/vq4 live)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-delall-").toString
     corpus(400).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

@@ -62,6 +62,32 @@ class DsirSpec extends SparkSpec {
     minEn should be > maxOther
   }
 
+  test("scoring an arriving shard: train-unseen grams score the smoothed ratio, never drop") {
+    // train on a tiny corpus, then score a shard whose grams are
+    // (almost surely) all train-unseen — the s12 frozen-model ingest
+    // case. The smoothed multinomial defines p for every bucket, so
+    // the doc must emit a score row with FULL n_grams, logw = n_grams
+    // × the unseen-bucket ratio (within rounding).
+    val train = Seq(
+      (0L, "the cat sat", "en"),
+      (1L, "der hund lief", "de")).toDF("doc_id", "text", "lang")
+    val model = Dsir.ratioTable(train).localCheckpoint()
+    model.count() shouldBe Dsir.NumBuckets // total over the bucket domain
+    val shard = Seq((7L, "zzq9 xkcd7 vvbb3", "fr")).toDF("doc_id", "text", "lang")
+    val got = Dsir.scoreAgainst(shard, model).collect()
+    got.length shouldBe 1
+    got.head.getAs[Long]("n_grams") shouldBe 5L // 3 unigrams + 2 bigrams
+    // expected = the model's ratio at each gram's bucket (totality of
+    // the bucket domain means every lookup hits)
+    val B = Dsir.NumBuckets
+    val rMap = model.collect()
+      .map(r => r.getAs[Long]("bkt") -> r.getAs[Double]("r")).toMap
+    val grams = Seq("zzq9", "xkcd7", "vvbb3", "zzq9 xkcd7", "xkcd7 vvbb3")
+    val want = grams.map(g =>
+      rMap(graft.functions.textops.hash60Local(g) % B)).sum
+    got.head.getAs[Double]("logw") shouldBe want +- 1e-3
+  }
+
   test("selection on the corpus prefers the target distribution") {
     val docs = graft.Tables.documents(spark, SparkSpec.TinySf)
     val sel = Dsir.importanceSelect(docs)

@@ -58,7 +58,7 @@ class InvertedIndexSpec extends SparkSpec {
     live shouldBe Array((2L, 2L, 4L), (5L, 2L, 5L))
     // the plain t8 view is unaffected (tombstones are the live view's)
     InvertedIndex.searchIndexed(spark, dir).collect().length shouldBe 3
-    // re-delete is idempotent (overwrite semantics)
+    // re-delete is idempotent (union semantics: same keys, no change)
     InvertedIndex.tombstoneDocs(spark, idxDir, Seq(1L, 3L))
     InvertedIndex.searchIndexedLive(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe live
@@ -79,6 +79,44 @@ class InvertedIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe live
   }
 
+  test("tombstone registrations ACCUMULATE: a later delete never resurrects an earlier one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-acc-").toString
+    writeDocs(dir, docs)
+    val idxDir = InvertedIndex.ensureIndex(spark, dir)
+    InvertedIndex.tombstoneDocs(spark, idxDir, Seq(1L))
+    InvertedIndex.tombstoneDocs(spark, idxDir, Seq(2L)) // disjoint keys
+    val live = InvertedIndex.searchIndexedLive(spark, dir).collect()
+      .map(_.getLong(0))
+    // doc 1's delete survived doc 2's registration — the sidecar is a
+    // union of every registered set, not the last write
+    live shouldBe Array(5L)
+    graft.sources.Tombstones.read(spark, idxDir, "doc_id").get
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+  }
+
+  test("t8cQuery's pinned forget set is stable across compaction (no oracle drift)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-t8c-").toString
+    // more hits than DeleteN so the pinned set is a strict subset
+    writeDocs(dir, (1L to 9L).map(i => i -> s"table hash doc$i"))
+    val first = InvertedIndex.t8cQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    first.length shouldBe 9 - InvertedIndex.DeleteN
+    val idxDir = InvertedIndex.ensureIndex(spark, dir)
+    val pinned = graft.sources.Tombstones.read(spark, idxDir, "doc_id").get
+      .collect().map(_.getLong(0)).sorted
+    pinned.length shouldBe InvertedIndex.DeleteN
+    // physically fold the rows, then rerun the gate: it must reuse the
+    // sidecar's pinned set, not pin the next-smallest ids from the
+    // already-compacted serve (which would exclude 2×DeleteN docs
+    // while the oracle still excludes DeleteN)
+    InvertedIndex.compactTombstones(spark, idxDir)
+    val second = InvertedIndex.t8cQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    second shouldBe first
+    graft.sources.Tombstones.read(spark, idxDir, "doc_id").get
+      .collect().map(_.getLong(0)).sorted shouldBe pinned
+  }
+
   test("phraseSearch: adjacency, not bag-of-words; occurrences counted; order matters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx-ph-").toString
     writeDocs(dir, Seq(
@@ -97,6 +135,11 @@ class InvertedIndexSpec extends SparkSpec {
     // PartitionFilters on the phrase tokens' buckets)
     val plan = InvertedIndex.phraseSearch(idx).queryExecution.executedPlan.toString
     plan should include("PartitionFilters")
+    // a user term carrying a quote (SearchCli --phrase input) follows
+    // the documented OOV empty-result path — the adjacency predicate
+    // is typed columns, not interpolated SQL, so nothing parses it
+    InvertedIndex.phraseSearch(idx, Seq("don't", "stream"))
+      .collect() shouldBe empty
   }
 
   test("needle buckets prune the index partitions at planning time") {
