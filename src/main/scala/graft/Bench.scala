@@ -133,8 +133,21 @@ object Bench {
     // driver's tail-window capture truncated the r6 line from the FRONT
     // (only the trailing spread survived, parsed:null). The final line
     // is the short one, so whatever tail budget exists keeps a complete
-    // parseable {total, failed, queries} record.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"queries":$qs,"sf":"$sfDir"}""")
+    // parseable record. At 150+ gates even the spread-less full map
+    // (~3.4 KB at 2 dp) overflows the driver's 2,000-char tail window
+    // and the round artifact parsed to null (r18 verdict hygiene item)
+    // — so the final line is a bounded DIGEST that always fits:
+    // headline + errors + the top-20 slowest medians, with the omitted
+    // count explicit (no silent truncation) and a pointer to the
+    // committed full record.
+    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val slowest = stats.collect { case (k, Some((med, _, _, _)), _) => (k, med) }
+      .sortBy(-_._2).take(20)
+      .map { case (k, m) => "\"" + k + "\":" + fmt2(m) }
+      .mkString("{", ",", "}")
+    val omitted = math.max(0,
+      stats.count { case (_, m, _) => m.isDefined } - 20)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$slowest,"queries_omitted":$omitted,"full":"BENCH_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

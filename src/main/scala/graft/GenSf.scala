@@ -42,6 +42,11 @@ object GenSf {
           if !java.nio.file.Files.isDirectory(java.nio.file.Paths.get("clustered")) =>
         val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
         try clusteredEmbeddings(spark, out, nS.toLong) finally spark.stop()
+      // planted-near-dup mode: `runMain graft.GenSf neardup <outDir> <n>`
+      case Array("neardup", out, nS)
+          if !java.nio.file.Files.isDirectory(java.nio.file.Paths.get("neardup")) =>
+        val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+        try nearDupEmbeddings(spark, out, nS.toLong) finally spark.stop()
       case Array(src, out, copiesS) =>
         val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
         try generate(spark, src, out, copiesS.toInt) finally spark.stop()
@@ -82,9 +87,14 @@ object GenSf {
     * same live dir (a reader mid-scan would see files vanish): first
     * publisher wins, losers delete their scratch copy and serve the
     * winner's. Returns the cache dir. */
-  def ensureClusteredEmbeddings(spark: SparkSession, n: Long): String = {
+  def ensureClusteredEmbeddings(spark: SparkSession, n: Long): String =
+    ensurePublished(spark, s"graft-clustered-$n")(
+      scratch => clusteredEmbeddings(spark, scratch, n))
+
+  private def ensurePublished(spark: SparkSession, cacheName: String)(
+      gen: String => Unit): String = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft-clustered-$n")
+    val base = Paths.get(sys.props("java.io.tmpdir"), cacheName)
     def complete(p: Path): Boolean =
       Files.exists(p.resolve("embeddings.parquet").resolve("_SUCCESS"))
     def deleteTree(p: Path): Unit = if (Files.exists(p)) {
@@ -93,9 +103,9 @@ object GenSf {
     }
     if (!complete(base)) {
       val scratch = Paths.get(sys.props("java.io.tmpdir"),
-        s".graft-clustered-$n-build-${ProcessHandle.current.pid}-" +
+        s".$cacheName-build-${ProcessHandle.current.pid}-" +
           java.util.UUID.randomUUID)
-      clusteredEmbeddings(spark, scratch.toString, n)
+      gen(scratch.toString)
       // a stale INCOMPLETE cache (a crashed writer from the pre-rename
       // era) blocks the rename forever — clear it best-effort first
       if (Files.exists(base) && !complete(base))
@@ -107,7 +117,7 @@ object GenSf {
           // deletion) — serve the existing copy if complete, else fail
           deleteTree(scratch)
           require(complete(base),
-            s"ensureClusteredEmbeddings: publish race left $base incomplete")
+            s"ensurePublished: publish race left $base incomplete")
       }
     }
     base.toString
@@ -142,6 +152,48 @@ object GenSf {
       .repartition(4)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
   }
+
+  // ---------------------------------------------- near-dup embeddings
+
+  /** Write a QUASI-UNIFORM embedding corpus with planted near-dup
+    * pairs (testdata embeddings schema; dim matches the gate corpus).
+    * Rows id < n/2 are fresh id-seeded Gaussians; row id ≥ n/2 is a
+    * jittered copy of row (id − n/2) — exactly n/2 planted pairs, each
+    * base copied once. Deterministic per row (vec_id-seeded PRNGs), so
+    * any partitioning produces byte-identical vectors.
+    *
+    * This is the dedup-family STRESS corpus: uniform geometry spreads
+    * hyperplane/k-means buckets evenly (the clustered generator's
+    * tight blobs would concentrate whole blobs into single buckets —
+    * the regime ANN recall measures, not the one dedup capacity
+    * does), while the planted copies give the operators real pairs to
+    * find at any n. */
+  def nearDupEmbeddings(spark: SparkSession, outDir: String, n: Long,
+      dim: Int = 64, jitter: Double = 0.02): Unit = {
+    import spark.implicits._
+    val half = n / 2
+    spark.range(n).map { id =>
+      def vecOf(i: Long): Array[Double] = {
+        val r = new scala.util.Random(i * 6364136223846793005L + 1442695040888963407L)
+        Array.fill(dim)(r.nextGaussian())
+      }
+      val v =
+        if (id < half) vecOf(id)
+        else {
+          val r = new scala.util.Random(id * 2862933555777941757L + 3037000493L)
+          vecOf(id - half).map(x => x + jitter * r.nextGaussian())
+        }
+      (id, v.map(_.toFloat).toSeq, if (id < half) 0 else 1)
+    }.toDF("vec_id", "embedding", "label")
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** Race-safe shared cache of the near-dup stress corpus — the
+    * [[ensureClusteredEmbeddings]] publish contract verbatim. */
+  def ensureNearDupEmbeddings(spark: SparkSession, n: Long): String =
+    ensurePublished(spark, s"graft-neardup-$n")(
+      scratch => nearDupEmbeddings(spark, scratch, n))
 
   def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")

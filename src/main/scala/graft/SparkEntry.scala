@@ -142,6 +142,7 @@ object SparkEntry {
     "s10_stream_index" -> (EventStream.s10Query _),
     "s11_stream_delete" -> (EventStream.s11Query _),
     "s12_stream_score" -> (EventStream.s12Query _),
+    "s13_stream_pos_index" -> (EventStream.s13Query _),
     "c1_hash_split" -> (Curation.c1Query _),
     "c2_stratified_sample" -> (Curation.c2Query _),
     "c3_group_canonical" -> (Curation.c3Query _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "t8b_search_needle2" -> (InvertedIndex.t8bQuery _),
     "t8c_delete_search" -> (InvertedIndex.t8cQuery _),
     "a3_delete_ann" -> (Ann.a3DeleteQuery _),
+    "vq3_delete" -> (Ann.vq3DeleteQuery _),
     "t11_phrase_search" -> (InvertedIndex.t11Query _),
     "c16_bloom_lookup" -> (BloomLookup.c16Query _),
     "c17_pack_sequences" -> (Packing.c17Query _),

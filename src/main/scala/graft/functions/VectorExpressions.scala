@@ -692,3 +692,160 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
   override protected def withNewChildInternal(c: Expression) =
     copy(child = c)
 }
+
+/** Two-level (coarse→fine) cell id — the codegen'd assignment loop for
+  * [[graft.operators.SemCells.TwoLevel]]: argmin over the kc coarse
+  * centroids (dense ranks 0..kc−1, first-wins ties = min rank), then
+  * argmin over the winner region's fine-book slice (fid ties to the
+  * smaller fid), returning rank·stride + fid. A region with an EMPTY
+  * book (unseen at train time) yields fid 0 — the region's single
+  * implicit cell, never a dropped row.
+  *
+  * Books ride the expression as flat reference objects (the
+  * [[NearestCentroid]] discipline): constant-size generated code at
+  * any k, per-row cost (kc + kf_region)·dim fused multiply-adds. The
+  * interpreted alternative (per-row struct array + higher-order
+  * array_min lambda) measured ~10× slower at the 2.2M-vector stress
+  * point — HOF lambdas don't participate in whole-stage codegen.
+  *
+  * `fineOff`/`fineCnt` are per-rank offsets/counts into `fine`, in
+  * units of VECTORS (× dim for doubles). */
+case class TwoLevelCell(child: Expression, coarse: Array[Double],
+    fineOff: Array[Int], fineCnt: Array[Int], fine: Array[Double],
+    stride: Long) extends UnaryExpression {
+  private val kc = fineOff.length
+  require(kc > 0, "two_level_cell: empty coarse book")
+  require(fineCnt.length == kc, "two_level_cell: offsets/counts mismatch")
+  require(coarse.length % kc == 0,
+    s"two_level_cell: ${coarse.length} coarse doubles not divisible by kc=$kc")
+  private val dim = coarse.length / kc
+  require(fine.length % math.max(1, dim) == 0,
+    "two_level_cell: fine doubles not divisible by dim")
+
+  override def prettyName: String = "two_level_cell"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${other.catalogString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector has ${v.numElements()} components, books $dim")
+    val f = isFloat
+    def d2(cents: Array[Double], off: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) {
+        val x = (if (f) v.getFloat(i).toDouble else v.getDouble(i)) -
+          cents(off + i)
+        s += x * x; i += 1
+      }
+      s
+    }
+    var best = -1; var bestD = Double.NaN
+    var j = 0
+    while (j < kc) {
+      val s = d2(coarse, j * dim)
+      if (best == -1 || s < bestD ||
+          (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(s))) {
+        bestD = s; best = j
+      }
+      j += 1
+    }
+    var bf = 0; var bfD = Double.NaN; var found = false
+    var t = 0
+    while (t < fineCnt(best)) {
+      val s = d2(fine, (fineOff(best) + t) * dim)
+      if (!found || s < bfD ||
+          (java.lang.Double.isNaN(bfD) && !java.lang.Double.isNaN(s))) {
+        bfD = s; bf = t; found = true
+      }
+      t += 1
+    }
+    best.toLong * stride + bf
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val coarseRef = ctx.addReferenceObj("coarse", coarse, "double[]")
+      val fineRef = ctx.addReferenceObj("fine", fine, "double[]")
+      val offRef = ctx.addReferenceObj("fineOff", fineOff, "int[]")
+      val cntRef = ctx.addReferenceObj("fineCnt", fineCnt, "int[]")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val t = ctx.freshName("t"); val off = ctx.freshName("off")
+      val s = ctx.freshName("s"); val x = ctx.freshName("x")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val bf = ctx.freshName("bf"); val bfD = ctx.freshName("bfD")
+      val found = ctx.freshName("found")
+      val getV = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException("$prettyName: vector has "
+         |    + $v.numElements() + " components, books $dim");
+         |}
+         |int $best = -1;
+         |double $bestD = Double.NaN;
+         |for (int $j = 0; $j < $kc; $j++) {
+         |  double $s = 0.0;
+         |  int $off = $j * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $x = $getV - $coarseRef[$off + $i];
+         |    $s += $x * $x;
+         |  }
+         |  if ($best == -1 || $s < $bestD || (Double.isNaN($bestD) && !Double.isNaN($s))) {
+         |    $bestD = $s; $best = $j;
+         |  }
+         |}
+         |int $bf = 0;
+         |double $bfD = Double.NaN;
+         |boolean $found = false;
+         |for (int $t = 0; $t < $cntRef[$best]; $t++) {
+         |  double $s = 0.0;
+         |  int $off = ($offRef[$best] + $t) * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $x = $getV - $fineRef[$off + $i];
+         |    $s += $x * $x;
+         |  }
+         |  if (!$found || $s < $bfD || (Double.isNaN($bfD) && !Double.isNaN($s))) {
+         |    $bfD = $s; $bf = $t; $found = true;
+         |  }
+         |}
+         |${ev.value} = ((long) $best) * ${stride}L + $bf;
+       """.stripMargin
+    })
+
+  /* Content-based equality/hash over the array fields — the
+   * NearestCentroid rule (canonicalization, CSE, exchange reuse). */
+  override def equals(other: Any): Boolean = other match {
+    case tc: TwoLevelCell =>
+      tc.child == child && tc.stride == stride &&
+        java.util.Arrays.equals(tc.coarse, coarse) &&
+        java.util.Arrays.equals(tc.fineOff, fineOff) &&
+        java.util.Arrays.equals(tc.fineCnt, fineCnt) &&
+        java.util.Arrays.equals(tc.fine, fine)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, java.lang.Long.valueOf(stride),
+      Integer.valueOf(java.util.Arrays.hashCode(coarse)),
+      Integer.valueOf(java.util.Arrays.hashCode(fineOff)),
+      Integer.valueOf(java.util.Arrays.hashCode(fineCnt)),
+      Integer.valueOf(java.util.Arrays.hashCode(fine)))
+
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}

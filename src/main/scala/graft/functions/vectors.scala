@@ -38,6 +38,21 @@ object vectors {
         es(1).eval().asInstanceOf[ArrayData].toLongArray(),
         es(2).eval().asInstanceOf[ArrayData].toDoubleArray())
     },
+    "two_level_cell" -> { es =>
+      // books are CONSTANTS folded to reference-object arrays, the
+      // nearest_centroid discipline at both levels
+      require(es.length == 6,
+        "two_level_cell(vec, coarse, offs, cnts, fine, stride) takes 6 arguments")
+      require(es.drop(1).forall(_.foldable),
+        "two_level_cell: book/stride arguments must be constants")
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      TwoLevelCell(es(0),
+        es(1).eval().asInstanceOf[ArrayData].toDoubleArray(),
+        es(2).eval().asInstanceOf[ArrayData].toIntArray(),
+        es(3).eval().asInstanceOf[ArrayData].toIntArray(),
+        es(4).eval().asInstanceOf[ArrayData].toDoubleArray(),
+        es(5).eval().asInstanceOf[Long])
+    },
   )
 
   /** Idempotent; call before using the Column API in a session. */
@@ -62,4 +77,13 @@ object vectors {
     call_function("nearest_centroid", v,
       org.apache.spark.sql.functions.typedlit(cids.toArray),
       org.apache.spark.sql.functions.typedlit(cents.toArray))
+
+  def twoLevelCell(v: Column, coarse: Seq[Double], offs: Seq[Int],
+      cnts: Seq[Int], fine: Seq[Double], stride: Long): Column =
+    call_function("two_level_cell", v,
+      org.apache.spark.sql.functions.typedlit(coarse.toArray),
+      org.apache.spark.sql.functions.typedlit(offs.toArray),
+      org.apache.spark.sql.functions.typedlit(cnts.toArray),
+      org.apache.spark.sql.functions.typedlit(fine.toArray),
+      org.apache.spark.sql.functions.lit(stride))
 }

@@ -903,13 +903,60 @@ object Analytics {
       .orderBy(col("series"))
   }
 
-  /** q44: [[maxIntersections]] over per-user activity intervals
+  /** Sweep chunk span for the gated q44/q45 (7 days in ms): `series`
+    * is event_type — a HANDFUL of values at any corpus size — so the
+    * single-window sweep serializes a whole type's events through one
+    * task (measured sf0.1→sf1 slopes 4.2×/3.3×, the two steepest
+    * non-dedup rows in r18). The chunked forms below restore
+    * parallelism: per-(series, time-chunk) sorts + a boundary carry
+    * over the chunk-count-sized summary table — the
+    * [[AsofJoin.asofJoinChunked]] shape, identical results
+    * (property-pinned). */
+  val SweepChunkMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Chunked [[maxIntersections]]: the ±1 sweep events chunk by their
+    * own time (floor(t / chunkMs) — equal times land in one chunk, so
+    * the −1-before-+1 tie rule is untouched); pass 1 runs the running
+    * sum WITHIN each (series, chunk) in parallel, pass 2 computes each
+    * chunk's live-count offset (the running sum of per-chunk delta
+    * totals — a window over the series × chunk-count summary table,
+    * the only per-series serial work), and live = offset + local. The
+    * argmax is the same partial-aggregable struct max — exact integer
+    * identity with the single-window form. */
+  def maxIntersectionsChunked(intervals: DataFrame,
+      chunkMs: Long = SweepChunkMs): DataFrame = {
+    val ev = intervals
+      .select(col("series"), explode(array(
+        struct(col("start").as("t"), lit(1).as("delta")),
+        struct(col("end").as("t"), lit(-1).as("delta")))).as("ev"))
+      .select(col("series"), col("ev.t").as("t"), col("ev.delta").as("delta"))
+      .withColumn("chunk", floor(col("t") / chunkMs).cast("long"))
+    val wloc = Window.partitionBy(col("series"), col("chunk"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ev.withColumn("llive", sum(col("delta")).over(wloc))
+    val wc = Window.partitionBy(col("series")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy(col("series"), col("chunk"))
+      .agg(sum(col("delta")).as("csum"))
+      .withColumn("off", coalesce(sum(col("csum")).over(wc), lit(0L)))
+      .select(col("series"), col("chunk"), col("off"))
+    local.join(broadcast(offsets), Seq("series", "chunk"))
+      .withColumn("live", col("off") + col("llive"))
+      .groupBy(col("series"))
+      .agg(max(struct(col("live"), (-col("t")).as("negt"))).as("m"))
+      .select(col("series"), col("m.live").as("max_intersections"),
+        (-col("m.negt")).as("at_t"))
+      .orderBy(col("series"))
+  }
+
+  /** q44: [[maxIntersectionsChunked]] over per-user activity intervals
     * derived deterministically from events ([ts, ts + value minutes)),
     * per event_type: the peak number of simultaneously-active
     * intervals and when it first occurs. Times in epoch ms (the q39
     * convention). */
   def q44MaxIntersections(s: SparkSession, d: String): DataFrame =
-    maxIntersections(Tables.events(s, d)
+    maxIntersectionsChunked(Tables.events(s, d)
       .select(col("event_type").as("series"),
         unix_millis(col("ts")).as("start"),
         (unix_millis(col("ts")) +
@@ -931,8 +978,9 @@ object Analytics {
     * start-contiguous, so the island groupBy re-uses the existing
     * ordering). n² never happens. A series whose interval count
     * outgrows one task sorts per (series, time-chunk) with boundary
-    * carry — the [[AsofJoin.asofJoinChunked]] shape — at no change to
-    * the identity. */
+    * carry — [[intervalLengthSumChunked]], the gated form — at no
+    * change to the identity. This single-window form is kept as the
+    * property-test reference. */
   def intervalLengthSum(intervals: DataFrame): DataFrame = {
     val bySeries = Window.partitionBy(col("series"))
       .orderBy(col("start"), col("end"))
@@ -950,13 +998,60 @@ object Analytics {
       .orderBy(col("series"))
   }
 
-  /** q45: [[intervalLengthSum]] over the SAME per-user activity
+  /** Chunked [[intervalLengthSum]]: intervals chunk by START (equal
+    * starts share a chunk, so the (start, end) order is untouched).
+    * Pass 1 computes the within-chunk running max(end); pass 2 folds
+    * in each chunk's carry — the max end over all PRIOR chunks (their
+    * intervals all start earlier by construction) — via `greatest`
+    * (null = no prior interval, exactly the flat window's empty
+    * frame), flags new islands, and numbers them as chunk island
+    * offsets (running sum of per-chunk flag totals over the tiny
+    * summary table) + the within-chunk flag cumsum. Islands spanning
+    * chunk boundaries get one gid: their continuation rows carry
+    * nf = 0, so offset(next chunk) lands them on the island's own
+    * number. Exact integer identity with the single-window form
+    * (property-pinned). */
+  def intervalLengthSumChunked(intervals: DataFrame,
+      chunkMs: Long = SweepChunkMs): DataFrame = {
+    val iv = intervals
+      .withColumn("chunk", floor(col("start") / chunkMs).cast("long"))
+    val ord = Window.partitionBy(col("series"), col("chunk"))
+      .orderBy(col("start"), col("end"))
+    val beforeLoc = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upToLoc = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wc = Window.partitionBy(col("series")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = iv.groupBy(col("series"), col("chunk"))
+      .agg(max(col("end")).as("cmax"))
+      .withColumn("cpme", max(col("cmax")).over(wc))
+      .select(col("series"), col("chunk"), col("cpme"))
+    val flagged = iv
+      .withColumn("lpme", max(col("end")).over(beforeLoc))
+      .join(broadcast(carries), Seq("series", "chunk"))
+      .withColumn("pme", greatest(col("lpme"), col("cpme")))
+      .withColumn("nf",
+        when(col("pme").isNull || col("start") > col("pme"), 1L).otherwise(0L))
+      .withColumn("lgid", sum(col("nf")).over(upToLoc))
+    val gidOff = flagged.groupBy(col("series"), col("chunk"))
+      .agg(sum(col("nf")).as("nfsum"))
+      .withColumn("goff", coalesce(sum(col("nfsum")).over(wc), lit(0L)))
+      .select(col("series"), col("chunk"), col("goff"))
+    flagged.join(broadcast(gidOff), Seq("series", "chunk"))
+      .withColumn("gid", col("goff") + col("lgid"))
+      .groupBy(col("series"), col("gid"))
+      .agg((max(col("end")) - min(col("start"))).as("len"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("islands"), sum(col("len")).as("covered_ms"))
+      .orderBy(col("series"))
+  }
+
+  /** q45: [[intervalLengthSumChunked]] over the SAME per-user activity
     * intervals q44 sweeps ([ts, ts + value minutes), epoch ms), per
     * event_type: how much wall-clock each event type actually covers
     * once concurrent activity is merged — the ClickHouse
     * `intervalLengthSum` surface. */
   def q45IntervalLengthSum(s: SparkSession, d: String): DataFrame =
-    intervalLengthSum(Tables.events(s, d)
+    intervalLengthSumChunked(Tables.events(s, d)
       .select(col("event_type").as("series"),
         unix_millis(col("ts")).as("start"),
         (unix_millis(col("ts")) +

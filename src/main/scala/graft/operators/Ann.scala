@@ -611,13 +611,19 @@ object Ann {
     * driver derivation, the c20 forget-set discipline), then serve the
     * delete-honoring probe. The oracle re-ranks the probed candidates
     * minus the same pinned set, so refilled ranks are checked too. */
-  def a3DeleteQuery(s: SparkSession, d: String): DataFrame = {
-    // Derivation stability (the t8cQuery discipline): the sidecar is
-    // the durable pinned-set record, carried through compaction — a
-    // rerun reuses it, so the gate never pins the next-smallest ids
-    // after compactVecTombstones folded the first set and drifts from
-    // the oracle's source-replayed derivation.
-    val del = graft.sources.Tombstones
+  /** The delete gates' pinned forget set (the c20 forget-set
+    * discipline: the [[DeleteN]] smallest-hash60 vec_ids among
+    * a3_indexed's own hits — k-bounded driver derivation).
+    *
+    * Derivation stability (the t8cQuery discipline): the sidecar is
+    * the durable pinned-set record, carried through compaction — a
+    * rerun reuses it, so the gates never pin the next-smallest ids
+    * after compactVecTombstones folded the first set and drift from
+    * the oracle's source-replayed derivation. Shared by
+    * [[a3DeleteQuery]] and [[vq3DeleteQuery]] so both delete gates
+    * exclude the same keys. */
+  private def pinnedDeleteSet(s: SparkSession, d: String): Seq[Long] =
+    graft.sources.Tombstones
       .read(s, ensureIvfIndex(s, d), "vec_id")
       .map(_.collect().map(_.getLong(0)).toSeq.sorted)
       .getOrElse {
@@ -628,8 +634,24 @@ object Ann {
           .orderBy(col("h"), col("vec_id")).limit(DeleteN)
           .collect().map(_.getLong(0)).toSeq
       }
+
+  def a3DeleteQuery(s: SparkSession, d: String): DataFrame = {
+    val del = pinnedDeleteSet(s, d)
     tombstoneVecsAll(s, d, del) // every serving copy gets the delete
     indexedIvfKnnLive(s, d)
+  }
+
+  /** vq3_delete gate (r19): the SAME pinned set propagated by
+    * [[tombstoneVecsAll]], served from the QUANTIZED index with
+    * `live = true` — the r18 propagation-to-every-serving-copy claim
+    * under the cross-engine oracle, not only spec-pinned. The live
+    * filter runs BEFORE the int8 rank cut, so deleted vectors never
+    * hold a candidate slot and the float refine inherits the
+    * exclusion. */
+  def vq3DeleteQuery(s: SparkSession, d: String): DataFrame = {
+    val del = pinnedDeleteSet(s, d)
+    tombstoneVecsAll(s, d, del)
+    quantizedIvfKnn(s, d, live = true)
   }
 
   /** vq3's quantized twin of [[ensureIvfIndex]]: the same cell
@@ -1054,8 +1076,53 @@ object Ann {
     "a3_delete_ann" -> a3DeleteSql(d),
     "a3_ivf_ann" -> a3Sql(d),
     "vq3_ivf_i8" -> vq3Sql(d),
+    "vq3_delete" -> vq3DeleteSql(d),
     "vq4_ivfpq" -> vq4Sql(d),
   )
+
+  /** vq3_delete oracle: [[vq3Sql]]'s two-stage replay with the pinned
+    * forget set (a3DeleteSql's derivation — the FLOAT probe's
+    * smallest-hash60 hits) excluded BEFORE the int8 candidate cut,
+    * matching the live serve's filter-before-rank shape: ranks refill
+    * from live candidates at both stages. */
+  private def vq3DeleteSql(d: String): String =
+    s"""WITH ${centsSql(d)},
+         |sc AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+         |       FROM embeddings),
+         |qz AS (SELECT vec_id, v,
+         |         list_transform(v, x -> round(x / s) * s) AS dq FROM sc),
+         |assigned AS (
+         |  SELECT vec_id, v, dq, ccid AS cid FROM (
+         |    SELECT q.vec_id, q.v, q.dq, c.ccid,
+         |           list_distance(q.v, c.cv) AS cdist
+         |    FROM qz q CROSS JOIN cents c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, ccid) = 1),
+         |queries(query_id, qv) AS (VALUES $queriesValuesSql),
+         |qprobe AS (
+         |  SELECT query_id, qv, ccid AS cid FROM (
+         |    SELECT q.query_id, q.qv, c.ccid, list_distance(q.qv, c.cv) AS qdist
+         |    FROM queries q CROSS JOIN cents c)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdist, ccid) <= $NProbe),
+         |fres AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, list_distance(v, qv) AS fscore
+         |    FROM assigned JOIN qprobe USING (cid)
+         |    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY fscore, vec_id) <= $K)),
+         |del AS (
+         |  SELECT vec_id FROM (SELECT DISTINCT vec_id FROM fres)
+         |  ORDER BY ${graft.functions.textops.hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT $DeleteN),
+         |cand AS (
+         |  SELECT query_id, qv, vec_id, v
+         |  FROM assigned JOIN qprobe USING (cid)
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM del)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY list_distance(dq, qv), vec_id) <= $RerankDepth)
+         |SELECT query_id, vec_id, list_distance(v, qv) AS score
+         |FROM cand
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) <= $K
+         |ORDER BY query_id, score, vec_id""".stripMargin
 
   /** vq4's oracle: encode (per-subspace argmin over the trained PQ
     * books, embedded as literals), ADC (the SAME driver-computed LUT

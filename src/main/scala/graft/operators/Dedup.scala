@@ -344,16 +344,38 @@ object Dedup {
     * table); more tables = recovered recall. At a larger corpus, planes
     * grows like log₂(n / target-occupancy) — the plan shape is fixed. */
   val NearDupTables = 3
+  /** Plane-count FLOOR (the historical constant — every corpus at or
+    * under [[NearDupTargetOcc]]·2^8 vectors tables exactly as before
+    * r19, keeping the gate SFs byte-stable). */
   val NearDupPlanes = 8
   /** Bucket-occupancy cap, same skew rationale as [[MaxBandBucket]]:
     * within-bucket pairing is QUADRATIC in occupancy, so one hot bucket
     * (e.g. the all-zeros region) must not degenerate to all-pairs. */
   val MaxNearDupBucket = 500
+  /** Mean-occupancy design point for the plane count: planes grow as
+    * log₂(n / target) — the scaladoc's own rule, now applied rather
+    * than documented. 100 keeps every gate SF (n ≤ 25,600) at the
+    * historical 8 planes while corpora past the old 2^8·cap cliff
+    * re-table to smaller buckets automatically. */
+  val NearDupTargetOcc = 100
+  /** Plane ceiling: 24 planes = 2^24 buckets per table, moving the
+    * occupancy cliff to 2^24·cap ≈ 8.4e9 vectors — aligned with the
+    * sem family's two-level ceiling. */
+  val MaxNearDupPlanes = 24
+
+  /** Plane count for an n-vector corpus (deterministic, footer-cheap —
+    * the same n both engines derive, so the oracle tables identically). */
+  def nearDupPlanesFor(n: Long): Int = {
+    val needed = math.ceil(math.log(math.max(1.0,
+      n.toDouble / NearDupTargetOcc)) / math.log(2.0)).toInt
+    math.min(MaxNearDupPlanes, math.max(NearDupPlanes, needed))
+  }
 
   /** Deterministic hyperplanes for near-dup table t (shared with the
-    * DuckDB oracle; seeds disjoint from [[Ann.planes]]). */
-  def nearDupPlanes(t: Int): Seq[Seq[Double]] =
-    (0 until NearDupPlanes).map(p => VectorSearch.qvec(30 + t * NearDupPlanes + p))
+    * DuckDB oracle; seeds disjoint from [[Ann.planes]]; at the
+    * 8-plane floor the seed family is the historical one). */
+  def nearDupPlanes(t: Int, planes: Int = NearDupPlanes): Seq[Seq[Double]] =
+    (0 until planes).map(p => VectorSearch.qvec(30 + t * planes + p))
 
   /** d5: embedding-cosine near-dup pairs via multi-table random-
     * hyperplane LSH. Each vector gets one sign-bit bucket per table (a
@@ -363,31 +385,31 @@ object Dedup {
     * never corpus². Pairs found by several tables are deduplicated on
     * the id pair BEFORE re-joining embeddings for the exact cosine
     * verify, so only (vec_a, vec_b) id pairs cross the dedup shuffle. */
-  /** Single-level d5 capacity (the [[semOccupancyOk]] discipline):
-    * hyperplane buckets are GEOMETRIC — random vectors spread over the
-    * fixed 2^[[NearDupPlanes]] buckets — so mean occupancy n/2^planes
-    * grows with the corpus and past [[MaxNearDupBucket]] the occupancy
-    * guard would drop every bucket: a silently empty result, not a
-    * skew trade. False → fail loudly; the fix is more planes
-    * (planes ≈ log₂(n / target-occupancy), the scaladoc's own rule),
-    * which is a re-tabled index decision, not a runtime knob. */
+  /** d5 capacity with n-scaled planes (r19): mean occupancy
+    * n/2^planes(n) stays ≈ [[NearDupTargetOcc]] until the plane
+    * ceiling, so the cliff sits at 2^[[MaxNearDupPlanes]]·cap ≈ 8.4e9
+    * vectors per table — 65,536× the fixed-8-plane cliff. Past it:
+    * fail loudly; the fix there is raising the ceiling (a re-tabled
+    * index decision), never a silently-empty capped result. */
   def nearDupOccupancyOk(n: Long): Boolean =
-    n.toDouble / (1L << NearDupPlanes) <= MaxNearDupBucket
+    n.toDouble / (1L << nearDupPlanesFor(n)) <= MaxNearDupBucket
 
   def embeddingNearDup(embs: DataFrame, maxDistance: Double = 0.55,
                        knownN: Option[Long] = None): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"))
-    // the capacity-cliff guard needs only n; callers that know the
-    // corpus (d5Query) pass the parquet-footer count so the guard
+    // the plane count and capacity guard need only n; callers that
+    // know the corpus (d5Query) pass the parquet-footer count so this
     // costs no extra source scan — count() only for ad-hoc frames
     val n = knownN.getOrElse(e.count())
+    val planes = nearDupPlanesFor(n)
     require(nearDupOccupancyOk(n),
-      s"embeddingNearDup: $n vectors over 2^$NearDupPlanes buckets = mean " +
-        f"occupancy ${n.toDouble / (1L << NearDupPlanes)}%.0f > bucket cap " +
-        s"$MaxNearDupBucket — every bucket would be dropped by the occupancy " +
-        "guard. Raise NearDupPlanes (~log2(n/32)) for corpora this large.")
+      s"embeddingNearDup: $n vectors over 2^$planes buckets = mean " +
+        f"occupancy ${n.toDouble / (1L << planes)}%.0f > bucket cap " +
+        s"$MaxNearDupBucket even at the $MaxNearDupPlanes-plane ceiling — " +
+        "every bucket would be dropped by the occupancy guard. Raise " +
+        "MaxNearDupPlanes for corpora this large.")
     val tableBuckets = (0 until NearDupTables).map { t =>
-      val bkt = nearDupPlanes(t).zipWithIndex.map { case (pl, p) =>
+      val bkt = nearDupPlanes(t, planes).zipWithIndex.map { case (pl, p) =>
         when(vectors.dotProduct(col("embedding"), typedlit(pl)) >= 0,
           lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
@@ -883,13 +905,22 @@ object Dedup {
     math.min(SemMaxK, math.max(SemMinK,
       math.ceil(n.toDouble / SemTargetCell).toInt))
 
-  /** Single-level SemDeDup capacity: once k saturates at [[SemMaxK]],
-    * mean cell occupancy n/k grows with the corpus and eventually
-    * crosses the [[MaxNearDupBucket]] occupancy cap — beyond which the
+  /** Total cell target with the two-level ceiling (r19): k grows as
+    * n/target until [[SemMaxK]]² — coarse × fine, [[SemCells]] — so
+    * occupancy holds the design point to ~8.4e9 vectors (4096× the
+    * single-level cliff). */
+  def semKTotal(n: Long): Long =
+    math.min(SemMaxK.toLong * SemMaxK, math.max(SemMinK.toLong,
+      math.ceil(n.toDouble / SemTargetCell).toLong))
+
+  /** SemDeDup capacity at the TWO-LEVEL ceiling: once k_total saturates
+    * at [[SemMaxK]]², mean cell occupancy n/k grows again and
+    * eventually crosses the [[MaxNearDupBucket]] cap — beyond which the
     * guard would drop every cell. False → the caller must fail loudly
-    * (two-level assignment territory), never return silently-empty. */
+    * (three-level territory — the same [[SemCells]] recursion, nested),
+    * never return silently-empty. */
   def semOccupancyOk(n: Long): Boolean =
-    n.toDouble / semK(n) <= MaxNearDupBucket
+    n.toDouble / semKTotal(n) <= MaxNearDupBucket
 
   /** The d10 INDEX's cell-size target. Deliberately larger than the
     * batch operator's [[SemTargetCell]]: d9's 32 minimizes in-cell
@@ -905,8 +936,12 @@ object Dedup {
     math.min(SemMaxK, math.max(SemMinK,
       math.ceil(n.toDouble / SemIndexTargetCell).toInt))
 
+  def semIndexKTotal(n: Long): Long =
+    math.min(SemMaxK.toLong * SemMaxK, math.max(SemMinK.toLong,
+      math.ceil(n.toDouble / SemIndexTargetCell).toLong))
+
   def semIndexOccupancyOk(n: Long): Boolean =
-    n.toDouble / semIndexK(n) <= MaxNearDupBucket
+    n.toDouble / semIndexKTotal(n) <= MaxNearDupBucket
 
   /** Deterministic seed for the d9 codebook: ~k corpus vectors at a
     * fixed id stride (the [[Ann.seedCodebook]] discipline, with the
@@ -920,16 +955,18 @@ object Dedup {
       .sortBy(_._1).toSeq
   }
 
-  /** Trained d9 codebook per corpus dir. Same literal-embedding oracle
-    * contract as a3's codebook ([[Ann.codebookFor]]); lifecycle is
+  /** Trained d9 assigner per corpus dir — flat codebook below
+    * [[SemMaxK]] cells (the historical path, same literal-embedding
+    * oracle contract as a3's codebook, [[Ann.codebookFor]]), TWO-LEVEL
+    * coarse→fine past it ([[SemCells]]). Lifecycle is
     * rebuild-on-any-change ([[Ann.trainedKey]]) because d9 is a batch
     * operator with no persisted-index append contract. get/recompute/
     * put OUTSIDE the map lock — Lloyd training is a multi-job Spark
     * workload (the Dpp.peakThreshold shape). */
   private val semCodebooks = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Seq[(Long, Seq[Double])])]()
+    String, (String, SemCells.Assigner)]()
 
-  def semCodebookFor(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+  def semAssignerFor(s: SparkSession, d: String): SemCells.Assigner = {
     val key = Ann.trainedKey(d, "embeddings")
     val cached = semCodebooks.get(d)
     if (cached != null && cached._1 == key) cached._2
@@ -941,18 +978,25 @@ object Dedup {
       val n = graft.sources.LocalIndex.parquetRowCount(
         s"$d/embeddings.parquet")
       // No silent caps ([[semOccupancyOk]]): fail loudly at the
-      // capacity cliff; the fix at that scale is the documented
-      // two-level assignment (raise the effective k), not a looser cap.
+      // two-level capacity cliff; the fix at THAT scale is a third
+      // assignment level, not a looser cap.
       require(semOccupancyOk(n),
-        s"semDedup: $n vectors / k=${semK(n)} clusters = mean occupancy " +
-          f"${n.toDouble / semK(n)}%.0f > bucket cap $MaxNearDupBucket — " +
-          "every cell would be dropped by the occupancy guard. Scale k " +
-          "past SemMaxK (two-level assignment) for corpora this large.")
-      val cents = Ann.trainCodebook(e, semSeed(e, n, semK(n)))
-      semCodebooks.put(d, (key, cents))
-      cents
+        s"semDedup: $n vectors / k=${semKTotal(n)} cells = mean occupancy " +
+          f"${n.toDouble / semKTotal(n)}%.0f > bucket cap $MaxNearDupBucket " +
+          "even at the two-level SemMaxK² ceiling — every cell would be " +
+          "dropped by the occupancy guard. Three-level territory.")
+      val asg = SemCells.train(e, n, semKTotal(n).toInt, SemMaxK, semSeed)
+      semCodebooks.put(d, (key, asg))
+      asg
     }
   }
+
+  /** Flat-codebook view of the d9 cache for the oracle (gate corpora
+    * are single-level; a two-level assigner cannot be replayed as SQL
+    * literals and surfaces the loud sentinel instead). */
+  private def semFlatCents(d: String): Seq[(Long, Seq[Double])] =
+    Option(semCodebooks.get(d)).map(_._2).collect {
+      case SemCells.Flat(c) => c }.getOrElse(Nil)
 
   /** d9: SemDeDup — semantic dedup scoped to trained k-means clusters,
     * the published recipe for embedding-space dedup at corpus scale
@@ -969,17 +1013,26 @@ object Dedup {
     * occupancy-capped [[bucketedPairs]] on the cell key, exact cosine
     * verify on the surviving id pairs, and a partial-aggregable
     * groupBy for the min keeper. k scales as n/[[SemTargetCell]] so
-    * cells stay ~constant; past [[SemMaxK]] the assignment becomes
-    * two-level (coarse literal fold routes to a region, per-region
-    * sub-codebooks broadcast) — the plan shape is unchanged. Unlike
+    * cells stay ~constant; past [[SemMaxK]] the assignment IS
+    * two-level ([[SemCells.TwoLevel]], r19: coarse literal fold routes
+    * to a region, per-region sub-books ride one broadcast) — the
+    * downstream plan shape is unchanged. Unlike
     * d5's multi-table LSH (recall from OR-ed tables, radius-bounded),
     * d9's scope is the cluster: pairs straddling a cell boundary are
     * invisible by design — the documented SemDeDup trade. */
   def semDedup(embs: DataFrame, cents: Seq[(Long, Seq[Double])],
+               maxDistance: Double): DataFrame =
+    semDedup(embs, SemCells.Flat(cents): SemCells.Assigner, maxDistance)
+
+  def semDedup(embs: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    semDedup(embs, cents, SemMaxDistance)
+
+  def semDedup(embs: DataFrame, assigner: SemCells.Assigner,
                maxDistance: Double = SemMaxDistance): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"))
-    val assigned = e.select(col("vec_id").as("doc_id"),
-      Ann.nearestCentroid(cents, col("embedding")).as("cell"))
+    val assigned = assigner.withCell(
+        e.select(col("vec_id").as("doc_id"), col("embedding")), "cell")
+      .select(col("doc_id"), col("cell"))
     val cand = bucketedPairs(assigned, Seq("cell"), MaxNearDupBucket)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     cand
@@ -996,7 +1049,7 @@ object Dedup {
 
   def d9Query(s: SparkSession, d: String): DataFrame = {
     vectors.register(s)
-    semDedup(Tables.embeddings(s, d), semCodebookFor(s, d))
+    semDedup(Tables.embeddings(s, d), semAssignerFor(s, d))
   }
 
   // --------------------------------------------------------------- d10
@@ -1020,9 +1073,9 @@ object Dedup {
     * purpose: the batch operator retrains per corpus state (fresh
     * k ∝ n is the right batch behavior), the index must not. */
   private val semIndexCodebooks = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[String], Seq[(Long, Seq[Double])])]()
+    String, (Seq[String], SemCells.Assigner)]()
 
-  def semIndexCodebookFor(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+  def semIndexAssignerFor(s: SparkSession, d: String): SemCells.Assigner = {
     val now = graft.sources.LocalIndex.dataManifest(Seq(s"$d/embeddings.parquet"))
     val cur = semIndexCodebooks.get(d)
     if (cur != null && cur._1.nonEmpty && cur._1.forall(now.contains)) {
@@ -1038,14 +1091,19 @@ object Dedup {
       val n = graft.sources.LocalIndex.parquetRowCount(
         s"$d/embeddings.parquet")
       require(semIndexOccupancyOk(n),
-        s"incrementalSemDedup: $n vectors / k=${semIndexK(n)} clusters exceeds " +
-          s"the $MaxNearDupBucket-occupancy design point at build time — " +
-          "scale k past SemMaxK (two-level assignment) for corpora this large.")
-      val trained = Ann.trainCodebook(e, semSeed(e, n, semIndexK(n)))
+        s"incrementalSemDedup: $n vectors / k=${semIndexKTotal(n)} cells " +
+          s"exceeds the $MaxNearDupBucket-occupancy design point at build " +
+          "time even at the two-level SemMaxK² ceiling — three-level " +
+          "territory.")
+      val trained = SemCells.train(e, n, semIndexKTotal(n).toInt, SemMaxK, semSeed)
       semIndexCodebooks.put(d, (now, trained))
       trained
     }
   }
+
+  private def semIndexFlatCents(d: String): Seq[(Long, Seq[Double])] =
+    Option(semIndexCodebooks.get(d)).map(_._2).collect {
+      case SemCells.Flat(c) => c }.getOrElse(Nil)
 
   /** The persisted kept-vector index of a corpus dir: embeddings
     * written `partitionBy(cell)` under the d10 codebook — the
@@ -1057,23 +1115,21 @@ object Dedup {
     * dirs; any codebook change falls back to the full rebuild. */
   def ensureSemIndex(s: SparkSession, d: String): String = {
     vectors.register(s)
-    val cb = semIndexCodebookFor(s, d)
+    val asg = semIndexAssignerFor(s, d)
     // repartition on the cell key before the partitioned write (the
     // ensurePostingIndex aligned-append discipline): partitionBy from
     // an unaligned layout emits one file per (task × cell) — measured
     // 3,737 files over 625 cells at sf1, and the serve wall was
     // file-open-dominated. Aligned, each cell's delta is ONE file.
     graft.sources.LocalIndex.ensureIncremental("sem-index", d,
-      "_k" + cb.size, Seq(s"$d/embeddings.parquet"),
-      extra = "cb:" + cb.hashCode) { path =>
-      Tables.embeddings(s, d)
-        .withColumn("cell", Ann.nearestCentroid(cb, col("embedding")))
+      "_k" + asg.k, Seq(s"$d/embeddings.parquet"),
+      extra = "cb:" + asg.hashCode) { path =>
+      asg.withCell(Tables.embeddings(s, d), "cell")
         .repartition(col("cell"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("cell").parquet(path)
     } { (newFiles, path) =>
-      s.read.parquet(newFiles: _*)
-        .withColumn("cell", Ann.nearestCentroid(cb, col("embedding")))
+      asg.withCell(s.read.parquet(newFiles: _*), "cell")
         .repartition(col("cell"))
         .write.mode("append").option("compression", "zstd")
         .partitionBy("cell").parquet(path)
@@ -1095,10 +1151,10 @@ object Dedup {
       maxDistance: Double = SemMaxDistance): DataFrame = {
     vectors.register(s)
     val path = ensureSemIndex(s, d)
-    val cb = semIndexCodebookFor(s, d)
-    val assigned = shard.select(col("vec_id").as("shard_vec"),
-      col("embedding").as("semb"),
-      Ann.nearestCentroid(cb, col("embedding")).as("cell"))
+    val asg = semIndexAssignerFor(s, d)
+    val assigned = asg.withCell(
+        shard.select(col("vec_id").as("shard_vec"), col("embedding")), "cell")
+      .select(col("shard_vec"), col("embedding").as("semb"), col("cell"))
     val cells = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val corpus = s.read.parquet(path).filter(col("cell").isin(cells: _*))
@@ -1126,8 +1182,8 @@ object Dedup {
   private val shSql = textops.shinglesSql("t")
 
   /** DuckDB twin of the table-t sign-bit bucket (over a column `emb`). */
-  private def nearDupBucketSql(t: Int): String =
-    nearDupPlanes(t).zipWithIndex.map { case (pl, p) =>
+  private def nearDupBucketSql(t: Int, planes: Int): String =
+    nearDupPlanes(t, planes).zipWithIndex.map { case (pl, p) =>
       s"(CASE WHEN list_inner_product(emb, ${VectorSearch.sqlArray(pl)}::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -1283,27 +1339,35 @@ object Dedup {
          |FROM pairs
          |WHERE common * 1.0 / (sn + cn - common) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
-    "d5_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |tb AS (${(0 until NearDupTables).map(t =>
-             s"SELECT vec_id, $t AS t, ${nearDupBucketSql(t)} AS bkt FROM e")
-             .mkString("\n  UNION ALL ")}),
-         |capped AS (
-         |  SELECT vec_id, t, bkt FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY t, bkt) AS bn FROM tb)
-         |  WHERE bn <= $MaxNearDupBucket),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM capped a JOIN capped b
-         |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b,
-         |       1.0 - list_cosine_similarity(ea.emb, eb.emb) AS score
-         |FROM cand
-         |JOIN e ea ON vec_a = ea.vec_id
-         |JOIN e eb ON vec_b = eb.vec_id
-         |WHERE 1.0 - list_cosine_similarity(ea.emb, eb.emb) <= 0.55
-         |ORDER BY 1, 2""".stripMargin,
   )
+
+  /** d5 oracle: per-dir because the PLANE COUNT derives from the
+    * corpus size ([[nearDupPlanesFor]] — both engines table with the
+    * same n, read from parquet footers on the Spark side and implied
+    * by the literal plane set here). */
+  private def d5OracleSql(d: String): String = {
+    val planes = nearDupPlanesFor(
+      graft.sources.LocalIndex.parquetRowCount(s"$d/embeddings.parquet"))
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |tb AS (${(0 until NearDupTables).map(t =>
+           s"SELECT vec_id, $t AS t, ${nearDupBucketSql(t, planes)} AS bkt FROM e")
+           .mkString("\n  UNION ALL ")}),
+       |capped AS (
+       |  SELECT vec_id, t, bkt FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY t, bkt) AS bn FROM tb)
+       |  WHERE bn <= $MaxNearDupBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM capped a JOIN capped b
+       |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
+       |       1.0 - list_cosine_similarity(ea.emb, eb.emb) AS score
+       |FROM cand
+       |JOIN e ea ON vec_a = ea.vec_id
+       |JOIN e eb ON vec_b = eb.vec_id
+       |WHERE 1.0 - list_cosine_similarity(ea.emb, eb.emb) <= 0.55
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** d9's centroid CTE: the trained centroids as double literals when
     * this JVM has trained on `d` (Verify runs queries before dumping
@@ -1326,14 +1390,14 @@ object Dedup {
         |    AS BIGINT) AS ccid, NULL::DOUBLE[] AS cv)""".stripMargin
 
   private def semCentsSql(d: String): String =
-    semCentsSqlFrom(Option(semCodebooks.get(d)).map(_._2).getOrElse(Nil))
+    semCentsSqlFrom(semFlatCents(d))
 
   /** d10's centroid CTE — the INDEX cache's codebook (trained under
     * the grow-only lifecycle), not d9's batch cache: the two train
     * separately (different k targets) and float-avg values need not
     * match bit-wise. */
   private def semIndexCentsSql(d: String): String =
-    semCentsSqlFrom(Option(semIndexCodebooks.get(d)).map(_._2).getOrElse(Nil))
+    semCentsSqlFrom(semIndexFlatCents(d))
 
   /** Data-dependent oracles (trained-state literals — the
     * [[Ann.oracles]] pattern; `def`, per-dir on purpose). The
@@ -1341,6 +1405,7 @@ object Dedup {
     * [[Ann.nearestCentroid]]'s struct ordering; sqrt'd list_distance
     * orders identically to the Spark side's dist². */
   def dynOracles(d: String): Map[String, String] = Map(
+    "d5_embedding_neardup" -> d5OracleSql(d),
     "d9_semdedup" ->
       s"""WITH ${semCentsSql(d)},
          |asg AS (

@@ -236,6 +236,18 @@ object InvertedIndex {
     }
   }
 
+  /** [[compactIndex]] for the POSITIONAL layout (t11 schema) — the
+    * same one-file-per-bucket fold, positions rows untouched. */
+  def compactPosIndex(s: SparkSession, dir: String): Unit = {
+    val rows = s.read.parquet(dir)
+      .select(col("token"), col("doc_id"), col("positions"), col("tb"))
+    graft.streaming.Compaction.rewrite(dir) { tmp =>
+      rows.repartition(col("tb"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("tb").parquet(tmp)
+    }
+  }
+
   /** Driver-side bucket set of a needle — the partition-prune key. */
   def needleBuckets(needle: Seq[String]): Seq[Int] =
     needle.map(w => (textops.hash60Local(w) % Buckets).toInt).distinct.sorted

@@ -327,26 +327,39 @@ object TextAnalysis {
 
   // --------------------------------------------------------------- t10
 
+  /** t10 model size: bigrams and prefixes hash into this many fixed
+    * buckets ([[graft.operators.Dsir.NumBuckets]]'s discipline), so
+    * BOTH model tables are B-bounded at any corpus size. */
+  val LmBuckets = 1024
+
   /** t10: bigram language-model quality scoring — the CCNet
     * perplexity-filter shape (Wenzek et al. 2020, public method:
     * score each document under a smoothed n-gram LM, drop the tail).
-    * The LM is an add-one-smoothed bigram model trained on the corpus
-    * itself; each doc's score is its mean bigram log2-likelihood
-    * (higher = more language-like; gibberish and boilerplate land in
-    * the tails — the filter signal).
+    * The LM is an add-one-smoothed HASHED bigram model trained on the
+    * corpus itself (feature hashing — the DSIR/c22 discipline: grams
+    * land in [[LmBuckets]] fixed buckets, so the model is B-bounded
+    * by construction); each doc's score is its mean bigram
+    * log2-likelihood (higher = more language-like; gibberish and
+    * boilerplate land in the tails — the filter signal).
     *
-    * Scale shape: tokenize+explode is one corpus map (t8's posting
-    * volume); bigram counts are ONE partial-aggregable groupBy;
-    * prefix counts DERIVE from the bigram table (sum of cb per w1 —
-    * aggregates the already-shrunk model, never the corpus again);
-    * the vocabulary size rides the plan as a 1-row broadcast (q40's
-    * bounds pattern). Scoring joins the exploded bigrams back to the
-    * model on (w1, w2) then w1 — shuffle joins on model keys, both
-    * sides co-partitioned, nothing corpus-growing broadcast — then
-    * folds per doc. The per-doc mean of a double sum is
-    * order-dependent → round(4) on both engines (the contract's
-    * discipline). Docs with < 2 tokens have no bigrams and no score
-    * row (pinned on both engines). */
+    * Scale shape (r19 — replaces the raw-vocabulary model): the
+    * pre-r19 model grew with the vocabulary (not broadcastable at
+    * scale) and its score join shuffled the full corpus bigram stream
+    * on NATURAL-LANGUAGE keys — the hottest bigram is a constant
+    * fraction of any corpus (Zipf), so one task owned ~1 % of the
+    * stream. Hashing removes both failure modes: tokenize+explode is
+    * one corpus map; the JOINT (bigram-bucket, prefix-bucket) counts
+    * are ONE partial-aggregable corpus aggregate, checkpoint-
+    * materialized at ≤ B² rows; bigram-bucket and prefix-bucket
+    * totals FOLD from the joint table (never a second corpus pass);
+    * scoring is two ≤ B-row BROADCAST joins onto the bigram stream —
+    * no shuffle keyed on grams exists anywhere, so Zipf skew lands
+    * harmlessly inside map-side partials. Smoothing denominator is
+    * the fixed bucket count (add-one over B possible continuations —
+    * the hashed model's event space). The per-doc mean of a double
+    * sum is order-dependent → round(4) on both engines (the
+    * contract's discipline). Docs with < 2 tokens have no bigrams and
+    * no score row (pinned on both engines). */
   def lmScore(docs: DataFrame): DataFrame = {
     val toks = spread(docs)
       .select(col("doc_id"), textops.tokens(col("text")).as("w"))
@@ -356,22 +369,23 @@ object TextAnalysis {
         "explode(transform(sequence(1, size(w) - 1), i -> " +
           "named_struct('w1', element_at(w, i), " +
           "'w2', element_at(w, i + 1))))").as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // localCheckpoint: the trained LM feeds three consumers (the join,
-    // the prefix fold, the vocab fold) — materialize the model ONCE
-    // instead of re-running the corpus aggregate per reference (the
-    // r14 double-broadcast lesson); prefix counts and vocabulary then
-    // derive from the already-shrunk table, never a second corpus pass
-    val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .select(col("doc_id"),
+        pmod(textops.hash60(concat_ws(" ", col("b.w1"), col("b.w2"))),
+          lit(LmBuckets.toLong)).as("hb"),
+        pmod(textops.hash60(col("b.w1")), lit(LmBuckets.toLong)).as("hu"))
+    // localCheckpoint: the ≤ B²-row joint count table feeds both model
+    // folds — materialize it ONCE instead of re-running the corpus
+    // aggregate per reference (the r14 double-broadcast lesson)
+    val joint = bg.groupBy(col("hb"), col("hu")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val ugc = bgc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
-    val v = bgc.agg(countDistinct(col("w1")).as("vv"))
-    bg.join(bgc, Seq("w1", "w2"))
-      .join(ugc, Seq("w1"))
-      .crossJoin(broadcast(v))
+    val cbs = joint.groupBy(col("hb")).agg(sum(col("c")).as("cb"))
+    val cus = joint.groupBy(col("hu")).agg(sum(col("c")).as("cu"))
+    bg.join(broadcast(cbs), Seq("hb"))
+      .join(broadcast(cus), Seq("hu"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(log2((col("cb") + lit(1.0)) / (col("cu") + col("vv")))) /
+        round(sum(log2((col("cb") + lit(1.0)) /
+            (col("cu") + lit(LmBuckets)))) /
           count(lit(1)), 4).as("avg_ll"))
       .orderBy(col("doc_id"))
   }
@@ -392,12 +406,18 @@ object TextAnalysis {
          |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
          |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
          |  WHERE len(w) >= 2),
-         |bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
-         |ugc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM bgc GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w1) AS vv FROM bg)
+         |b AS (
+         |  SELECT doc_id,
+         |    ${textops.hash60Sql("w1 || ' ' || w2")} % $LmBuckets AS hb,
+         |    ${textops.hash60Sql("w1")} % $LmBuckets AS hu
+         |  FROM bg),
+         |jc AS (SELECT hb, hu, count(*) AS c FROM b GROUP BY 1, 2),
+         |cbs AS (SELECT hb, CAST(sum(c) AS BIGINT) AS cb FROM jc GROUP BY 1),
+         |cus AS (SELECT hu, CAST(sum(c) AS BIGINT) AS cu FROM jc GROUP BY 1)
          |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(sum(log2((cb + 1.0) / (cu + vv))) / count(*), 4) AS avg_ll
-         |FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1), v
+         |  round(sum(log2((cb + 1.0) / (cu + $LmBuckets))) / count(*), 4)
+         |    AS avg_ll
+         |FROM b JOIN cbs USING (hb) JOIN cus USING (hu)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t1_langid" ->
       s"""WITH scored AS (

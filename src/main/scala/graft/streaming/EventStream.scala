@@ -738,6 +738,58 @@ object EventStream {
       s.read.parquet(root.resolve("idx").toString))
   }
 
+  /** s13: continuous POSITIONAL-index maintenance — the streaming
+    * mirror of t11 and s10's twin, closing the one asymmetry in the
+    * maintenance-mirror family (s7↔c9, s8↔c10, s9↔c15, s10↔t8,
+    * s11↔c20, s12↔c22, s13↔t11). Positional posting rows are
+    * DOC-LOCAL exactly like t8's — a (token, doc_id, positions) row
+    * derives from one document alone — so the batch-split-invariance
+    * argument carries verbatim: every doc contributes its own
+    * position rows in exactly one micro-batch, any split of the
+    * corpus yields the same posting multiset (pinned by the suite's
+    * maxFilesPerTrigger=1 test). ZERO streaming state; per-batch cost
+    * ∝ batch size (one posexplode + partial aggregate of the batch,
+    * no corpus-side work). */
+  def posIndexMaintain(docs: DataFrame, indexDir: String,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.InvertedIndex.posPostings(batch.toDF())
+          .write.mode("append").option("compression", "zstd")
+          .partitionBy("tb").parquet(indexDir)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.operators.InvertedIndex.compactPosIndex(
+            batch.sparkSession, indexDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** s13 gate: [[posIndexMaintain]] over the documents table arriving
+    * as a real file-source stream into a FRESH scratch index, then
+    * t11's bucket-pruned phrase serve from the streamed layout.
+    * Oracle = t11's verbatim (split-invariance makes them the same
+    * corpus). */
+  def s13Query(s: SparkSession, d: String): DataFrame = {
+    val t0 = System.nanoTime()
+    val root = scratchRoot.resolve(
+      "s13-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    wipe(root)
+    java.nio.file.Files.createDirectories(root)
+    val ss = s.newSession()
+    inheritStreamingConfs(s, ss)
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = ss.read.parquet(s"$d/documents.parquet")
+    val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
+    val q = posIndexMaintain(src, root.resolve("idx").toString,
+      root.resolve("ckpt").toString)
+    awaitWithPhases("s13", t0, q)
+    graft.operators.InvertedIndex.phraseSearch(
+      s.read.parquet(root.resolve("idx").toString))
+  }
+
   /** s5 gate: [[windowedHeavyHitters]] as a real file-source stream,
     * at FIXED capacity 256 — corpus-independent state, the eviction
     * regime exercised at every gate SF (distinct pages per daily
@@ -913,6 +965,10 @@ object EventStream {
     // s12 scores every doc against the frozen model exactly once
     // whatever the batch split — the oracle is c22's verbatim
     "s12_stream_score" -> graft.operators.Dsir.oracles("c22_dsir"),
+    // s13's streamed positional index holds the same (token, doc_id,
+    // positions) multiset as t11's batch-built one for ANY batch
+    // split (positions are doc-local) — the oracle is t11's verbatim
+    "s13_stream_pos_index" -> graft.operators.InvertedIndex.oraclePhrase,
     // emitted = closed-in-batch (not the user's last session) OR timed
     // out (end + gap strictly below the final watermark)
     "s2_stream_sessionize" ->

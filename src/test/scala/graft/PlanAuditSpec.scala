@@ -199,26 +199,27 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "value"
   }
 
-  test("q44 interval sweep is one scan + one window — no joins, no pairwise work") {
+  test("q44 chunked sweep: heavy window partitioned by (series, chunk), offsets broadcast, no pairwise work") {
     val p = plan("q44_max_intersections")
-    "Scan parquet".r.findAllIn(p).size shouldBe 1
-    p should not include "Join"
-    p should include("Window")
     p should include("Generate") // the in-place ±1 unpivot
+    // the running-sum window runs per (series, time-chunk) — the
+    // low-cardinality series key alone must never own a whole sort
+    // (the r18 4.2× sf1 slope); chunk offsets ride a BROADCAST join
+    // over the chunk-count-sized summary table
+    "windowspecdefinition\\(series[^)]*chunk".r.findAllIn(p).size should be >= 1
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
     p should not include "props"
   }
 
-  test("q45 islands are window passes over one sort — no joins, no pair explosion") {
+  test("q45 chunked islands: per-chunk windows + broadcast carries, no pair explosion") {
     val p = plan("q45_interval_length_sum")
-    p should not include "Join"
-    // gid's input (nf) is computed FROM pme, so the two frames stack as
-    // two Window nodes — but they share the series partitioning and
-    // (start, end) order, so there is exactly ONE window exchange and
-    // ONE local sort; the island groupBy then reuses the partitioning
-    // (no further hash exchange before the final presentation sort).
-    "\\bWindow\\b".r.findAllIn(p).size shouldBe 2
-    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
-    ", false, 0".r.findAllIn(p).size shouldBe 1 // one local (window) sort
+    // the row-level windows (running max(end), flag cumsum) are both
+    // per (series, chunk); only the chunk-count summary windows (the
+    // boundary carries) partition by series alone
+    "windowspecdefinition\\(series[^)]*chunk".r.findAllIn(p).size should be >= 2
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
     p should not include "props" // scan pruned to ts/type/value
   }
 
@@ -617,12 +618,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("t10 LM scoring: the trained model folds never rescan the corpus") {
-    // bgc is localCheckpoint'd at build — prefix counts and vocabulary
-    // derive from the materialized model, so the executed plan holds
-    // exactly ONE documents scan (the scoring stream)
+  test("t10 LM scoring: B-bounded model broadcasts; no gram-keyed shuffle join") {
+    // the joint bucket-count table is localCheckpoint'd at build —
+    // both model folds derive from it, so the executed plan holds
+    // exactly ONE documents scan (the scoring stream); the score join
+    // is a broadcast of the ≤ B-row model tables, never a sort-merge
+    // join on Zipf-skewed natural-language keys
     val p = plan("t10_lm_score")
     "documents\\.parquet".r.findAllIn(p).size shouldBe 1
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
   }
 
   test("c22 DSIR: constant-size model broadcasts; one corpus scan scores") {

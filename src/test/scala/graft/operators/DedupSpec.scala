@@ -351,21 +351,34 @@ class DedupSpec extends SparkSpec {
     Dedup.semK(1000000000L) shouldBe Dedup.SemMaxK
   }
 
-  test("semOccupancyOk: holds at every gate scale, flips loudly past the single-level capacity cliff") {
+  test("semOccupancyOk: holds at every gate scale AND past the old single-level cliff; flips at the two-level ceiling") {
     Seq(500L, 2000L, 20000L, 200000L).foreach { n =>
       withClue(s"n=$n: ") { Dedup.semOccupancyOk(n) shouldBe true }
     }
-    // capacity = SemMaxK × MaxNearDupBucket once k saturates
-    val cliff = Dedup.SemMaxK.toLong * Dedup.MaxNearDupBucket
+    // the r18 SINGLE-LEVEL cliff (SemMaxK × cap) is now INSIDE capacity
+    val oldCliff = Dedup.SemMaxK.toLong * Dedup.MaxNearDupBucket
+    Dedup.semOccupancyOk(oldCliff + Dedup.SemMaxK) shouldBe true
+    Dedup.semIndexOccupancyOk(oldCliff + Dedup.SemMaxK) shouldBe true
+    // the new cliff = SemMaxK² × cap (coarse × fine, two-level)
+    val cliff = Dedup.SemMaxK.toLong * Dedup.SemMaxK * Dedup.MaxNearDupBucket
     Dedup.semOccupancyOk(cliff) shouldBe true
-    Dedup.semOccupancyOk(cliff + Dedup.SemMaxK) shouldBe false
-    // d5's geometric buckets have the same cliff at 2^planes × cap
-    val d5cliff = (1L << Dedup.NearDupPlanes) * Dedup.MaxNearDupBucket
-    Dedup.nearDupOccupancyOk(d5cliff) shouldBe true
-    Dedup.nearDupOccupancyOk(d5cliff + (1L << Dedup.NearDupPlanes)) shouldBe false
-    // the d10 index variant saturates at the same SemMaxK × cap point
+    Dedup.semOccupancyOk(cliff + Dedup.SemMaxK.toLong * Dedup.SemMaxK) shouldBe false
     Dedup.semIndexOccupancyOk(cliff) shouldBe true
-    Dedup.semIndexOccupancyOk(cliff + Dedup.SemMaxK) shouldBe false
+    Dedup.semIndexOccupancyOk(
+      cliff + Dedup.SemMaxK.toLong * Dedup.SemMaxK) shouldBe false
+    // d5's planes scale with n: the old 2^8 cliff is inside capacity,
+    // the new cliff sits at the 2^MaxNearDupPlanes plane ceiling
+    val d5old = (1L << Dedup.NearDupPlanes) * Dedup.MaxNearDupBucket
+    Dedup.nearDupOccupancyOk(d5old + (1L << Dedup.NearDupPlanes)) shouldBe true
+    val d5cliff = (1L << Dedup.MaxNearDupPlanes) * Dedup.MaxNearDupBucket
+    Dedup.nearDupOccupancyOk(d5cliff) shouldBe true
+    Dedup.nearDupOccupancyOk(d5cliff + (1L << Dedup.MaxNearDupPlanes)) shouldBe false
+    // ...while every gate SF still tables at the historical 8 planes
+    Seq(500L, 2000L, 20000L, 25600L).foreach { n =>
+      withClue(s"n=$n: ") {
+        Dedup.nearDupPlanesFor(n) shouldBe Dedup.NearDupPlanes }
+    }
+    Dedup.nearDupPlanesFor(150000L) should be > Dedup.NearDupPlanes
   }
 
   test("semDedup: near pair in one cell drops the higher id; cross-cell near pair is invisible by design") {
@@ -458,7 +471,7 @@ class DedupSpec extends SparkSpec {
     full.filter(col("vec_id") < 150)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val idxPath = Dedup.ensureSemIndex(spark, dir)
-    val cb = Dedup.semIndexCodebookFor(spark, dir)
+    val SemCells.Flat(cb) = Dedup.semIndexAssignerFor(spark, dir)
     val before = dataFilesOf(idxPath)
     full.filter(col("vec_id") >= 150)
       .write.mode("append").parquet(s"$dir/embeddings.parquet")
@@ -468,7 +481,7 @@ class DedupSpec extends SparkSpec {
     // cell deltas appear; the codebook stayed FIXED (append contract)
     before.foreach { case (p, meta) => after.get(p) shouldBe Some(meta) }
     after.size should be > before.size
-    Dedup.semIndexCodebookFor(spark, dir) shouldBe cb
+    Dedup.semIndexAssignerFor(spark, dir) shouldBe SemCells.Flat(cb)
 
     val shard = full.filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))

@@ -261,6 +261,34 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("chunked sweeps equal the single-window forms on adversarial interval sets") {
+    // tiny chunk spans force live runs and islands to STRADDLE chunk
+    // boundaries; the generator keeps the flat tests' adversarial
+    // cases (shared endpoints, zero-length, duplicates, containment)
+    val ivGen = Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 6L))
+      .map { case (s, len) => (s, s + len) }
+    val caseGen = for {
+      n <- Gen.choose(1, 16)
+      ivs <- Gen.listOfN(n, ivGen)
+      chunk <- Gen.oneOf(1L, 2L, 3L, 5L, 7L, 1000L)
+    } yield (ivs, chunk)
+    samples(caseGen, 25).foreach { case (ivs, chunk) =>
+      val df = ivs.zipWithIndex.map { case ((s, e), i) =>
+        (if (i % 2 == 0) "x" else "y", s, e) }
+        .toDF("series", "start", "end")
+      withClue(s"chunkMs=$chunk ivs=$ivs: ") {
+        Analytics.maxIntersectionsChunked(df, chunk).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+          Analytics.maxIntersections(df).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        Analytics.intervalLengthSumChunked(df, chunk).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+          Analytics.intervalLengthSum(df).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      }
+    }
+  }
+
   test("mixtureTake equals the global take-while rule on random corpora") {
     // the distributed bucket-cutoff + boundary-window plan must equal
     // the SEMANTIC definition: per source, scan docs in

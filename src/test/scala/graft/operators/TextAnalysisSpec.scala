@@ -141,14 +141,20 @@ class TextAnalysisSpec extends SparkSpec {
         .map(p => (p(0), p(1))).toSeq
     }.toMap
     val allBg = bigrams.values.flatten.toSeq
-    val cb = allBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val cu = allBg.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    val vv = allBg.map(_._1).distinct.size.toLong
+    // hashed-bucket model (the r19 B-bounded form): joint counts per
+    // (bigram-bucket, prefix-bucket), folded to per-bucket totals
+    val B = TextAnalysis.LmBuckets
+    def hb(b: (String, String)): Long =
+      graft.functions.textops.hash60Local(b._1 + " " + b._2) % B
+    def hu(b: (String, String)): Long =
+      graft.functions.textops.hash60Local(b._1) % B
+    val cb = allBg.groupBy(hb).view.mapValues(_.size.toLong).toMap
+    val cu = allBg.groupBy(hu).view.mapValues(_.size.toLong).toMap
     def expectScore(id: Long): Option[(Long, Double)] = {
       val bs = bigrams(id)
       if (bs.isEmpty) None
       else {
-        val s = bs.map(b => math.log((cb(b) + 1.0) / (cu(b._1) + vv)) /
+        val s = bs.map(b => math.log((cb(hb(b)) + 1.0) / (cu(hu(b)) + B)) /
           math.log(2.0)).sum / bs.length
         Some((bs.length.toLong,
           BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))

@@ -429,6 +429,54 @@ class EventStreamSpec extends EventStreamSuiteBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe want
   }
 
+  test("s13 positional-index maintenance is batch-split-invariant: three doc files, three batches, same phrase serve") {
+    // s13 is stateless (foreachBatch append of doc-local position
+    // rows) — s10's argument verbatim, over the t11 layout
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a stream table hash here",
+      2L -> "stream table hash stream table hash",
+      3L -> "table stream hash",
+      4L -> "stream table of hash",
+      5L -> "stream table hash",
+      6L -> "a second irrelevant document entirely")
+    val shardRoot = java.nio.file.Files.createTempDirectory("graft-s13-sh-").toString
+    docs.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      g.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$shardRoot/docs_$i.parquet")
+    }
+    val schema = spark.read.parquet(s"$shardRoot/docs_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one micro-batch per file
+      .parquet(s"$shardRoot/docs_*.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-s13-out-").toString
+    val q = EventStream.posIndexMaintain(src, s"$out/idx", s"$out/ckpt")
+    try q.awaitTermination() finally q.stop()
+    q.recentProgress.count(_.numInputRows > 0) shouldBe 3
+    val streamed = spark.read.parquet(s"$out/idx")
+    // no position row duplicated across batches (each doc exactly once;
+    // a re-delivery would also fail the serve LOUDLY on dup map keys)
+    streamed.groupBy(org.apache.spark.sql.functions.col("token"),
+        org.apache.spark.sql.functions.col("doc_id")).count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+      .count() shouldBe 0L
+    // phrase serve over the streamed layout == the batch-built layout
+    val want = graft.operators.InvertedIndex.phraseSearch(
+      graft.operators.InvertedIndex.posPostings(docs.toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    want.toMap shouldBe Map(1L -> 1L, 2L -> 2L, 5L -> 1L)
+    val got = graft.operators.InvertedIndex.phraseSearch(streamed).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got shouldBe want
+    // compaction folds per-batch files back; serve unchanged
+    val before = graft.streaming.Compaction.partFiles(s"$out/idx")
+    graft.operators.InvertedIndex.compactPosIndex(spark, s"$out/idx")
+    graft.streaming.Compaction.partFiles(s"$out/idx") should be < before
+    graft.operators.InvertedIndex
+      .phraseSearch(spark.read.parquet(s"$out/idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe want
+  }
+
   test("s7 rollup maintenance is batch-split-invariant: two event files, two batches, same served report") {
     // s7 is stateless (foreachBatch append of partial rows), so the
     // provider axis is vacuous — one-store test by design.
