@@ -303,6 +303,82 @@ case class ShingleHash60s(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** string → array<long>: hash60 of the length-n character gram at
+  * EVERY position — the byte-payload feature map under the m4 stub
+  * pHash. Bit-identical to the HOF form it replaces,
+  * `transform(sequence(1, greatest(char_len − (n−1), 1)), i ->
+  * hash60(substr(x, i, n)))`, including the short-input edges (fewer
+  * than n codepoints → ONE gram, the whole string; empty → hash60 of
+  * ''), which the DuckDB oracle replays in SQL.
+  *
+  * Why native: the HOF evaluated its lambda interpretively per
+  * position — a UTF8String substring allocation plus a full
+  * md5-expression-tree eval per gram — and was the m4 sf1 wall
+  * (profiled r19: busy executors sat in UTF8String.substring /
+  * TernaryExpression.eval). One pass here: a single codepoint-boundary
+  * walk over the raw bytes, then one thread-local MD5 update per gram
+  * slice and the digest's top-60-bit extraction ([[ShingleHash60s]]'s
+  * idiom) — no per-gram string or tree-eval churn. */
+case class GramHash60s(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "gram_hash60s"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.catalogString}")
+    }
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].getBytes
+    // codepoint starts: every byte that is not a UTF-8 continuation
+    // byte (10xxxxxx) — substr() counts codepoints, so grams must too
+    var k = 0
+    var bi = 0
+    while (bi < b.length) { if ((b(bi) & 0xc0) != 0x80) k += 1; bi += 1 }
+    val starts = new Array[Int](k + 1)
+    var ci = 0; bi = 0
+    while (bi < b.length) {
+      if ((b(bi) & 0xc0) != 0x80) { starts(ci) = bi; ci += 1 }
+      bi += 1
+    }
+    starts(k) = b.length
+    val ngrams = math.max(k - (n - 1), 1)
+    val out = new Array[Long](ngrams)
+    val digest = md5.get()
+    var g = 0
+    while (g < ngrams) {
+      val from = starts(g)
+      val to = if (g + n <= k) starts(g + n) else b.length
+      digest.reset()
+      digest.update(b, from, to - from)
+      val d = digest.digest()
+      val be64 =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      out(g) = be64 >>> 4
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** string → array<string>: the DISTINCT character n-grams of the
   * input, first-occurrence order — ClickHouse's ngram tokenizer
   * (`ngramSearch`/`ngramDistance` substrate).
@@ -440,6 +516,7 @@ object texthash {
     "word_shingles" -> { es => WordShingles(es.head, 3) },
     "shingle_hash60s" -> { es => ShingleHash60s(es.head, 3) },
     "char_grams" -> { es => CharGrams(es.head, 4) },
+    "gram_hash60s" -> { es => GramHash60s(es.head, 8) },
     // textops twins (same trees the Column API builds)
     "hash60" -> { es =>
       Cast(Conv(Substring(Md5(Cast(es.head, BinaryType)),
@@ -456,4 +533,5 @@ object texthash {
   def wordShingles(c: Column): Column = call_function("word_shingles", c)
   def shingleHash60s(c: Column): Column = call_function("shingle_hash60s", c)
   def charGrams4(c: Column): Column = call_function("char_grams", c)
+  def gramHash60s8(c: Column): Column = call_function("gram_hash60s", c)
 }

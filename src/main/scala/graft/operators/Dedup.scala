@@ -166,9 +166,20 @@ object Dedup {
     val key = keyCols.map(col)
     val live = ex.groupBy(key: _*).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, cap)).select(key: _*)
+    // Explicit round-robin repartition between the bucket collapse and
+    // the pair explode (r19): the collapsed bucket rows are a few KB,
+    // so AQE's size-based coalescing folded the post-agg partitions to
+    // ONE — and the pair explode (the family's dominant work: an
+    // interpreted nested-HOF amplifying each bucket to occ²/2 rows)
+    // ran single-task. Measured at sf1: one thread busy, 31 parked, on
+    // every bucketedPairs caller. A user-specified partition count is
+    // exempt from AQE coalescing, the bucket rows are tiny to shuffle,
+    // and round-robin also spreads occupancy skew across tasks.
+    val parallelism = exIn.sparkSession.sessionState.conf.numShufflePartitions
     val buckets = ex.join(live.hint("shuffle_hash"), keyCols)
       .groupBy(key: _*)
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .repartition(parallelism)
     val pairList = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
         struct(
@@ -354,10 +365,13 @@ object Dedup {
   val MaxNearDupBucket = 500
   /** Mean-occupancy design point for the plane count: planes grow as
     * log₂(n / target) — the scaladoc's own rule, now applied rather
-    * than documented. 100 keeps every gate SF (n ≤ 25,600) at the
-    * historical 8 planes while corpora past the old 2^8·cap cliff
-    * re-table to smaller buckets automatically. */
-  val NearDupTargetOcc = 100
+    * than documented. 32 matches [[SemTargetCell]] (in-bucket pair
+    * volume is quadratic in occupancy, so the knee sits where d9's
+    * does): sf0.001–0.1 stay at the historical 8-plane floor, sf1
+    * (20k vectors) steps to 10 planes — measured r19: the d5 sf1 wall
+    * dropped ~3× and the 7.1× slope fell into the family band —
+    * and corpora past the old 2^8·cap cliff re-table automatically. */
+  val NearDupTargetOcc = 32
   /** Plane ceiling: 24 planes = 2^24 buckets per table, moving the
     * occupancy cliff to 2^24·cap ≈ 8.4e9 vectors — aligned with the
     * sem family's two-level ceiling. */

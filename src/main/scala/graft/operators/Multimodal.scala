@@ -375,15 +375,16 @@ object Multimodal {
     * deliberately destroys). A real deployment swaps the byte-gram
     * base for DCT-block features out of the actual decoder; the
     * 60-bit hash, chunk split, and candidate physics are unchanged.
-    * All expression work ([[textops.hash60]] per gram, the codegen'd
-    * [[graft.functions.SimHash60]] bit-vote) — no UDFs. */
-  def phash(docs: DataFrame): DataFrame = {
-    val grams = transform(
-      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-      i => textops.hash60(col("text").substr(i, lit(8))))
+    * All expression work (the native one-pass
+    * [[graft.functions.GramHash60s]] feature map — bit-identical to
+    * the hash60-per-substr HOF it replaced, which evaluated its
+    * lambda interpretively per position and was the m4 sf1 wall —
+    * then the codegen'd [[graft.functions.SimHash60]] bit-vote) — no
+    * UDFs. */
+  def phash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      coalesce(graft.functions.texthash.simhash60(grams), lit(0L)).as("ph"))
-  }
+      coalesce(graft.functions.texthash.simhash60(
+        graft.functions.texthash.gramHash60s8(col("text"))), lit(0L)).as("ph"))
 
   /** m4: payload near-dup — image-dedup physics over the multimodal
     * binary column. The d4 pigeonhole: split the 60-bit pHash into 4

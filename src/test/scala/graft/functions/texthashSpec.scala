@@ -82,6 +82,32 @@ class texthashSpec extends SparkSpec {
     }
   }
 
+  test("GramHash60s == hash60 over every substr-8 position, incl. short/empty/multibyte edges") {
+    texthash.register(spark)
+    import org.apache.spark.sql.functions.{col, greatest, lit, sequence, transform}
+    import org.apache.spark.sql.functions.{length => strlen}
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short", "", "exactly8", "exactly9!",
+      "répétition über naïve — multibyte ¢ödepoints här",
+      "aaaaaaaaaaaaaaaaaaaa",
+    )
+    val rows = texts.toDF("text")
+      .select(
+        texthash.gramHash60s8(col("text")).as("native"),
+        transform(
+          sequence(lit(1), greatest(strlen(col("text")) - 7, lit(1))),
+          i => textops.hash60(col("text").substr(i, lit(8)))).as("hof"))
+      .collect()
+    rows.foreach { r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1) }
+    // driver-side twin agrees too (the empty-string gram included)
+    val one = texts(1) // "short" → one gram = the whole string
+    rows(1).getSeq[Long](0) shouldBe
+      Seq(graft.functions.textops.hash60Local(one))
+    rows(2).getSeq[Long](0) shouldBe
+      Seq(graft.functions.textops.hash60Local(""))
+  }
+
   test("textops twins are registered for SQL users") {
     texthash.register(spark)
     val row = spark.sql(

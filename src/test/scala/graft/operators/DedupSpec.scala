@@ -373,12 +373,15 @@ class DedupSpec extends SparkSpec {
     val d5cliff = (1L << Dedup.MaxNearDupPlanes) * Dedup.MaxNearDupBucket
     Dedup.nearDupOccupancyOk(d5cliff) shouldBe true
     Dedup.nearDupOccupancyOk(d5cliff + (1L << Dedup.MaxNearDupPlanes)) shouldBe false
-    // ...while every gate SF still tables at the historical 8 planes
-    Seq(500L, 2000L, 20000L, 25600L).foreach { n =>
+    // ...sf0.001–0.1 stay at the historical 8-plane floor; sf1 (20k)
+    // steps to 10 (occupancy back at the 32-target knee), the stress
+    // corpus higher still
+    Seq(50L, 500L, 2000L, 8192L).foreach { n =>
       withClue(s"n=$n: ") {
         Dedup.nearDupPlanesFor(n) shouldBe Dedup.NearDupPlanes }
     }
-    Dedup.nearDupPlanesFor(150000L) should be > Dedup.NearDupPlanes
+    Dedup.nearDupPlanesFor(20000L) shouldBe 10
+    Dedup.nearDupPlanesFor(150000L) shouldBe 13
   }
 
   test("semDedup: near pair in one cell drops the higher id; cross-cell near pair is invisible by design") {
