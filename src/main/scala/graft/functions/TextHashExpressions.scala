@@ -379,6 +379,79 @@ case class GramHash60s(child: Expression, n: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** array<struct<doc_id: bigint, …>> → array<struct<lo, hi>>: every
+  * unordered element pair of a bucket, each pair canonicalized lo/hi
+  * by the leading doc_id (ties keep the HOF form's orientation) — the
+  * in-bucket pair step of [[graft.operators.Dedup.bucketedPairs]],
+  * shared by the whole dedup family.
+  *
+  * Why native: the declarative form,
+  * `flatten(transform(ds, (x, i) => transform(slice(ds, i + 2,
+  * size(ds)), y => struct(...))))`, COPIES the tail slice per index
+  * (O(occ²) element copies before any pair exists) and evaluates the
+  * pair-struct lambda interpretively per pair (HOFs don't
+  * whole-stage-codegen). One native pass builds the same pair array
+  * directly: copy each struct once, then a two-index loop. The inner
+  * struct type is preserved generically, so callers that ride
+  * payloads on `n` (d4/m4 carry the simhash) are untouched. */
+case class PairExplode(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "pair_explode"
+
+  private def elemType: StructType = child.dataType match {
+    case ArrayType(st: StructType, _) => st
+    case other => throw new IllegalArgumentException(
+      s"$prettyName expects array<struct>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lo", elemType, nullable = false),
+    StructField("hi", elemType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(st: StructType, _)
+          if st.nonEmpty && st.head.dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<struct<bigint, ...>>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val width = elemType.size
+    val m = arr.numElements()
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](m)
+    var i = 0
+    while (i < m) { rows(i) = arr.getStruct(i, width).copy(); i += 1 }
+    val out = new Array[Any](m * (m - 1) / 2)
+    var p = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        // strict <: equal ids orient exactly like the replaced
+        // when(x < y, x).otherwise(y) fold
+        val pair =
+          if (rows(i).getLong(0) < rows(j).getLong(0))
+            org.apache.spark.sql.catalyst.InternalRow(rows(i), rows(j))
+          else
+            org.apache.spark.sql.catalyst.InternalRow(rows(j), rows(i))
+        out(p) = pair
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** string → array<string>: the DISTINCT character n-grams of the
   * input, first-occurrence order — ClickHouse's ngram tokenizer
   * (`ngramSearch`/`ngramDistance` substrate).
@@ -517,6 +590,7 @@ object texthash {
     "shingle_hash60s" -> { es => ShingleHash60s(es.head, 3) },
     "char_grams" -> { es => CharGrams(es.head, 4) },
     "gram_hash60s" -> { es => GramHash60s(es.head, 8) },
+    "pair_explode" -> { es => PairExplode(es.head) },
     // textops twins (same trees the Column API builds)
     "hash60" -> { es =>
       Cast(Conv(Substring(Md5(Cast(es.head, BinaryType)),
@@ -534,4 +608,5 @@ object texthash {
   def shingleHash60s(c: Column): Column = call_function("shingle_hash60s", c)
   def charGrams4(c: Column): Column = call_function("char_grams", c)
   def gramHash60s8(c: Column): Column = call_function("gram_hash60s", c)
+  def pairExplode(c: Column): Column = call_function("pair_explode", c)
 }

@@ -180,12 +180,12 @@ object Dedup {
       .groupBy(key: _*)
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .repartition(parallelism)
-    val pairList = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
-        struct(
-          when(x("doc_id") < y("doc_id"), x).otherwise(y).as("lo"),
-          when(x("doc_id") < y("doc_id"), y).otherwise(x).as("hi")))))
-    buckets.select(explode(pairList).as("p"))
+    // in-bucket pairs via the native [[graft.functions.PairExplode]]
+    // (one pass per bucket; the declarative nested-HOF form it
+    // replaced sliced the tail array per index and evaluated its
+    // lambda interpretively per pair — see the expression scaladoc)
+    buckets.select(explode(
+      graft.functions.texthash.pairExplode(col("ds"))).as("p"))
       .groupBy(col("p.lo.doc_id").as("doc_a"), col("p.hi.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"),
         max(col("p.lo.n")).as("na"), max(col("p.hi.n")).as("nb"))
