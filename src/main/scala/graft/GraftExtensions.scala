@@ -70,5 +70,8 @@ object GraftExtensions {
     "topk_weighted_sketch" -> "topk_weighted_sketch(key, weight, capacity, k) - Space-Saving approximate top-k of BIGINT keys by summed positive BIGINT weight; returns array<struct<item, w, err>>, exact when capacity >= distinct keys.",
     "uniq_upto" -> "uniq_upto(key, n) - Exact distinct count of BIGINT keys while <= n, else n + 1; per-group state bounded at n + 1 keys.",
     "char_grams" -> "char_grams(s) - Distinct character 4-grams of a string, first-occurrence order; child evaluated once per row.",
+    "gram_hash60s" -> "gram_hash60s(s) - hash60 of the 8-codepoint gram at every position (one native pass; short inputs yield one whole-string gram).",
+    "pair_explode" -> "pair_explode(arr) - Every unordered element pair of an array<struct<bigint, ...>>, each canonicalized lo/hi by the leading id.",
+    "two_level_cell" -> "two_level_cell(vec, coarse, offs, cnts, fine, stride) - Coarse-then-fine nearest-centroid cell id (rank * stride + fid); book arguments must be constant arrays.",
     "theta_sketch" -> "theta_sketch(key, k) - KMV distinct sketch of BIGINT keys: the k smallest distinct values as a sorted array<bigint>; exact set algebra below capacity, (k-1)/u_k estimation above.")
 }
