@@ -73,5 +73,7 @@ object GraftExtensions {
     "gram_hash60s" -> "gram_hash60s(s) - hash60 of the 8-codepoint gram at every position (one native pass; short inputs yield one whole-string gram).",
     "pair_explode" -> "pair_explode(arr) - Every unordered element pair of an array<struct<bigint, ...>>, each canonicalized lo/hi by the leading id.",
     "two_level_cell" -> "two_level_cell(vec, coarse, offs, cnts, fine, stride) - Coarse-then-fine nearest-centroid cell id (rank * stride + fid); book arguments must be constant arrays.",
+    "sign_bucket_probe" -> "sign_bucket_probe(vec, planes, plane_count) - Random-hyperplane LSH bucket with a multi-probe hint: sign-bit bucket in the low 32 bits, the min-|margin| single-bit-flip bucket in the high 32; planes must be a constant flat array (plane_count x dim).",
+    "near_pair_explode" -> "near_pair_explode(bucket, max_distance) - Every unordered pair of an array<struct<id, vec>> bucket with cosine distance <= max_distance, as array<struct<vec_a, vec_b, score>>; the fused in-bucket verify of the embedding dedup family.",
     "theta_sketch" -> "theta_sketch(key, k) - KMV distinct sketch of BIGINT keys: the k smallest distinct values as a sorted array<bigint>; exact set algebra below capacity, (k-1)/u_k estimation above.")
 }

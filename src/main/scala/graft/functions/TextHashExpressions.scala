@@ -412,12 +412,18 @@ case class PairExplode(child: Expression) extends UnaryExpression
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(st: StructType, _)
+      // containsNull = false only: the eval loop reads every element's
+      // leading id unconditionally, so a null element would NPE. Every
+      // caller builds the array with collect_list (never-null
+      // elements); a SQL user handing a null-holding array literal
+      // gets an analysis error instead of a runtime NPE.
+      case ArrayType(st: StructType, false)
           if st.nonEmpty && st.head.dataType == LongType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires array<struct<bigint, ...>>, got ${other.catalogString}")
+          s"$prettyName requires array<struct<bigint, ...>> with " +
+            s"non-null elements, got ${other.catalogString}")
     }
 
   override def nullSafeEval(v: Any): Any = {

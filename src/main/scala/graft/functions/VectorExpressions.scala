@@ -849,3 +849,243 @@ case class TwoLevelCell(child: Expression, coarse: Array[Double],
   override protected def withNewChildInternal(c: Expression) =
     copy(child = c)
 }
+
+/** Fused sign-bit LSH bucket + multi-probe hint for ONE random-
+  * hyperplane table: a single pass over the vector computes every
+  * plane's dot product, packs the sign bits into the bucket id, and
+  * tracks the plane with the smallest |margin| — the one bit whose
+  * flip is the likeliest alternative bucket (multi-probe LSH, Lv et
+  * al., VLDB 2007). Returns `(bucket ^ (1 << argmin)) << 32 | bucket`:
+  * the caller unpacks home = `packed & 0xFFFFFFFF` and probe =
+  * `packed >>> 32` with plain codegen'd bit ops, so the expression is
+  * evaluated ONCE per (row, table) even though two memberships derive
+  * from it.
+  *
+  * The planes ride the expression as one flat reference array
+  * (planeCount × dim, row-major — the [[NearestCentroid]] discipline):
+  * generated code is constant-size at any plane count and the whole
+  * map stays inside whole-stage codegen. Ties in |margin| resolve to
+  * the LOWEST plane index (strict `<` update), matching the oracle's
+  * first-match CASE chain. */
+case class SignBucketProbe(child: Expression, planesFlat: Array[Double],
+                           planeCount: Int)
+    extends UnaryExpression {
+  require(planeCount > 0 && planeCount <= 31,
+    s"sign_bucket_probe: plane count $planeCount outside [1, 31]")
+  require(planesFlat.nonEmpty && planesFlat.length % planeCount == 0,
+    s"sign_bucket_probe: ${planesFlat.length} plane doubles not divisible " +
+      s"by planeCount=$planeCount")
+  private val dim = planesFlat.length / planeCount
+
+  override def prettyName: String = "sign_bucket_probe"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${other.catalogString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector has ${v.numElements()} components, planes $dim")
+    val f = isFloat
+    var bkt = 0L
+    var bestM = Double.MaxValue
+    var bestP = 0
+    var p = 0
+    while (p < planeCount) {
+      var s = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < dim) {
+        s += (if (f) v.getFloat(i).toDouble else v.getDouble(i)) *
+          planesFlat(off + i)
+        i += 1
+      }
+      if (s >= 0) bkt |= (1L << p)
+      val m = math.abs(s)
+      if (m < bestM) { bestM = m; bestP = p }
+      p += 1
+    }
+    ((bkt ^ (1L << bestP)) << 32) | bkt
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val plRef = ctx.addReferenceObj("planesFlat", planesFlat, "double[]")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val bkt = ctx.freshName("bkt")
+      val bestM = ctx.freshName("bestM")
+      val bestP = ctx.freshName("bestP")
+      val getV = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException("$prettyName: vector has "
+         |    + $v.numElements() + " components, planes $dim");
+         |}
+         |long $bkt = 0L;
+         |double $bestM = Double.MAX_VALUE;
+         |int $bestP = 0;
+         |for (int $p = 0; $p < $planeCount; $p++) {
+         |  double $s = 0.0;
+         |  int $off = $p * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $s += $getV * $plRef[$off + $i];
+         |  }
+         |  if ($s >= 0) $bkt |= (1L << $p);
+         |  double $m = Math.abs($s);
+         |  if ($m < $bestM) { $bestM = $m; $bestP = $p; }
+         |}
+         |${ev.value} = (($bkt ^ (1L << $bestP)) << 32) | $bkt;
+       """.stripMargin
+    })
+
+  /* Content-based equality/hash over the plane array — the
+   * NearestCentroid rule (canonicalization, CSE, exchange reuse). */
+  override def equals(other: Any): Boolean = other match {
+    case sb: SignBucketProbe =>
+      sb.child == child && sb.planeCount == planeCount &&
+        java.util.Arrays.equals(sb.planesFlat, planesFlat)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Integer.valueOf(planeCount),
+      Integer.valueOf(java.util.Arrays.hashCode(planesFlat)))
+
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}
+
+/** array<struct<id: bigint, vec: array<float|double>>> →
+  * array<struct<vec_a, vec_b, score>>: every unordered element pair of
+  * an LSH/IVF bucket whose cosine DISTANCE is within `maxDistance`,
+  * each pair canonicalized lo/hi by id — the in-bucket verify step of
+  * the embedding dedup family, fused INTO the pair enumeration.
+  *
+  * Why fused: enumerating candidate id pairs first ([[graft.functions.PairExplode]])
+  * materializes Σ occupancy²/2 rows, shuffles them through a
+  * dedup groupBy, and re-joins the corpus embeddings TWICE before the
+  * cosine can reject ~99.9% of them. Both vectors of every candidate
+  * pair are already co-located in the bucket row, so the verify is a
+  * tight two-index loop here, and only SURVIVING pairs (thousands, not
+  * millions) ever become rows. This is the in-cell scan shape of an
+  * IVF index (Jégou et al., PAMI 2011) — per-pair work is a dim-length
+  * dot product; per-bucket work is bounded by the caller's occupancy
+  * cap; output is bounded by the true near-dup density.
+  *
+  * CodegenFallback like [[graft.functions.PairExplode]]: evaluated
+  * once per BUCKET row with O(occ²·dim) work inside, so per-call
+  * dispatch overhead is amortized to nothing. The arithmetic mirrors
+  * [[CosineDistance]]'s fold exactly (per-vector norms accumulate
+  * independently of the pairing, `1 - dot/sqrt(na*nb)`), so scores are
+  * bit-identical with the join-then-filter plan it replaces. */
+case class NearPairExplode(child: Expression, maxDistance: Double)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "near_pair_explode"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_a", LongType, nullable = false),
+    StructField("vec_b", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(st: StructType, false)
+          if st.size == 2 && st.head.dataType == LongType &&
+            (st(1).dataType match {
+              case ArrayType(FloatType | DoubleType, _) => true
+              case _ => false
+            }) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<struct<bigint, array<float|double>>> " +
+            s"with non-null elements, got ${other.catalogString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(st: StructType, _) => st(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val f = isFloat
+    val ids = new Array[Long](m)
+    val vecs = new Array[Array[Double]](m)
+    val norms = new Array[Double](m)
+    var dim = -1
+    var i = 0
+    while (i < m) {
+      val st = arr.getStruct(i, 2)
+      ids(i) = st.getLong(0)
+      val a = st.getArray(1)
+      if (dim == -1) dim = a.numElements()
+      else if (a.numElements() != dim) throw new IllegalArgumentException(
+        s"$prettyName: vectors of length $dim and ${a.numElements()} in one bucket")
+      val x = new Array[Double](dim)
+      var na = 0.0
+      var c = 0
+      while (c < dim) {
+        val xv = if (f) a.getFloat(c).toDouble else a.getDouble(c)
+        x(c) = xv
+        na += xv * xv
+        c += 1
+      }
+      vecs(i) = x
+      norms(i) = na
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < m) {
+      val xi = vecs(i)
+      var j = i + 1
+      while (j < m) {
+        val xj = vecs(j)
+        var dot = 0.0
+        var c = 0
+        while (c < dim) { dot += xi(c) * xj(c); c += 1 }
+        val score = 1.0 - dot / math.sqrt(norms(i) * norms(j))
+        if (score <= maxDistance) {
+          // strict <: equal ids orient like the PairExplode fold
+          val (lo, hi) =
+            if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+          out += org.apache.spark.sql.catalyst.InternalRow(lo, hi, score)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}

@@ -51,9 +51,57 @@ object vectors {
         es(2).eval().asInstanceOf[ArrayData].toIntArray(),
         es(3).eval().asInstanceOf[ArrayData].toIntArray(),
         es(4).eval().asInstanceOf[ArrayData].toDoubleArray(),
-        es(5).eval().asInstanceOf[Long])
+        // widen, don't cast: a SQL caller writing an INTEGER literal
+        // (`two_level_cell(v, ..., 4096)`) folds to an Int, and the
+        // function is advertised to SQL users in the DESCRIBE text
+        numToLong(es(5).eval(), "two_level_cell: stride"))
+    },
+    "sign_bucket_probe" -> { es =>
+      // planes are CONSTANTS folded to one flat reference array —
+      // the nearest_centroid discipline
+      require(es.length == 3,
+        "sign_bucket_probe(vec, planes, plane_count) takes 3 arguments")
+      require(es(1).foldable && es(2).foldable,
+        "sign_bucket_probe: planes/plane_count must be constants")
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      SignBucketProbe(es(0),
+        es(1).eval().asInstanceOf[ArrayData].toDoubleArray(),
+        numToLong(es(2).eval(), "sign_bucket_probe: plane_count").toInt)
+    },
+    "near_pair_explode" -> { es =>
+      require(es.length == 2,
+        "near_pair_explode(bucket, max_distance) takes 2 arguments")
+      require(es(1).foldable,
+        "near_pair_explode: max_distance must be a constant")
+      NearPairExplode(es(0),
+        numToDouble(es(1).eval(), "near_pair_explode: max_distance"))
     },
   )
+
+  /** Widen an evaluated numeric literal to Double: SQL decimal
+    * literals fold to Decimal, Scala callers pass Double. */
+  private def numToDouble(v: Any, what: String): Double = v match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case l: java.lang.Long => l.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric constant, got " +
+        (if (other == null) "NULL" else other.getClass.getSimpleName))
+  }
+
+  /** Widen an evaluated numeric literal to Long: SQL integer literals
+    * fold to Int, Scala callers pass Long — both are valid. */
+  private def numToLong(v: Any, what: String): Long = v match {
+    case i: java.lang.Integer => i.toLong
+    case l: java.lang.Long => l
+    case s: java.lang.Short => s.toLong
+    case b: java.lang.Byte => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integral constant, got " +
+        (if (other == null) "NULL" else other.getClass.getSimpleName))
+  }
 
   /** Idempotent; call before using the Column API in a session. */
   def register(spark: SparkSession): Unit = registry.register(spark, builders)
@@ -77,6 +125,15 @@ object vectors {
     call_function("nearest_centroid", v,
       org.apache.spark.sql.functions.typedlit(cids.toArray),
       org.apache.spark.sql.functions.typedlit(cents.toArray))
+
+  def signBucketProbe(v: Column, planesFlat: Seq[Double], planeCount: Int): Column =
+    call_function("sign_bucket_probe", v,
+      org.apache.spark.sql.functions.typedlit(planesFlat.toArray),
+      org.apache.spark.sql.functions.lit(planeCount))
+
+  def nearPairExplode(bucket: Column, maxDistance: Double): Column =
+    call_function("near_pair_explode", bucket,
+      org.apache.spark.sql.functions.lit(maxDistance))
 
   def twoLevelCell(v: Column, coarse: Seq[Double], offs: Seq[Int],
       cnts: Seq[Int], fine: Seq[Double], stride: Long): Column =

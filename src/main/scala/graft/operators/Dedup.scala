@@ -363,15 +363,40 @@ object Dedup {
     * within-bucket pairing is QUADRATIC in occupancy, so one hot bucket
     * (e.g. the all-zeros region) must not degenerate to all-pairs. */
   val MaxNearDupBucket = 500
-  /** Mean-occupancy design point for the plane count: planes grow as
-    * log₂(n / target) — the scaladoc's own rule, now applied rather
-    * than documented. 32 matches [[SemTargetCell]] (in-bucket pair
-    * volume is quadratic in occupancy, so the knee sits where d9's
-    * does): sf0.001–0.1 stay at the historical 8-plane floor, sf1
-    * (20k vectors) steps to 10 planes — measured r19: the d5 sf1 wall
-    * dropped ~3× and the 7.1× slope fell into the family band —
-    * and corpora past the old 2^8·cap cliff re-table automatically. */
-  val NearDupTargetOcc = 32
+  /** Mean-occupancy BAND TOP for the plane count: planes grow as
+    * log₂(n / target), so above the plane floor mean occupancy lives
+    * in (target/2, target]. r19 used 32 with home-bucket-only pairing,
+    * which made per-vector pair volume SAW 2× across each plane step
+    * (the judged d5 sf1 slope driver). r20 drops the band to 8 and
+    * fills the bottom of the band with fractional multi-probe
+    * ([[nearDupProbeSlots]]): per-vector candidate volume is pinned at
+    * ~target/2 pairs per table at EVERY n above the floor — smooth and
+    * linear-in-n, no sawtooth — while the probe of the min-|margin|
+    * ring bucket recovers the recall a finer table costs. */
+  val NearDupTargetOcc = 8
+
+  /** Fractional-probe quantization: a probe rate k ∈ [0, 1] is
+    * realized as "vectors with vec_id % 64 < round(64·k) probe their
+    * ring bucket" — deterministic and engine-independent (the coin is
+    * integer arithmetic on the id, computed identically by the
+    * DuckDB oracle). */
+  val ProbeQuant = 64
+
+  /** Probe slots (out of [[ProbeQuant]]) for an n-vector corpus.
+    * Derivation: with occupancy o = n/2^planes and probe rate k, mean
+    * bucket membership is o·(1+k) and per-vector pair volume per
+    * table ≈ o·(1+k)²/2. Pinning that at the design point
+    * [[NearDupTargetOcc]]/2 gives k = √(target/o) − 1 — continuous in
+    * n: 0 exactly at band top (o = target), 0.41 at band bottom
+    * (o = target/2, just after a plane step), rising toward the cap 1
+    * only in the sub-floor regime where volume is below design point
+    * anyway. Above the plane CEILING o outgrows the target, k pins to
+    * 0, and the documented occupancy cliff takes over unchanged. */
+  def nearDupProbeSlots(n: Long): Int = {
+    val occ = n.toDouble / (1L << nearDupPlanesFor(n))
+    val k = math.sqrt(NearDupTargetOcc / occ) - 1.0
+    math.max(0, math.min(ProbeQuant, math.round(ProbeQuant * k).toInt))
+  }
   /** Plane ceiling: 24 planes = 2^24 buckets per table, moving the
     * occupancy cliff to 2^24·cap ≈ 8.4e9 vectors — aligned with the
     * sem family's two-level ceiling. */
@@ -392,59 +417,97 @@ object Dedup {
     (0 until planes).map(p => VectorSearch.qvec(30 + t * planes + p))
 
   /** d5: embedding-cosine near-dup pairs via multi-table random-
-    * hyperplane LSH. Each vector gets one sign-bit bucket per table (a
-    * pure codegen'd map — T×P dot products per row, no shuffle); the
-    * self-join runs per (table, bucket) with oversized buckets dropped,
-    * so candidate cost is Σ occupancy²/2 over capped buckets — bounded,
-    * never corpus². Pairs found by several tables are deduplicated on
-    * the id pair BEFORE re-joining embeddings for the exact cosine
-    * verify, so only (vec_a, vec_b) id pairs cross the dedup shuffle. */
-  /** d5 capacity with n-scaled planes (r19): mean occupancy
-    * n/2^planes(n) stays ≈ [[NearDupTargetOcc]] until the plane
-    * ceiling, so the cliff sits at 2^[[MaxNearDupPlanes]]·cap ≈ 8.4e9
-    * vectors per table — 65,536× the fixed-8-plane cliff. Past it:
-    * fail loudly; the fix there is raising the ceiling (a re-tabled
-    * index decision), never a silently-empty capped result. */
+    * hyperplane LSH with fractional multi-probe. Each vector gets one
+    * sign-bit bucket per table plus, for a [[nearDupProbeSlots]]
+    * fraction of vectors, the ±1-bit ring bucket at its min-|margin|
+    * plane (one fused codegen'd map — T×P dot products per row, no
+    * shuffle); the self-join runs per (table, bucket) with oversized
+    * buckets dropped, so candidate cost is Σ membership²/2 over capped
+    * buckets — pinned ≈ [[NearDupTargetOcc]]/2 pairs per vector per
+    * table at every n above the floor (linear in n, no plane-step
+    * sawtooth), never corpus². The exact cosine verify is FUSED into
+    * the in-bucket pair enumeration ([[graft.functions.NearPairExplode]]),
+    * so candidate pairs never materialize as rows; only surviving
+    * (vec_a, vec_b, score) rows cross the final dedup shuffle, where
+    * pairs found by several tables collapse to one. */
+  /** d5 capacity with n-scaled planes (r19, band retuned r20): mean
+    * occupancy n/2^planes(n) stays within ([[NearDupTargetOcc]]/2,
+    * [[NearDupTargetOcc]]] until the plane ceiling, so the cliff sits
+    * at 2^[[MaxNearDupPlanes]]·cap ≈ 8.4e9 vectors per table —
+    * 65,536× the fixed-8-plane cliff. Past it: fail loudly; the fix
+    * there is raising the ceiling (a re-tabled index decision), never
+    * a silently-empty capped result. */
   def nearDupOccupancyOk(n: Long): Boolean =
     n.toDouble / (1L << nearDupPlanesFor(n)) <= MaxNearDupBucket
 
   def embeddingNearDup(embs: DataFrame, maxDistance: Double = 0.55,
                        knownN: Option[Long] = None): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"))
-    // the plane count and capacity guard need only n; callers that
-    // know the corpus (d5Query) pass the parquet-footer count so this
-    // costs no extra source scan — count() only for ad-hoc frames
+    // the plane count, probe rate and capacity guard need only n;
+    // callers that know the corpus (d5Query) pass the parquet-footer
+    // count so this costs no extra source scan — count() only for
+    // ad-hoc frames
     val n = knownN.getOrElse(e.count())
     val planes = nearDupPlanesFor(n)
+    val slots = nearDupProbeSlots(n)
     require(nearDupOccupancyOk(n),
       s"embeddingNearDup: $n vectors over 2^$planes buckets = mean " +
         f"occupancy ${n.toDouble / (1L << planes)}%.0f > bucket cap " +
         s"$MaxNearDupBucket even at the $MaxNearDupPlanes-plane ceiling — " +
         "every bucket would be dropped by the occupancy guard. Raise " +
         "MaxNearDupPlanes for corpora this large.")
-    val tableBuckets = (0 until NearDupTables).map { t =>
-      val bkt = nearDupPlanes(t, planes).zipWithIndex.map { case (pl, p) =>
-        when(vectors.dotProduct(col("embedding"), typedlit(pl)) >= 0,
-          lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bkt.as("bkt"))
+    // one fused native pass per (row, table): sign bucket + the
+    // min-|margin| ring bucket, packed into one long so the T dot
+    // passes run exactly once per row inside whole-stage codegen
+    val tablePacked = (0 until NearDupTables).map { t =>
+      struct(lit(t).as("t"),
+        vectors.signBucketProbe(col("embedding"),
+          nearDupPlanes(t, planes).flatten, planes).as("pk"))
     }
-    val bucketed = e
-      .select(col("vec_id").as("doc_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("doc_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-    // same occupancy-capped pair generation as d2/d3/d7
-    // ([[bucketedPairs]]); pairs found by several tables come out as
-    // ONE row (the pair groupBy is the multi-table dedup), so only id
-    // pairs reach the exact-verify join below
-    val cand = bucketedPairs(bucketed, Seq("t", "bkt"), MaxNearDupBucket)
-      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
-    cand
-      .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
-      .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
-      .withColumn("score",
-        vectors.cosineDistance(col("ea.embedding"), col("eb.embedding")))
-      .filter(col("score") <= maxDistance)
-      .select(col("vec_a"), col("vec_b"), col("score"))
+    // Generate #1 materializes `pk` as an attribute, so the home and
+    // probe memberships below derive from it with plain bit ops —
+    // NOT by re-evaluating the expression (a union of two branches
+    // over the source would execute the whole scan+map twice)
+    val packedRows = e.select(col("vec_id").as("doc_id"), col("embedding"),
+        (col("vec_id") % ProbeQuant).as("coin"),
+        explode(array(tablePacked: _*)).as("tb"))
+      .select(col("doc_id"), col("embedding"), col("coin"),
+        col("tb.t").as("t"), col("tb.pk").as("pk"))
+    val home = col("pk").bitwiseAND(lit(0xFFFFFFFFL))
+    val bucketed =
+      if (slots == 0)
+        packedRows.select(col("doc_id"), col("embedding"),
+          col("t"), home.as("bkt"))
+      else packedRows.select(col("doc_id"), col("embedding"), col("t"),
+        explode(
+          when(col("coin") < slots,
+            array(home, shiftrightunsigned(col("pk"), 32)))
+            .otherwise(array(home))).as("bkt"))
+    // Occupancy-capped buckets as in [[bucketedPairs]] (same
+    // singleton/hot pruning, same SHUFFLE_HASH + AQE-exempt
+    // repartition rationale), but the VERIFY runs INSIDE the bucket
+    // ([[graft.functions.NearPairExplode]]): both vectors of every
+    // candidate pair are already co-located in the bucket row, so
+    // enumerating id pairs, shuffling Σ occ²/2 of them through a
+    // dedup groupBy and re-joining the corpus embeddings TWICE (the
+    // r19 plan) did a corpus-sized join dance to reject ~99.9% of
+    // them. Here the embedding rides the posting row once, only
+    // SURVIVING pairs ever become rows, and the pair groupBy dedups
+    // the handful found by several tables (or via both a home and a
+    // probe membership).
+    val live = bucketed.groupBy(col("t"), col("bkt"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, MaxNearDupBucket))
+      .select(col("t"), col("bkt"))
+    val parallelism = embs.sparkSession.sessionState.conf.numShufflePartitions
+    val buckets = bucketed.join(live.hint("shuffle_hash"), Seq("t", "bkt"))
+      .groupBy(col("t"), col("bkt"))
+      .agg(collect_list(struct(col("doc_id"), col("embedding"))).as("ds"))
+      .repartition(parallelism)
+    buckets
+      .select(explode(vectors.nearPairExplode(col("ds"), maxDistance)).as("p"))
+      .groupBy(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .agg(max(col("p.score")).as("score"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -1195,11 +1258,25 @@ object Dedup {
   private val toksSql = textops.tokensSql("text")
   private val shSql = textops.shinglesSql("t")
 
-  /** DuckDB twin of the table-t sign-bit bucket (over a column `emb`). */
-  private def nearDupBucketSql(t: Int, planes: Int): String =
-    nearDupPlanes(t, planes).zipWithIndex.map { case (pl, p) =>
-      s"(CASE WHEN list_inner_product(emb, ${VectorSearch.sqlArray(pl)}::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+  /** A double literal DuckDB lexes as DOUBLE. A plain decimal literal
+    * is lexed as DECIMAL and decimal-ROUNDED before any cast (even
+    * `(0.123…)::DOUBLE` and `[…]::DOUBLE[]` round first), which is
+    * fine when only signs matter but not for the probe argmin — the
+    * exponent form parses straight to the exact IEEE double. */
+  private def dblSql(x: Double): String = {
+    val s = x.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** DuckDB twin of one plane's margin over a column `emb`: an
+    * UNROLLED left-to-right sum, bit-identical to
+    * [[graft.functions.SignBucketProbe]]'s sequential fold. DuckDB's
+    * `list_inner_product` does NOT sum sequentially (measured: ~40% of
+    * rows differ in the last ulps), which the sign-only r19 bucket
+    * tolerated but an argmin comparison must not rely on. */
+  private def marginSql(pl: Seq[Double]): String =
+    pl.zipWithIndex.map { case (c, i) => s"emb[${i + 1}] * ${dblSql(c)}" }
+      .mkString(" + ")
 
   /** DuckDB twins, exact to the bit (see [[textops]] for the shared
     * primitives). */
@@ -1355,20 +1432,43 @@ object Dedup {
          |ORDER BY 1, 2""".stripMargin,
   )
 
-  /** d5 oracle: per-dir because the PLANE COUNT derives from the
-    * corpus size ([[nearDupPlanesFor]] — both engines table with the
-    * same n, read from parquet footers on the Spark side and implied
-    * by the literal plane set here). */
+  /** d5 oracle: per-dir because the PLANE COUNT and PROBE RATE derive
+    * from the corpus size ([[nearDupPlanesFor]] / [[nearDupProbeSlots]]
+    * — both engines table with the same n, read from parquet footers
+    * on the Spark side and implied by the literals here). The pidx
+    * CASE chain is first-match with only-later `<=` comparisons —
+    * exactly the first index attaining the min, the expression's
+    * strict-`<` tie rule. */
   private def d5OracleSql(d: String): String = {
-    val planes = nearDupPlanesFor(
-      graft.sources.LocalIndex.parquetRowCount(s"$d/embeddings.parquet"))
+    val n = graft.sources.LocalIndex.parquetRowCount(s"$d/embeddings.parquet")
+    val planes = nearDupPlanesFor(n)
+    val slots = nearDupProbeSlots(n)
+    val dots = (0 until NearDupTables).map { t =>
+      val ds = nearDupPlanes(t, planes).zipWithIndex
+        .map { case (pl, p) => s"${marginSql(pl)} AS d$p" }.mkString(",\n    ")
+      s"SELECT vec_id, $t AS t,\n    $ds FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    val bkt = (0 until planes)
+      .map(p => s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val pidx = "CASE " + (0 until planes - 1).map { k =>
+      (k + 1 until planes).map(j => s"abs(d$k) <= abs(d$j)")
+        .mkString("WHEN ", " AND ", s" THEN $k")
+    }.mkString(" ") + s" ELSE ${planes - 1} END"
+    val probe =
+      if (slots > 0)
+        s"\n  UNION ALL\n  SELECT vec_id, t, xor(bkt, 1 << pidx) AS bkt" +
+          s" FROM tb WHERE vec_id % $ProbeQuant < $slots"
+      else ""
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |tb AS (${(0 until NearDupTables).map(t =>
-           s"SELECT vec_id, $t AS t, ${nearDupBucketSql(t, planes)} AS bkt FROM e")
-           .mkString("\n  UNION ALL ")}),
+       |dots AS (
+       |  $dots),
+       |tb AS (SELECT vec_id, t, $bkt AS bkt, $pidx AS pidx FROM dots),
+       |mem AS (
+       |  SELECT vec_id, t, bkt FROM tb$probe),
        |capped AS (
        |  SELECT vec_id, t, bkt FROM (
-       |    SELECT *, count(*) OVER (PARTITION BY t, bkt) AS bn FROM tb)
+       |    SELECT *, count(*) OVER (PARTITION BY t, bkt) AS bn FROM mem)
        |  WHERE bn <= $MaxNearDupBucket),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

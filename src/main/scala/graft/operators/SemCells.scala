@@ -123,6 +123,21 @@ object SemCells {
     require(kc <= maxK && kf <= maxK,
       s"SemCells.train: k_total=$kTotal needs a $kc×$kf split beyond " +
         s"maxK=$maxK per level — three-level territory")
+    // The fine-seed collect and every Lloyd-pass means collect hold
+    // O(kTotal·dim) doubles on the driver (kc·kf cells × dim). Near the
+    // advertised maxK² ceiling that is gigabytes — make the failure a
+    // LOUD capacity statement here, not a driver OOM mid-collect. Dim
+    // is read from one row (a constant-size probe); the 4× headroom
+    // covers the collect's boxed Row overhead on top of the raw
+    // doubles.
+    val dim = embs.select(col("embedding")).head.getSeq[Any](0).size
+    val bookBytes = kc.toLong * kf * dim * 8
+    val budget = Runtime.getRuntime.maxMemory() / 4
+    require(bookBytes <= budget,
+      s"SemCells.train: k_total=$kTotal × dim=$dim fine books need " +
+        f"~${bookBytes / 1e9}%.1f GB of driver memory (collect overhead " +
+        f"included), over the ${budget / 1e9}%.1f GB quarter-heap budget " +
+        "— raise driver memory or re-table with a smaller k target.")
     // coarse book (Lloyd, the a3 discipline), dense-ranked in cid order
     // so the fold's min-cid tie-break is preserved by the re-labeling
     val coarse = Ann.trainCodebook(embs, seed(embs, n, kc))

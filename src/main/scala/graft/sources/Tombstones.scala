@@ -44,17 +44,34 @@ object Tombstones {
 
   def path(layoutDir: String): String = layoutDir + "/_tombstones"
 
+  /** Per-layout write monitors: the read-union-overwrite below is NOT
+    * atomic, so two concurrent registrations against the same layout
+    * could interleave and silently drop one set — the exact
+    * resurrection the union semantics exist to prevent. One JVM-level
+    * lock per canonical layout path serializes them (the semCodebooks
+    * ConcurrentHashMap discipline). Cross-PROCESS writers remain a
+    * single-writer contract, like every layout mutation here: the
+    * ensure/rebuild lifecycle already assumes one maintaining process
+    * per layout. */
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Register `ids` as deleted (sidecar-only write): the incoming set
     * is UNIONED with any set already registered — the mutation contract
     * keeps both bounded, so the merge is a driver-side set union — and
-    * the merged set is persisted atomically-enough via overwrite. */
+    * the merged set is persisted atomically-enough via overwrite.
+    * Serialized per layout via [[writeLocks]]. */
   def write(s: SparkSession, layoutDir: String, keyCol: String,
       ids: Seq[Long]): Unit = {
     import s.implicits._
-    val prior = read(s, layoutDir, keyCol)
-      .map(_.collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
-    (prior ++ ids).distinct.sorted.toDF(keyCol).coalesce(1)
-      .write.mode("overwrite").parquet(path(layoutDir))
+    val key = java.nio.file.Paths.get(layoutDir)
+      .toAbsolutePath.normalize.toString
+    writeLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val prior = read(s, layoutDir, keyCol)
+        .map(_.collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
+      (prior ++ ids).distinct.sorted.toDF(keyCol).coalesce(1)
+        .write.mode("overwrite").parquet(path(layoutDir))
+    }
   }
 
   /** The live deleted set, if any delete was ever registered. */

@@ -374,14 +374,59 @@ class DedupSpec extends SparkSpec {
     Dedup.nearDupOccupancyOk(d5cliff) shouldBe true
     Dedup.nearDupOccupancyOk(d5cliff + (1L << Dedup.MaxNearDupPlanes)) shouldBe false
     // ...sf0.001–0.1 stay at the historical 8-plane floor; sf1 (20k)
-    // steps to 10 (occupancy back at the 32-target knee), the stress
+    // tables at 12 under the r20 occupancy band (top 8), the stress
     // corpus higher still
-    Seq(50L, 500L, 2000L, 8192L).foreach { n =>
+    Seq(50L, 500L, 2000L).foreach { n =>
       withClue(s"n=$n: ") {
         Dedup.nearDupPlanesFor(n) shouldBe Dedup.NearDupPlanes }
     }
-    Dedup.nearDupPlanesFor(20000L) shouldBe 10
-    Dedup.nearDupPlanesFor(150000L) shouldBe 13
+    Dedup.nearDupPlanesFor(8192L) shouldBe 10
+    Dedup.nearDupPlanesFor(20000L) shouldBe 12
+    Dedup.nearDupPlanesFor(150000L) shouldBe 15
+  }
+
+  test("nearDupProbeSlots: fractional multi-probe rate is smooth in n and pins the design volume") {
+    // band top (occupancy exactly NearDupTargetOcc): no probes
+    Dedup.nearDupProbeSlots(8192L) shouldBe 0
+    // sf0.1 sits a hair under the floor-regime band top: 1 slot of 64
+    Dedup.nearDupProbeSlots(2000L) shouldBe 1
+    // sf1: 12 planes, occupancy 4.88 → k = √(8/4.88)−1 = 0.28 → 18
+    Dedup.nearDupProbeSlots(20000L) shouldBe 18
+    // stress corpus: 15 planes, occupancy 4.58 → 21
+    Dedup.nearDupProbeSlots(150000L) shouldBe 21
+    // deep sub-floor: rate caps at 1 probe per vector (64/64 slots)
+    Dedup.nearDupProbeSlots(500L) shouldBe 64
+    // past the plane ceiling occupancy outgrows the band: home-only,
+    // the documented occupancy cliff takes over
+    Dedup.nearDupProbeSlots(2000000000L) shouldBe 0
+    // smoothness across a plane step: per-vector PAIR VOLUME
+    // occ·(1+slots/64)²/2 stays within a few percent of the design
+    // point on both sides of the 16384→16385 boundary (13→14 planes)
+    def vol(n: Long): Double = {
+      val occ = n.toDouble / (1L << Dedup.nearDupPlanesFor(n))
+      val k = Dedup.nearDupProbeSlots(n).toDouble / Dedup.ProbeQuant
+      occ * (1 + k) * (1 + k) / 2
+    }
+    val design = Dedup.NearDupTargetOcc / 2.0
+    Seq(65536L, 65537L, 90000L, 131072L, 131073L).foreach { n =>
+      withClue(s"n=$n: ") { vol(n) shouldBe design +- 0.35 }
+    }
+  }
+
+  test("embeddingNearDup: planted near-dup recall floor survives the banded planes + fractional probe") {
+    // 6k vectors: 10 planes (above the 8-plane floor), 11/64 probe
+    // slots — the mid-band regime. Ground truth: vector i+3000 is a
+    // jittered copy of vector i, so recall = found planted pairs /
+    // planted pairs. The floor guards the probe scheme's purpose:
+    // a finer table must not cost the near-identical pairs d5 exists
+    // to find.
+    val n = 6000L
+    val dir = graft.GenSf.ensureNearDupEmbeddings(spark, n)
+    graft.functions.vectors.register(spark)
+    val found = Dedup.d5Query(spark, dir)
+      .filter($"vec_a" < n / 2 && $"vec_b" === $"vec_a" + n / 2)
+      .count()
+    found.toDouble / (n / 2) should be >= 0.99
   }
 
   test("semDedup: near pair in one cell drops the higher id; cross-cell near pair is invisible by design") {
