@@ -30,6 +30,66 @@ object Bench {
     * sets it, so per-round records stay medians of 3. */
   val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
 
+  // ------------------------------------------------- calibration probe
+  //
+  // Rounds 9, 11, 18 and 19 each produced a per-round record inflated
+  // 1.2–1.4× ACROSS untouched scan-only queries because the driver's
+  // bench ran right after (or concurrently with) a compile+test storm
+  // in the same container — and each time the contamination had to be
+  // adjudicated post-hoc in BASELINE from timestamps. The probe makes
+  // the record self-annotating: a fixed, data-independent CPU workload
+  // runs before and after the timed queries, and the JSON carries the
+  // measured times plus a verdict against the frozen idle-machine
+  // band. A `contended` verdict means per-query comparisons against
+  // frozen medians are unreliable for that record — re-run on an idle
+  // machine instead of arguing with the numbers.
+
+  /** Xorshift iterations per probe leg: ~0.25 s single-thread on this
+    * container when idle (calibrated r20). */
+  val ProbeIters = 300000000L
+
+  /** Frozen idle bands (seconds), calibrated r20 on this container
+    * (measured idle: t1 ∈ [0.49, 0.58] over 3 runs, mt ∈ [0.62, 0.66];
+    * bands sit ~1.3–1.45× above the idle max): single-thread leg and
+    * all-cores leg (32 concurrent copies of the same loop). The
+    * multi-thread leg is the contention detector — a concurrent sbt
+    * compile/test inflates it well past the band while the 1t leg
+    * moves less. Upper bounds only; a faster machine reads clean,
+    * which is correct (comparisons are conservative). */
+  val ProbeT1Max = 0.75
+  val ProbeMtMax = 0.95
+
+  @volatile private var probeSink = 0L // defeats dead-code elimination
+
+  private def mix(iters: Long, seed: Long): Long = {
+    var x = seed | 1L
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    x
+  }
+
+  /** One probe: (single-thread seconds, all-cores seconds). */
+  def probe(): (Double, Double) = {
+    probeSink ^= mix(ProbeIters / 10, 7L) // JIT warm, untimed
+    val t0 = System.nanoTime()
+    probeSink ^= mix(ProbeIters, 42L)
+    val t1 = (System.nanoTime() - t0) / 1e9
+    val n = Runtime.getRuntime.availableProcessors()
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val threads = (0 until n).map { i =>
+      new Thread(() => acc.addAndGet(mix(ProbeIters, i + 1L)))
+    }
+    val t2 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val mt = (System.nanoTime() - t2) / 1e9
+    probeSink ^= acc.get()
+    (t1, mt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -52,6 +112,7 @@ object Bench {
       }
     }
     names.foreach(runOne) // warmup, untimed
+    val (probeT1Pre, probeMtPre) = probe()
     // run-major order (all queries, Runs times) rather than repeating
     // each query back-to-back: back-to-back repeats share a still-warm
     // cache/JIT state the per-round driver run never sees, and a GC
@@ -59,6 +120,16 @@ object Bench {
     // of three queries.
     val samples: Seq[Seq[(String, Either[String, Double])]] =
       (1 to Runs).map(_ => names.map(n => n -> runOne(n)))
+    // second probe AFTER the timed runs: contention that starts
+    // mid-record (the r19 signature — tests kicked off while the bench
+    // was running) is invisible to a pre-only probe
+    val (probeT1Post, probeMtPost) = probe()
+    val probeVerdict =
+      if (math.min(probeT1Pre, probeT1Post) <= ProbeT1Max &&
+          math.min(probeMtPre, probeMtPost) <= ProbeMtMax &&
+          math.max(probeT1Pre, probeT1Post) <= ProbeT1Max * 1.5 &&
+          math.max(probeMtPre, probeMtPost) <= ProbeMtMax * 1.5) "clean"
+      else "contended"
     val byName: Seq[(String, Seq[Either[String, Double]])] =
       names.map(n => n -> samples.map(_.toMap.apply(n)))
     // Locale.ROOT: f"" uses the JVM default locale, so a comma-decimal
@@ -117,7 +188,8 @@ object Bench {
       Some(entries.mkString("{", ",", "}"))
     } else None
     val phasesJson = streamPhases.map(p => s""","stream_phases":$p""").getOrElse("")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$qs,"spread":$spread$phasesJson,"sf":"$sfDir"}"""
+    val probeJson = s""","probe":{"t1_pre":${fmt(probeT1Pre)},"mt_pre":${fmt(probeMtPre)},"t1_post":${fmt(probeT1Post)},"mt_post":${fmt(probeMtPost)},"band_t1":${fmt(ProbeT1Max)},"band_mt":${fmt(ProbeMtMax)},"verdict":"$probeVerdict"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$qs,"spread":$spread$phasesJson$probeJson,"sf":"$sfDir"}"""
     println(fullLine)
     // Truncation-proof copy of the FULL record (r9 verdict #1: the
     // driver's stdout tail capture clipped the spread data exactly when
@@ -147,7 +219,7 @@ object Bench {
       .mkString("{", ",", "}")
     val omitted = math.max(0,
       stats.count { case (_, m, _) => m.isDefined } - 20)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$slowest,"queries_omitted":$omitted,"full":"BENCH_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$slowest,"queries_omitted":$omitted,"probe":"$probeVerdict","full":"BENCH_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

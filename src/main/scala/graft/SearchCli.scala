@@ -37,16 +37,24 @@ import graft.functions.{concepts, vectors}
 object SearchCli {
 
   /** The query-side model: the deterministic stub by default (the
-    * gate contract), or the REAL endpoint named by
-    * GRAFT_EMBED_ENDPOINT — a server wrapping an actual text encoder
-    * behind [[VectorSearch.HttpBatchEmbedder]]'s JSON contract, at
-    * the corpus dim (GRAFT_EMBED_DIM overrides when a real corpus was
-    * ingested at a different width). This is the search.py:40-42 swap
-    * point exercised end-to-end by RealEmbedderSmokeSpec. */
-  private lazy val embedder: VectorSearch.BatchEmbedder =
-    sys.env.get("GRAFT_EMBED_ENDPOINT") match {
+    * gate contract), or the REAL endpoint named by the
+    * `graft.embed.endpoint` system property / GRAFT_EMBED_ENDPOINT
+    * env var — a server wrapping an actual text encoder behind
+    * [[VectorSearch.HttpBatchEmbedder]]'s JSON contract, at the
+    * corpus dim (`graft.embed.dim` / GRAFT_EMBED_DIM overrides when a
+    * real corpus was ingested at a different width). This is the
+    * search.py:40-42 swap point; the server-backed path is proven
+    * in-suite against an in-process model server (SearchCliSpec) and
+    * end-to-end by RealEmbedderSmokeSpec against a live one. A `def`
+    * re-reading the config per query: construction is trivial and the
+    * property form is what lets a suite inject an endpoint into a
+    * running JVM. */
+  private def embedder: VectorSearch.BatchEmbedder =
+    sys.props.get("graft.embed.endpoint")
+      .orElse(sys.env.get("GRAFT_EMBED_ENDPOINT")) match {
       case Some(ep) => new VectorSearch.HttpBatchEmbedder(ep,
-        sys.env.get("GRAFT_EMBED_DIM").map(_.toInt)
+        sys.props.get("graft.embed.dim")
+          .orElse(sys.env.get("GRAFT_EMBED_DIM")).map(_.toInt)
           .getOrElse(VectorSearch.Dim))
       case None => new VectorSearch.StubBatchEmbedder()
     }

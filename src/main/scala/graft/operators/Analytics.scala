@@ -914,6 +914,22 @@ object Analytics {
     * (property-pinned). */
   val SweepChunkMs: Long = 7L * 24 * 3600 * 1000
 
+  /** Auto-switch point between the single-window and chunked sweep
+    * forms (r20): the chunked machinery costs ~4 extra tiny stages
+    * (~0.1–0.15 s each at local scale — pure scheduling, no data), which
+    * it repays only once a single task's share of the sort is the
+    * bottleneck. Below this many INPUT rows the per-series sort is
+    * ≤ ~100k sweep events on one task and single-window wins (q45 paid
+    * 2.7× at sf0.1 for chunking it needed only at sf1 — r19 verdict
+    * item 3); above it the chunked form's parallel sort + boundary
+    * carry wins and keeps winning at any scale. Both forms are
+    * property-pinned identical, so the switch changes the PLAN only;
+    * the row count comes from parquet footers (footer-cheap, both
+    * engines see the same n — the d5 knownN discipline). The chunked
+    * path stays DuckDB-verified every round via the sf1 parity run
+    * (1M events > the switch point). */
+  val SweepSwitchRows: Long = 250000L
+
   /** Chunked [[maxIntersections]]: the ±1 sweep events chunk by their
     * own time (floor(t / chunkMs) — equal times land in one chunk, so
     * the −1-before-+1 tie rule is untouched); pass 1 runs the running
@@ -950,17 +966,22 @@ object Analytics {
       .orderBy(col("series"))
   }
 
-  /** q44: [[maxIntersectionsChunked]] over per-user activity intervals
+  /** q44: [[maxIntersections]] / [[maxIntersectionsChunked]] (auto-
+    * switched at [[SweepSwitchRows]]) over per-user activity intervals
     * derived deterministically from events ([ts, ts + value minutes)),
     * per event_type: the peak number of simultaneously-active
     * intervals and when it first occurs. Times in epoch ms (the q39
     * convention). */
-  def q44MaxIntersections(s: SparkSession, d: String): DataFrame =
-    maxIntersectionsChunked(Tables.events(s, d)
+  def q44MaxIntersections(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
       .select(col("event_type").as("series"),
         unix_millis(col("ts")).as("start"),
         (unix_millis(col("ts")) +
-          expr("CAST(round(value * 1000) AS BIGINT)") * 60L).as("end")))
+          expr("CAST(round(value * 1000) AS BIGINT)") * 60L).as("end"))
+    if (graft.sources.LocalIndex.parquetRowCount(s"$d/events.parquet")
+        <= SweepSwitchRows) maxIntersections(iv)
+    else maxIntersectionsChunked(iv)
+  }
 
   /** ClickHouse `intervalLengthSum(start, end)`: the total length of
     * the UNION of a group's intervals, overlaps merged — plus the
@@ -1045,17 +1066,22 @@ object Analytics {
       .orderBy(col("series"))
   }
 
-  /** q45: [[intervalLengthSumChunked]] over the SAME per-user activity
+  /** q45: [[intervalLengthSum]] / [[intervalLengthSumChunked]] (auto-
+    * switched at [[SweepSwitchRows]]) over the SAME per-user activity
     * intervals q44 sweeps ([ts, ts + value minutes), epoch ms), per
     * event_type: how much wall-clock each event type actually covers
     * once concurrent activity is merged — the ClickHouse
     * `intervalLengthSum` surface. */
-  def q45IntervalLengthSum(s: SparkSession, d: String): DataFrame =
-    intervalLengthSumChunked(Tables.events(s, d)
+  def q45IntervalLengthSum(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
       .select(col("event_type").as("series"),
         unix_millis(col("ts")).as("start"),
         (unix_millis(col("ts")) +
-          expr("CAST(round(value * 1000) AS BIGINT)") * 60L).as("end")))
+          expr("CAST(round(value * 1000) AS BIGINT)") * 60L).as("end"))
+    if (graft.sources.LocalIndex.parquetRowCount(s"$d/events.parquet")
+        <= SweepSwitchRows) intervalLengthSum(iv)
+    else intervalLengthSumChunked(iv)
+  }
 
   /** q46: ClickHouse `deltaSum` — the sum of POSITIVE deltas of
     * consecutive values in series order (the counter-increase idiom:
@@ -1345,10 +1371,14 @@ object Analytics {
     * by the sample key turns it into file pruning (the same lever as
     * c16's blooms). Threshold is an exact integer literal, the hash
     * is the cross-engine md5-based [[textops.hash60]] — bit-exact
-    * gate, no fp contract. */
+    * gate, no fp contract. The gate reads the
+    * [[graft.sources.SampleKeys]] layout (hash materialized at layout
+    * time, ClickHouse SAMPLE BY physics — the filter is an integer
+    * compare in the scan); [[samplePred]] stays the computed-hash form
+    * for raw corpora. */
   def q66Sample(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .filter(samplePred(col("user_id"), SampleNum, SampleDen))
+    graft.sources.SampleKeys.events(s, d)
+      .filter(col("smp_user") < lit(sampleThreshold(SampleNum, SampleDen)))
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"),

@@ -62,15 +62,22 @@ object Curation {
   /** c2: stratified deterministic sampling — keep a doc iff its content
     * hash lands under its stratum's per-mille rate. A pure map over the
     * scan (the filter pushes into it); no shuffle except the
-    * presentation sort. */
-  def stratifiedSample(docs: DataFrame): DataFrame =
+    * presentation sort. Over a [[graft.sources.SampleKeys]] layout the
+    * hash is the materialized `smp_text` column (an integer compare in
+    * the scan — ClickHouse `SAMPLE BY` physics); raw corpora compute it
+    * inline (identical values, identical result). */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val key =
+      if (docs.columns.contains("smp_text")) col("smp_text")
+      else textops.hash60(col("text"))
     docs
-      .filter(textops.hash60(col("text")) % 1000 < rateCol)
+      .filter(key % 1000 < rateCol)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
+  }
 
   def c2Query(s: SparkSession, d: String): DataFrame =
-    stratifiedSample(Tables.documents(s, d))
+    stratifiedSample(graft.sources.SampleKeys.documents(s, d))
 
   // ---------------------------------------------------------------- c3
 

@@ -483,32 +483,43 @@ object Dedup {
           when(col("coin") < slots,
             array(home, shiftrightunsigned(col("pk"), 32)))
             .otherwise(array(home))).as("bkt"))
-    // Occupancy-capped buckets as in [[bucketedPairs]] (same
-    // singleton/hot pruning, same SHUFFLE_HASH + AQE-exempt
-    // repartition rationale), but the VERIFY runs INSIDE the bucket
-    // ([[graft.functions.NearPairExplode]]): both vectors of every
-    // candidate pair are already co-located in the bucket row, so
-    // enumerating id pairs, shuffling Σ occ²/2 of them through a
-    // dedup groupBy and re-joining the corpus embeddings TWICE (the
-    // r19 plan) did a corpus-sized join dance to reject ~99.9% of
-    // them. Here the embedding rides the posting row once, only
-    // SURVIVING pairs ever become rows, and the pair groupBy dedups
-    // the handful found by several tables (or via both a home and a
-    // probe membership).
-    val live = bucketed.groupBy(col("t"), col("bkt"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, MaxNearDupBucket))
-      .select(col("t"), col("bkt"))
-    val parallelism = embs.sparkSession.sessionState.conf.numShufflePartitions
-    val buckets = bucketed.join(live.hint("shuffle_hash"), Seq("t", "bkt"))
-      .groupBy(col("t"), col("bkt"))
+    // The pair groupBy dedups the handful of surviving pairs found by
+    // several tables (or via both a home and a probe membership) —
+    // scores for the same pair are identical wherever it surfaced.
+    nearPairsInBuckets(bucketed, Seq("t", "bkt"), MaxNearDupBucket, maxDistance)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("score")).as("score"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Shared capped-bucket in-cell verify (d5's LSH buckets, d9's
+    * semantic cells): bucket rows (keyCols…, doc_id, embedding) →
+    * surviving cosine pairs (vec_a, vec_b, score). The
+    * [[bucketedPairs]] skeleton — singleton/hot pruning on a
+    * map-side-combinable count, SHUFFLE_HASH (never broadcast a
+    * corpus-growing side), AQE-exempt round-robin repartition before
+    * the explode — with the VERIFY fused into the in-bucket pair
+    * enumeration ([[graft.functions.NearPairExplode]]): both vectors
+    * of every candidate pair are already co-located in the bucket
+    * row, so enumerating id pairs, shuffling Σ occ²/2 of them through
+    * a dedup groupBy and re-joining the corpus embeddings TWICE (the
+    * r19 plan) did a corpus-sized join dance to reject ~99.9% of
+    * them. The embedding rides the posting row once; only SURVIVING
+    * pairs ever become rows. */
+  private def nearPairsInBuckets(rows: DataFrame, keyCols: Seq[String],
+      cap: Int, maxDistance: Double): DataFrame = {
+    val key = keyCols.map(col)
+    val live = rows.groupBy(key: _*).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, cap)).select(key: _*)
+    val parallelism = rows.sparkSession.sessionState.conf.numShufflePartitions
+    val buckets = rows.join(live.hint("shuffle_hash"), keyCols)
+      .groupBy(key: _*)
       .agg(collect_list(struct(col("doc_id"), col("embedding"))).as("ds"))
       .repartition(parallelism)
     buckets
       .select(explode(vectors.nearPairExplode(col("ds"), maxDistance)).as("p"))
-      .groupBy(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
-      .agg(max(col("p.score")).as("score"))
-      .orderBy(col("vec_a"), col("vec_b"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.score").as("score"))
   }
 
   def d5Query(s: SparkSession, d: String): DataFrame = {
@@ -1087,9 +1098,10 @@ object Dedup {
     *
     * Plan: codegen'd [[Ann.nearestCentroid]] assignment (pure map —
     * the reference-object argmin loop, no shuffle), then the shared
-    * occupancy-capped [[bucketedPairs]] on the cell key, exact cosine
-    * verify on the surviving id pairs, and a partial-aggregable
-    * groupBy for the min keeper. k scales as n/[[SemTargetCell]] so
+    * occupancy-capped in-cell fused verify ([[nearPairsInBuckets]],
+    * r20 — the exact cosine runs inside the cell row, only surviving
+    * pairs become rows), and a partial-aggregable groupBy for the min
+    * keeper. k scales as n/[[SemTargetCell]] so
     * cells stay ~constant; past [[SemMaxK]] the assignment IS
     * two-level ([[SemCells.TwoLevel]], r19: coarse literal fold routes
     * to a region, per-region sub-books ride one broadcast) — the
@@ -1109,15 +1121,11 @@ object Dedup {
     val e = embs.select(col("vec_id"), col("embedding"))
     val assigned = assigner.withCell(
         e.select(col("vec_id").as("doc_id"), col("embedding")), "cell")
-      .select(col("doc_id"), col("cell"))
-    val cand = bucketedPairs(assigned, Seq("cell"), MaxNearDupBucket)
-      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
-    cand
-      .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
-      .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
-      .withColumn("score",
-        vectors.cosineDistance(col("ea.embedding"), col("eb.embedding")))
-      .filter(col("score") <= maxDistance)
+      .select(col("doc_id"), col("embedding"), col("cell"))
+    // in-cell fused verify (r20 — [[nearPairsInBuckets]]): each vector
+    // lives in exactly ONE cell, so surviving pairs are already
+    // distinct and feed the keeper groupBy directly
+    nearPairsInBuckets(assigned, Seq("cell"), MaxNearDupBucket, maxDistance)
       .groupBy(col("vec_b").as("vec_id"))
       .agg(min(col("vec_a")).as("kept_by"),
         min_by(col("score"), col("vec_a")).as("score"))

@@ -65,11 +65,26 @@ object Dsir {
     * the totals fold — without it each reference re-executes the
     * corpus aggregate (the r14 double-broadcast lesson); checkpointing
     * the ≤B-row result costs one bounded materialization instead. */
-  def ratioTable(docs: DataFrame, targetLang: String = "en"): DataFrame = {
-    val counts = gramBuckets(docs).groupBy(col("bkt")).agg(
-      count(lit(1)).as("cr"),
-      count(when(col("lang") === lit(targetLang), lit(1))).as("ct"))
-      .localCheckpoint()
+  def ratioTable(docs: DataFrame, targetLang: String = "en",
+      sharedCounts: Option[DataFrame] = None): DataFrame = {
+    // A pipeline that also runs t10 hands in the SHARED substrate
+    // ([[Grams.counts]], r20 — built with the SAME targetLang): the
+    // per-bucket fold over it equals this gram-stream aggregate
+    // integer-for-integer (spec-pinned), and the corpus tokenize+count
+    // pass runs once for both models.
+    val counts = sharedCounts match {
+      // no checkpoint here: the fold reads an already-materialized
+      // ≤ 2B²-row table, so re-running it for the totals reference
+      // below is microseconds — and model construction stays job-free
+      // (the composite's one-corpus-pass contract is spec-pinned on
+      // exactly that)
+      case Some(sc) => sc.groupBy(col("bkt"))
+        .agg(sum(col("c")).as("cr"), sum(col("ct")).as("ct"))
+      case None => gramBuckets(docs).groupBy(col("bkt")).agg(
+        count(lit(1)).as("cr"),
+        count(when(col("lang") === lit(targetLang), lit(1))).as("ct"))
+        .localCheckpoint()
+    }
     // The smoothed multinomials are defined over ALL B buckets (that is
     // what add-one smoothing means), so the model table spans the full
     // constant-size bucket domain — buckets unseen at train time carry
@@ -113,9 +128,11 @@ object Dsir {
 
   /** Importance scores for every doc, and the top-[[SelectN]]
     * selection. `targetLang` defines the target slice (the reference
-    * distribution). */
-  def importanceSelect(docs: DataFrame, targetLang: String = "en"): DataFrame =
-    selectTop(scoreAgainst(docs, ratioTable(docs, targetLang)))
+    * distribution); `sharedCounts` is the t10+c22 pipeline substrate
+    * ([[Grams.counts]]). */
+  def importanceSelect(docs: DataFrame, targetLang: String = "en",
+      sharedCounts: Option[DataFrame] = None): DataFrame =
+    selectTop(scoreAgainst(docs, ratioTable(docs, targetLang, sharedCounts)))
 
   /** The PERSISTED frozen model — the ingest-scoring lifecycle: train
     * once per corpus state, score every arriving shard against the

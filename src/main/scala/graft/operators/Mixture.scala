@@ -55,10 +55,15 @@ object Mixture {
   /** Core take-while over `(source, doc_id, n_tok, pct)` rows: returns
     * the kept rows with their bucket and hash. Pure arithmetic on the
     * cross-engine [[textops.hash60]], so any engine replays the exact
-    * selection. */
+    * selection. Over a [[graft.sources.SampleKeys]] layout the hash is
+    * the materialized `smp_doc` column (no per-row md5 in the scan);
+    * raw frames compute it inline — identical values either way. */
   def mixtureTake(docs: DataFrame): DataFrame = {
+    val h =
+      if (docs.columns.contains("smp_doc")) col("smp_doc")
+      else textops.hash60(col("doc_id").cast("string"))
     val withH = docs
-      .withColumn("h", textops.hash60(col("doc_id").cast("string")))
+      .withColumn("h", h)
       .withColumn("bkt", pmod(col("h"), lit(NumBuckets.toLong)))
     // (1) constant-size bucket sums
     val bucketTok = withH.groupBy(col("source"), col("pct"), col("bkt"))
@@ -93,8 +98,8 @@ object Mixture {
   /** Gate: mix the documents corpus with [[pctOf]] targets and report
     * per source — kept docs/tokens against totals and budget. */
   def c12Query(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(
-      col("source"), col("doc_id"),
+    val docs = graft.sources.SampleKeys.documents(s, d).select(
+      col("source"), col("doc_id"), col("smp_doc"),
       size(textops.tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("pct", pctOf(col("source")))
     val kept = mixtureTake(docs)

@@ -360,7 +360,8 @@ object TextAnalysis {
     * sum is order-dependent → round(4) on both engines (the
     * contract's discipline). Docs with < 2 tokens have no bigrams and
     * no score row (pinned on both engines). */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame,
+      sharedCounts: Option[DataFrame] = None): DataFrame = {
     val toks = spread(docs)
       .select(col("doc_id"), textops.tokens(col("text")).as("w"))
     // sequence(1, n) counts DOWN for n < 1 — the size guard is load-bearing
@@ -375,9 +376,18 @@ object TextAnalysis {
         pmod(textops.hash60(col("b.w1")), lit(LmBuckets.toLong)).as("hu"))
     // localCheckpoint: the ≤ B²-row joint count table feeds both model
     // folds — materialize it ONCE instead of re-running the corpus
-    // aggregate per reference (the r14 double-broadcast lesson)
-    val joint = bg.groupBy(col("hb"), col("hu")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // aggregate per reference (the r14 double-broadcast lesson). A
+    // pipeline that also runs c22 hands in the SHARED substrate
+    // ([[Grams.counts]], r20) instead — its bigram slice is the same
+    // table integer-for-integer (spec-pinned), and the corpus
+    // tokenize+count pass runs once for both models.
+    val joint = sharedCounts match {
+      case Some(sc) => sc.filter(col("big"))
+        .select(col("bkt").as("hb"), col("pfx").as("hu"), col("c"))
+      case None =>
+        bg.groupBy(col("hb"), col("hu")).agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+    }
     val cbs = joint.groupBy(col("hb")).agg(sum(col("c")).as("cb"))
     val cus = joint.groupBy(col("hu")).agg(sum(col("c")).as("cu"))
     bg.join(broadcast(cbs), Seq("hb"))

@@ -199,8 +199,35 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "value"
   }
 
-  test("q44 chunked sweep: heavy window partitioned by (series, chunk), offsets broadcast, no pairwise work") {
-    val p = plan("q44_max_intersections")
+  /** The q44/q45 auto-switch (r20): below [[operators.Analytics.SweepSwitchRows]]
+    * footer rows the gates plan the SINGLE-WINDOW sweep (no chunk
+    * machinery — its ~4 extra stages were the r19 verdict's q45 sf0.1
+    * regression); above it, the chunked forms whose shapes the next
+    * two tests pin directly. The tiny gate corpus sits below the
+    * switch, sf1 (1M events) above it. */
+  test("q44/q45 at tiny SF: the switch picks the single-window sweep (no chunk joins)") {
+    graft.sources.LocalIndex.parquetRowCount(
+      s"${SparkSpec.TinySf}/events.parquet") should be <=
+      operators.Analytics.SweepSwitchRows
+    Seq("q44_max_intersections", "q45_interval_length_sum").foreach { q =>
+      val p = plan(q)
+      p should not include "Join" // no chunk-offset machinery
+      p should not include "props"
+    }
+    plan("q44_max_intersections") should include("Generate") // ±1 unpivot
+  }
+
+  private def eventIntervals = {
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, SparkSpec.TinySf)
+      .select(col("event_type").as("series"),
+        unix_millis(col("ts")).as("start"),
+        (unix_millis(col("ts")) + lit(60000L)).as("end"))
+  }
+
+  test("q44 chunked sweep (the above-switch form): heavy window partitioned by (series, chunk), offsets broadcast, no pairwise work") {
+    val p = operators.Analytics.maxIntersectionsChunked(eventIntervals)
+      .queryExecution.executedPlan.toString
     p should include("Generate") // the in-place ±1 unpivot
     // the running-sum window runs per (series, time-chunk) — the
     // low-cardinality series key alone must never own a whole sort
@@ -212,8 +239,9 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "props"
   }
 
-  test("q45 chunked islands: per-chunk windows + broadcast carries, no pair explosion") {
-    val p = plan("q45_interval_length_sum")
+  test("q45 chunked islands (the above-switch form): per-chunk windows + broadcast carries, no pair explosion") {
+    val p = operators.Analytics.intervalLengthSumChunked(eventIntervals)
+      .queryExecution.executedPlan.toString
     // the row-level windows (running max(end), flag cumsum) are both
     // per (series, chunk); only the chunk-count summary windows (the
     // boundary carries) partition by series alone
