@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{textops, vectors}
 
-/** Training-data deduplication (SURVEY §2, d1–d8).
+/** Training-data deduplication (SURVEY §2, d1–d10).
   *
   * The capability block a large-scale LLM-data pipeline needs on top of
   * the reference's query surface. Every operator is shuffle-conscious:
@@ -27,7 +27,10 @@ import graft.functions.{textops, vectors}
   * (Charikar, "Similarity estimation techniques from rounding
   * algorithms", 2002) with the pigeonhole chunk-split candidate scheme
   * (Manku/Jain/Sarma, "Detecting near-duplicates for web crawling",
-  * 2007), and random-hyperplane LSH for cosine (same Charikar paper).
+  * 2007), random-hyperplane LSH for cosine (same Charikar paper) with
+  * multi-probe on the min-margin ring bucket (Lv et al., "Multi-probe
+  * LSH", VLDB 2007), and SemDeDup cluster-scoped semantic dedup
+  * (Abbas et al., 2023).
   */
 object Dedup {
 
