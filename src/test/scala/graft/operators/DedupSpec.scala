@@ -413,6 +413,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embeddingNearDup: no false positives — every emitted pair is a true brute-force near-dup with the exact CosineDistance score") {
+    // LSH candidate generation is allowed to MISS pairs (recall is the
+    // planted-corpus floor below); it must never INVENT one, and the
+    // fused in-bucket verify must score exactly like the join +
+    // cosine_distance plan it replaced.
+    graft.functions.vectors.register(spark)
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 120L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = base.take(30).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)) }
+    val embs = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = embs.as("a").crossJoin(embs.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        graft.functions.vectors.cosineDistance(
+          $"a.embedding", $"b.embedding").as("score"))
+      .filter($"score" <= 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Dedup.embeddingNearDup(embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    got should not be empty
+    got.foreach { case (pair, score) =>
+      withClue(s"pair $pair: ") {
+        brute.get(pair) shouldBe Some(score) // member AND bit-identical
+      }
+    }
+  }
+
   test("embeddingNearDup: planted near-dup recall floor survives the banded planes + fractional probe") {
     // 6k vectors: 10 planes (above the 8-plane floor), 11/64 probe
     // slots — the mid-band regime. Ground truth: vector i+3000 is a
