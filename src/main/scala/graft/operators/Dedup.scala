@@ -508,7 +508,20 @@ object Dedup {
     * a dedup groupBy and re-joining the corpus embeddings TWICE (the
     * r19 plan) did a corpus-sized join dance to reject ~99.9% of
     * them. The embedding rides the posting row once; only SURVIVING
-    * pairs ever become rows. */
+    * pairs ever become rows.
+    *
+    * Known trade (shared with [[bucketedPairs]], deliberate): the
+    * occupancy-count side re-derives the bucket keys from a second,
+    * COLUMN-PRUNED pass over the source (the plan shows two scans —
+    * the count side never reads the embedding payload, only the key
+    * derivation). The alternatives both lose: a count window over one
+    * shuffled pass forces WindowExec's full sort of the posting rows
+    * (the sort-merge cost the SHUFFLE_HASH formulation exists to
+    * avoid), and a size-capped collect aggregate folds the count into
+    * one pass but carries per-group LIST state through the map-side
+    * partial — rows, not counts, in every mapper's hash table. Counts
+    * stay map-side-combinable 8-byte partials; the duplicated pass is
+    * a key-columns-only map. */
   private def nearPairsInBuckets(rows: DataFrame, keyCols: Seq[String],
       cap: Int, maxDistance: Double): DataFrame = {
     val key = keyCols.map(col)
