@@ -61,6 +61,19 @@ object Bench {
 
   @volatile private var probeSink = 0L // defeats dead-code elimination
 
+  /** 1-minute load average (Linux), −1 elsewhere: recorded, not
+    * gating. The probe legs are ~0.5 s samples and can straddle
+    * INTERMITTENT load that still drifts the record (measured r20: a
+    * replicate at load-avg ~3 read probe-clean yet ran a uniform
+    * 1.24× of the idle record), so the record carries the kernel's
+    * own 1-minute average for the adjudicator. */
+  private def load1(): Double =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+
   private def mix(iters: Long, seed: Long): Long = {
     var x = seed | 1L
     var i = 0L
@@ -113,6 +126,7 @@ object Bench {
     }
     names.foreach(runOne) // warmup, untimed
     val (probeT1Pre, probeMtPre) = probe()
+    val load1Pre = load1()
     // run-major order (all queries, Runs times) rather than repeating
     // each query back-to-back: back-to-back repeats share a still-warm
     // cache/JIT state the per-round driver run never sees, and a GC
@@ -124,6 +138,7 @@ object Bench {
     // mid-record (the r19 signature — tests kicked off while the bench
     // was running) is invisible to a pre-only probe
     val (probeT1Post, probeMtPost) = probe()
+    val load1Post = load1()
     val probeVerdict =
       if (math.min(probeT1Pre, probeT1Post) <= ProbeT1Max &&
           math.min(probeMtPre, probeMtPost) <= ProbeMtMax &&
@@ -188,7 +203,7 @@ object Bench {
       Some(entries.mkString("{", ",", "}"))
     } else None
     val phasesJson = streamPhases.map(p => s""","stream_phases":$p""").getOrElse("")
-    val probeJson = s""","probe":{"t1_pre":${fmt(probeT1Pre)},"mt_pre":${fmt(probeMtPre)},"t1_post":${fmt(probeT1Post)},"mt_post":${fmt(probeMtPost)},"band_t1":${fmt(ProbeT1Max)},"band_mt":${fmt(ProbeMtMax)},"verdict":"$probeVerdict"}"""
+    val probeJson = s""","probe":{"t1_pre":${fmt(probeT1Pre)},"mt_pre":${fmt(probeMtPre)},"t1_post":${fmt(probeT1Post)},"mt_post":${fmt(probeMtPost)},"load1_pre":${fmt(load1Pre)},"load1_post":${fmt(load1Post)},"band_t1":${fmt(ProbeT1Max)},"band_mt":${fmt(ProbeMtMax)},"verdict":"$probeVerdict"}"""
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$qs,"spread":$spread$phasesJson$probeJson,"sf":"$sfDir"}"""
     println(fullLine)
     // Truncation-proof copy of the FULL record (r9 verdict #1: the
