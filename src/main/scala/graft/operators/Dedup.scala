@@ -167,7 +167,16 @@ object Dedup {
     val ex = if (exIn.columns.contains("n")) exIn
       else exIn.withColumn("n", lit(0))
     val key = keyCols.map(col)
-    val live = ex.groupBy(key: _*).agg(count(lit(1)).as("df"))
+    // count(doc_id), not count(1) — identical occupancies (doc_id is
+    // never null on any posting row), but the reference keeps doc_id
+    // ALIVE through the count branch's column pruning, so its
+    // materialization exchange (the EX2 of spreadBuildMaterialize, or
+    // any caller-side repartition) canonicalizes identically to the
+    // posting branch's and Spark reuses ONE exchange for both — one
+    // scan + one build instead of a full duplicated scan→tokenize→
+    // shingle/hash chain on the count side (measured: 2 scans → 1 on
+    // d2/d3/d4/d7/m4; the r21 plan files pin it).
+    val live = ex.groupBy(key: _*).agg(count(col("doc_id")).as("df"))
       .filter(col("df").between(2, cap)).select(key: _*)
     // Explicit round-robin repartition between the bucket collapse and
     // the pair explode (r19): the collapsed bucket rows are a few KB,

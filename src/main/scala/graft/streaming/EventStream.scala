@@ -206,12 +206,19 @@ object EventStream {
     String, (Double, Double)]()
 
   /** Times awaitTermination as the maintain phase and everything from
-    * `t0` to the stream's start as the startup phase. */
+    * `t0` to the stream's start as the startup phase. With
+    * SPARK_GRAFT_STREAM_PROGRESS set, also dumps each micro-batch's
+    * progress JSON (durationMs breakdown: addBatch / getBatch /
+    * queryPlanning / walCommit / commitOffsets / stateOperators) to
+    * stderr — the per-batch attribution an optimization pass reads. */
   private def awaitWithPhases(gate: String, t0: Long,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val t1 = System.nanoTime()
     q.awaitTermination()
     lastPhases.put(gate, ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9))
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
+      q.recentProgress.foreach(p =>
+        System.err.println(s"[stream-progress] $gate ${p.json}"))
   }
 
   private def runAvailableNow(s: SparkSession, gate: String, d: String)
