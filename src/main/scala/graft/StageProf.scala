@@ -35,7 +35,11 @@ object StageProf {
           val wall = (for {s <- si.submissionTime; c <- si.completionTime}
             yield c - s).getOrElse(-1L)
           val m = si.taskMetrics
-          stages += St(si.stageId, si.name.takeWhile(_ != '\n').take(90),
+          stages += St(si.stageId,
+            si.name.takeWhile(_ != '\n').take(60) +
+              f" [deser=${m.executorDeserializeTime}ms gc=${m.jvmGCTime}ms " +
+              f"fetchWait=${m.shuffleReadMetrics.fetchWaitTime}ms " +
+              f"resSer=${m.resultSerializationTime}ms]",
             si.numTasks, wall, m.executorRunTime,
             m.executorCpuTime / 1000000,
             m.shuffleReadMetrics.totalBytesRead / 1e6,

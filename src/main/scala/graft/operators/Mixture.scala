@@ -98,10 +98,20 @@ object Mixture {
   /** Gate: mix the documents corpus with [[pctOf]] targets and report
     * per source — kept docs/tokens against totals and budget. */
   def c12Query(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: the narrow (source, doc_id, hash, n_tok, pct)
+    // projection feeds FOUR consumers (bucket sums, the tagged join's
+    // full-in and boundary branches, totals) and column pruning keeps
+    // their exchanges from ever matching — without the cut the corpus
+    // is re-scanned and re-TOKENIZED once per consumer (profiled: the
+    // tokenize stages were 4 of c12's 13 jobs and most of its wall).
+    // The checkpointed rows carry no text (~40 B/doc at any corpus
+    // size), so materializing once is strictly cheaper than one extra
+    // tokenize pass, let alone three.
     val docs = graft.sources.SampleKeys.documents(s, d).select(
       col("source"), col("doc_id"), col("smp_doc"),
       size(textops.tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("pct", pctOf(col("source")))
+      .localCheckpoint()
     val kept = mixtureTake(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs_kept"), sum(col("n_tok")).as("tokens_kept"))

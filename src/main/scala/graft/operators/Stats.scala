@@ -269,91 +269,66 @@ object Stats {
     *
     * A naive `Window.orderBy(value)` runs the whole cumulative walk in
     * a single task. Instead: (1) coarse bucket = value div `width`;
-    * (2) per-bucket subtotals — ≤ keyDomain·domain/width rows, a
-    * BOUNDED collect (width is sized so the bucket table is
-    * driver-small, the a3-codebook discipline) whose exclusive prefix
-    * per key is folded DRIVER-side into a literal offset map;
-    * (3) the intra-bucket prefix runs partitioned by (keys…, bucket),
-    * so the corpus-fed sweep fans out across width-sized slices, and
-    * each row adds its bucket's literal offset — no offsets window, no
-    * join-back (an earlier form ran both; their 3–4 extra tiny stages
-    * of scheduling overhead more than doubled q58/q62 at sf0.1). All
-    * sums are exact integers, so the split changes nothing
-    * numerically.
+    * (2) per-(keys…, bucket) subtotals — ≤ keyDomain·domain/width
+    * rows, a TINY table whatever the corpus size — get their per-key
+    * exclusive prefix and grand total from one window pass over that
+    * tiny table; (3) the intra-bucket prefix runs partitioned by
+    * (keys…, bucket), so the corpus-fed sweep fans out across
+    * width-sized slices, and each row picks up its bucket's offset
+    * via a BROADCAST join of the subtotal table. All sums are exact
+    * integers, so the split changes nothing numerically.
+    *
+    * r21 re-plan (was: collect the subtotals and fold the offsets
+    * driver-side into a literal string-keyed map): the literal-map
+    * lookup was a per-row LINEAR scan over the map entries inside the
+    * sweep projection — q63 paid ~hundreds of string compares per
+    * counts row — and the driver fold forced a second job plus a
+    * `.cache()` of the counts table to avoid recomputing its
+    * aggregate. The broadcast-join form is one action end to end
+    * (both consumers of `df` reuse one exchange), hash-O(1) per row,
+    * needs no driver collect, no cache, and no string-key formatting
+    * contract (keys join null-safely on their native type).
     *
     * Returns the swept frame — per entry (c, out) of `sums`, `out` =
     * the cumulative sum of c, inclusive of the current row when
-    * `inclusive`, else the strict prefix — PLUS the per-key grand
-    * totals of each summed column (free from the same collect; q62's
-    * ECDF denominators and q63's quantile totals would otherwise each
-    * pay another aggregate + broadcast-join stage pair). Total keys
-    * are `key1|key2|…` strings ("" for keys = Nil). */
+    * `inclusive`, else the strict prefix — plus `<out>_total` = the
+    * per-key grand total of c (q62's ECDF denominators and q63's
+    * quantile totals read it without another aggregate+join pair). */
   private[operators] def bucketedCumsum(df: DataFrame, keys: Seq[String],
       orderCol: String, sums: Seq[(String, String)], width: Int,
-      inclusive: Boolean): (DataFrame, Map[String, IndexedSeq[Long]]) = {
-    // The literal offset map is keyed by a '#'-joined string built
-    // TWICE: driver-side via String.valueOf and column-side via
-    // concat_ws/cast. Those agree only for NON-NULL STRING keys
-    // (String.valueOf(null) = "null" while concat_ws SKIPS nulls;
-    // dates/doubles/booleans format differently per engine layer) —
-    // fail loudly rather than silently mis-keying a future call site.
-    keys.foreach { k =>
-      require(df.schema(k).dataType ==
-        org.apache.spark.sql.types.StringType,
-        s"bucketedCumsum key '$k' must be STRING (driver/column key " +
-          "formatting only provably agrees for non-null strings)")
-    }
+      inclusive: Boolean): DataFrame = {
     val kc = keys.map(col)
     val bucket = expr(s"$orderCol div $width")
-    // Bounded-collect contract made explicit: the bucket table is
-    // keyDomain·(domain/width) rows — callers size `width` so this is
-    // driver-small (worst today: q63, ~86 buckets × 3 flags). The
-    // bound is enforced BEFORE the driver materializes anything: the
-    // limit(N+1) caps what can ever reach the driver, and exactly
-    // N+1 rows back means the bound was exceeded — fail loudly
-    // instead of ballooning (a post-collect check would only fire in
-    // the survivable band below actual OOM).
-    val CollectBound = 1 << 20
-    val btRows = df.groupBy((kc :+ bucket.as("bucket")): _*)
+    val bt = df.groupBy((kc :+ bucket.as("bucket")): _*)
       .agg(sum(col(sums.head._1)).as(s"bt_${sums.head._1}"),
         sums.tail.map { case (c, _) => sum(col(c)).as(s"bt_$c") }: _*)
-      .limit(CollectBound + 1)
-      .collect()
-    require(btRows.length <= CollectBound,
-      s"bucketedCumsum bucket table exceeds $CollectBound rows — width " +
-        s"$width too fine for this domain; resize so the driver-side " +
-        "offset fold stays bounded")
-    def keyOf(r: org.apache.spark.sql.Row): String =
-      keys.indices.map { i =>
-        val v = r.get(i)
-        require(v != null, s"bucketedCumsum NULL key value in '${keys(i)}'")
-        String.valueOf(v)
-      }.mkString("#")
-    // driver-side exclusive prefix per key, in bucket order
-    val offsets = scala.collection.mutable.Map[String, Long]()
-    val totals = scala.collection.mutable.Map[String, Array[Long]]()
-    btRows.sortBy(r => (keyOf(r), r.getLong(keys.length))).foreach { r =>
-      val k = keyOf(r)
-      val run = totals.getOrElseUpdate(k, Array.fill(sums.length)(0L))
-      val b = r.getLong(keys.length)
-      sums.indices.foreach { i =>
-        // same "#"-joined shape concat_ws builds column-side (empty
-        // key list → "bucket#i", concat_ws skips nothing then)
-        offsets(((keys.indices.map(j => String.valueOf(r.get(j)))
-          :+ b.toString :+ i.toString)).mkString("#")) = run(i)
-        run(i) += r.getLong(keys.length + 1 + i)
-      }
-    }
-    val offKey = (i: Int) => concat_ws("#",
-      (keys.map(col) :+ col("bucket") :+ lit(i)).map(_.cast("string")): _*)
-    val offMap = typedlit(offsets.toMap)
-    val wIn = Window.partitionBy((kc :+ col("bucket")): _*).orderBy(col(orderCol))
+    // per-key exclusive bucket prefix + grand total, one window pass
+    // over the subtotal table (tiny: its size is domain/width, fixed
+    // by the measurement's resolution, never by the corpus)
+    val wOff = Window.partitionBy(kc: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(kc: _*)
+    val offs = bt.select((kc :+ col("bucket")) ++
+      sums.map { case (c, _) =>
+        coalesce(sum(col(s"bt_$c")).over(wOff), lit(0L)).as(s"off_$c") } ++
+      sums.map { case (c, _) =>
+        sum(col(s"bt_$c")).over(wTot).as(s"tot_$c") }: _*)
+    // null-SAFE key equality: a null key value forms its own group in
+    // both the subtotal aggregate and the window, so it must also
+    // match itself here — a plain equi-join would silently drop it
+    val joined = df.withColumn("bucket", bucket).as("l")
+      .join(broadcast(offs.as("r")),
+        (keys :+ "bucket").map(k => col(s"l.$k") <=> col(s"r.$k"))
+          .reduce(_ && _))
+    val wIn = Window.partitionBy(
+      (keys.map(k => col(s"l.$k")) :+ col("l.bucket")): _*)
+      .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
-    val swept = df.withColumn("bucket", bucket)
-      .select(df.columns.map(col) ++ sums.zipWithIndex.map { case ((c, out), i) =>
-        (element_at(offMap, offKey(i)) +
-          coalesce(sum(col(c)).over(wIn), lit(0L))).as(out) }: _*)
-    (swept, totals.view.mapValues(_.toIndexedSeq).toMap)
+    joined.select(df.columns.map(c => col(s"l.$c").as(c)) ++
+      sums.map { case (c, out) =>
+        (col(s"off_$c") + coalesce(sum(col(s"l.$c")).over(wIn), lit(0L)))
+          .as(out) } ++
+      sums.map { case (c, out) => col(s"tot_$c").as(s"${out}_total") }: _*)
   }
 
   /** Bucket width for the event-value cents sweeps (domain ≤ ~56k
@@ -431,9 +406,10 @@ object Stats {
     * (flag, cents) partial aggregate; the cumulative sweep runs per
     * (flag, bucket) slice via [[bucketedCumsum]] — the sweep fans out
     * over ~domain/width tasks instead of one per flag, so a price
-    * domain outgrowing a partition can't serialize the walk. The
-    * counts table is cached (domain-sized): the bucket subtotals, the
-    * join-back, and the per-flag totals all read it in memory. */
+    * domain outgrowing a partition can't serialize the walk. One
+    * action end to end: the subtotal and sweep branches reuse the
+    * counts aggregate's exchange, and the per-flag totals ride the
+    * swept frame — no cache, no driver fold (r21 re-plan). */
   def q63WeightedQuantile(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(19,0)"
     val cnt = Tables.lineitem(s, d)
@@ -441,16 +417,12 @@ object Stats {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
         col("l_quantity").cast("long").as("wt"))
       .groupBy(col("flag"), col("cents")).agg(sum(col("wt")).as("w"))
-      .cache()
-    val (swept, totals) = bucketedCumsum(cnt, Seq("flag"), "cents",
+    val swept = bucketedCumsum(cnt, Seq("flag"), "cents",
       Seq("w" -> "cumw"), SweepWidth * 64, inclusive = true)
-    // per-flag weight totals from the sweep's bounded collect — a
-    // literal map lookup instead of an aggregate + broadcast join
-    val totMap = typedlit(totals.map { case (k, v) => k -> v.head })
     val sw = swept
       .select(col("flag"), col("cents"),
         col("cumw").cast(dec).as("cumw"),
-        element_at(totMap, col("flag").cast("string")).cast(dec).as("totw"))
+        col("cumw_total").cast(dec).as("totw"))
     def pick(num: Int, den: Int): org.apache.spark.sql.Column =
       min(when(col("cumw") * lit(den) >= col("totw") * lit(num),
         col("cents")))

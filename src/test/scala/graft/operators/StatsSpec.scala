@@ -202,34 +202,35 @@ class StatsSpec extends SparkSpec {
     (r.getDouble(4) * hLang) shouldBe (hSrcGot * hSrc +- 1e-2)
   }
 
-  test("bucketedCumsum rejects non-string and null keys loudly") {
+  test("bucketedCumsum sweeps exactly, carries totals, keeps null keys") {
     import spark.implicits._
-    // a DOUBLE key would silently mis-key the driver-built literal
-    // offset map (String.valueOf vs concat_ws formatting) — must throw
-    val dbl = Seq((1.0, 10L, 1L)).toDF("k", "cents", "c")
-    val e1 = intercept[IllegalArgumentException] {
-      Stats.bucketedCumsum(dbl, Seq("k"), "cents",
-        Seq(("c", "cum")), 1024, inclusive = true)
-    }
-    e1.getMessage should include("must be STRING")
-    // a NULL key value diverges too (String.valueOf → "null",
-    // concat_ws skips) — must throw, not corrupt the sweep
-    val nul = Seq((Option.empty[String], 10L, 1L), (Some("a"), 20L, 2L))
-      .toDF("k", "cents", "c")
-    val e2 = intercept[IllegalArgumentException] {
-      Stats.bucketedCumsum(nul, Seq("k"), "cents",
-        Seq(("c", "cum")), 1024, inclusive = true)
-    }
-    e2.getMessage should include("NULL key")
-    // the happy path still sweeps: exact per-key running sums
+    // exact per-key running sums across a bucket boundary (width 1024:
+    // cents 10 and 2000 land in different buckets), totals on the row
     val ok = Seq(("a", 10L, 1L), ("a", 2000L, 2L), ("b", 10L, 5L))
       .toDF("k", "cents", "c")
-    val (swept, totals) = Stats.bucketedCumsum(ok, Seq("k"), "cents",
+    val swept = Stats.bucketedCumsum(ok, Seq("k"), "cents",
       Seq(("c", "cum")), 1024, inclusive = true)
-    swept.orderBy(col("k"), col("cents")).select(col("k"), col("cum"))
+    swept.orderBy(col("k"), col("cents"))
+      .select(col("k"), col("cum"), col("cum_total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array(("a", 1L, 3L), ("a", 3L, 3L), ("b", 5L, 5L))
+    // a NULL key value is its own group on both sides of the offset
+    // join (null-safe equality) — swept, not silently dropped
+    val nul = Seq((Option.empty[String], 10L, 1L),
+      (Option.empty[String], 2000L, 2L), (Some("a"), 20L, 2L))
+      .toDF("k", "cents", "c")
+    val sweptNul = Stats.bucketedCumsum(nul, Seq("k"), "cents",
+      Seq(("c", "cum")), 1024, inclusive = true)
+    sweptNul.orderBy(col("k"), col("cents"))
+      .select(col("cents"), col("cum"), col("cum_total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array((10L, 1L, 3L), (2000L, 3L, 3L), (20L, 2L, 2L))
+    // exclusive form: strict prefix
+    val excl = Stats.bucketedCumsum(ok, Seq("k"), "cents",
+      Seq(("c", "cum")), 1024, inclusive = false)
+    excl.orderBy(col("k"), col("cents")).select(col("k"), col("cum"))
       .collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
-      Array(("a", 1L), ("a", 3L), ("b", 5L))
-    totals("a") shouldBe IndexedSeq(3L)
+      Array(("a", 0L), ("a", 1L), ("b", 0L))
   }
 
   test("q56 moving agg equals a driver-side trailing-7 fold") {
