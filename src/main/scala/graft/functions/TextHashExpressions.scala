@@ -379,6 +379,105 @@ case class GramHash60s(child: Expression, n: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** array<string> → array<struct<big: boolean, bkt: long, pfx: long>>:
+  * the hashed-gram feature stream of a token array — one struct per
+  * unigram occurrence (big=false, bkt=pfx=hash60(token) mod B) and per
+  * bigram occurrence (big=true, bkt=hash60("w1 w2") mod B,
+  * pfx=hash60(w1) mod B), unigrams first then bigrams in position
+  * order — exactly the declarative
+  * `explode(concat(transform(w, …unigram…), transform(sequence(1,
+  * size(w)−1), …bigram…)))` tree it replaces in [[graft.operators
+  * .Grams.stream]] / Dsir's gram stream / t10's bigram stream
+  * (bigramsOnly=true drops the unigram arm).
+  *
+  * Why native: the HOF form dispatched its lambdas interpretively per
+  * gram and paid the md5-HEX-STRING hash60 chain (md5 → 32-char hex →
+  * substring → base-16 conv) TWICE per bigram plus a concat_ws
+  * allocation. Here each token's digest is computed once (it is the
+  * unigram bucket AND every following bigram's prefix bucket), the
+  * bigram digest streams w1 + ' ' + w2 through one thread-local MD5
+  * with no string build, and the 60-bit value is the digest's top 60
+  * bits ([[ShingleHash60s]]'s proven-equal idiom). */
+case class GramBuckets(child: Expression, buckets: Int, bigramsOnly: Boolean)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String =
+    if (bigramsOnly) "bigram_buckets" else "gram_buckets"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("big", BooleanType, nullable = false),
+    StructField("bkt", LongType, nullable = false),
+    StructField("pfx", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def top60(d: Array[Byte]): Long = {
+    val be64 =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be64 >>> 4
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    if (n == 0 || (bigramsOnly && n < 2)) return empty
+    val digest = md5.get()
+    val bytes = new Array[Array[Byte]](n)
+    val hu = new Array[Long](n) // per-token bucket, computed ONCE each
+    var i = 0
+    while (i < n) {
+      bytes(i) = toks.getUTF8String(i).getBytes
+      digest.reset()
+      hu(i) = top60(digest.digest(bytes(i))) % buckets
+      i += 1
+    }
+    val nUni = if (bigramsOnly) 0 else n
+    val out = new Array[Any](nUni + math.max(n - 1, 0))
+    if (!bigramsOnly) {
+      i = 0
+      while (i < n) {
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(
+          false, hu(i), hu(i))
+        i += 1
+      }
+    }
+    i = 0
+    while (i < n - 1) {
+      digest.reset()
+      digest.update(bytes(i))
+      digest.update(' '.toByte)
+      digest.update(bytes(i + 1))
+      val hb = top60(digest.digest()) % buckets
+      out(nUni + i) = org.apache.spark.sql.catalyst.InternalRow(
+        true, hb, hu(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** array<struct<doc_id: bigint, …>> → array<struct<lo, hi>>: every
   * unordered element pair of a bucket, each pair canonicalized lo/hi
   * by the leading doc_id (ties keep the HOF form's orientation) — the
@@ -596,6 +695,11 @@ object texthash {
     "shingle_hash60s" -> { es => ShingleHash60s(es.head, 3) },
     "char_grams" -> { es => CharGrams(es.head, 4) },
     "gram_hash60s" -> { es => GramHash60s(es.head, 8) },
+    // B = 1024 is the shared hashed-gram bucket count (the
+    // Grams.Buckets == LmBuckets == Dsir.NumBuckets contract,
+    // spec-pinned in GramsSpec)
+    "gram_buckets" -> { es => GramBuckets(es.head, 1024, bigramsOnly = false) },
+    "bigram_buckets" -> { es => GramBuckets(es.head, 1024, bigramsOnly = true) },
     "pair_explode" -> { es => PairExplode(es.head) },
     // textops twins (same trees the Column API builds)
     "hash60" -> { es =>
@@ -614,5 +718,7 @@ object texthash {
   def shingleHash60s(c: Column): Column = call_function("shingle_hash60s", c)
   def charGrams4(c: Column): Column = call_function("char_grams", c)
   def gramHash60s8(c: Column): Column = call_function("gram_hash60s", c)
+  def gramBuckets1024(c: Column): Column = call_function("gram_buckets", c)
+  def bigramBuckets1024(c: Column): Column = call_function("bigram_buckets", c)
   def pairExplode(c: Column): Column = call_function("pair_explode", c)
 }

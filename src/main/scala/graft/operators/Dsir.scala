@@ -43,19 +43,21 @@ object Dsir {
   val SelectN = 64
 
   /** The raw gram-occurrence stream: every unigram and space-joined
-    * bigram occurrence with its feature bucket (doc_id, lang, bkt). */
-  private def gramBuckets(docs: DataFrame): DataFrame =
+    * bigram occurrence with its feature bucket (doc_id, lang, bkt) —
+    * the bkt slice of the fused native gram pass
+    * ([[graft.functions.GramBuckets]], shared with [[Grams.stream]];
+    * bit-equality with the declarative tree is spec-pinned). */
+  private def gramBuckets(docs: DataFrame): DataFrame = {
+    require(NumBuckets == 1024, // the registered expression's fixed width
+      "Dsir.NumBuckets moved off 1024 — re-register gram_buckets first")
+    graft.functions.texthash.register(docs.sparkSession)
     graft.Spread.ifNarrow(docs)
       .select(col("doc_id"), col("lang"),
         textops.tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("lang"), explode(expr(
-        // sequence(1, n) counts DOWN for n < 1 — guard the bigram arm
-        "concat(w, CASE WHEN size(w) >= 2 THEN " +
-          "transform(sequence(1, size(w) - 1), i -> " +
-          "concat_ws(' ', element_at(w, i), element_at(w, i + 1))) " +
-          "ELSE array() END)")).as("g"))
       .select(col("doc_id"), col("lang"),
-        pmod(textops.hash60(col("g")), lit(NumBuckets.toLong)).as("bkt"))
+        explode(graft.functions.texthash.gramBuckets1024(col("w"))).as("e"))
+      .select(col("doc_id"), col("lang"), col("e.bkt").as("bkt"))
+  }
 
   /** The trained model: the B-bounded (bkt, r) log-ratio table.
     * BOTH multinomials come from ONE corpus aggregate (conditional

@@ -36,25 +36,26 @@ object Grams {
     * (doc_id, lang, big, bkt, pfx) where `bkt` hashes the gram
     * ("w1 w2" for bigrams), `pfx` hashes the first word (the LM's
     * conditioning feature; = bkt for unigrams), both mod [[Buckets]].
-    * One tokenize pass, explode in place — no shuffle. */
-  def stream(docs: DataFrame): DataFrame =
+    * One tokenize pass, explode in place — no shuffle. The gram build
+    * + hash is the fused native
+    * [[graft.functions.GramBuckets]] (r21): one thread-local digest
+    * per gram instead of the interpreted HOF tree that paid the
+    * md5-hex-string hash60 chain twice per bigram (bit-equality with
+    * that tree is spec-pinned in GramsSpec). */
+  def stream(docs: DataFrame): DataFrame = {
+    // the registered native expression is fixed at B=1024; a drifted
+    // Buckets constant would silently mis-bucket every model
+    require(Buckets == 1024,
+      "Grams.Buckets moved off 1024 — re-register gram_buckets/" +
+        "bigram_buckets with the new width before using the substrate")
+    graft.functions.texthash.register(docs.sparkSession)
     graft.Spread.ifNarrow(docs)
       .select(col("doc_id"), col("lang"), textops.tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("lang"), explode(expr(
-        // sequence(1, n) counts DOWN for n < 1 — guard the bigram arm;
-        // the ELSE needs the explicit struct cast (a bare array() would
-        // have to coerce array<null> to array<struct>)
-        "concat(" +
-          "transform(w, x -> named_struct('g', x, 'p', x, 'big', false)), " +
-          "CASE WHEN size(w) >= 2 THEN " +
-          "transform(sequence(1, size(w) - 1), i -> named_struct(" +
-          "'g', concat_ws(' ', element_at(w, i), element_at(w, i + 1)), " +
-          "'p', element_at(w, i), 'big', true)) " +
-          "ELSE CAST(array() AS ARRAY<STRUCT<g: STRING, p: STRING, big: BOOLEAN>>) END)"))
-        .as("e"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.texthash.gramBuckets1024(col("w"))).as("e"))
       .select(col("doc_id"), col("lang"), col("e.big").as("big"),
-        pmod(textops.hash60(col("e.g")), lit(Buckets.toLong)).as("bkt"),
-        pmod(textops.hash60(col("e.p")), lit(Buckets.toLong)).as("pfx"))
+        col("e.bkt").as("bkt"), col("e.pfx").as("pfx"))
+  }
 
   /** The ONE materialized corpus aggregate both models fold from:
     * occurrence counts per (big, bkt, pfx) with the target-language

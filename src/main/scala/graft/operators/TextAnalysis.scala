@@ -362,18 +362,22 @@ object TextAnalysis {
     * no score row (pinned on both engines). */
   def lmScore(docs: DataFrame,
       sharedCounts: Option[DataFrame] = None): DataFrame = {
+    require(LmBuckets == 1024, // the registered expression's fixed width
+      "LmBuckets moved off 1024 — re-register bigram_buckets first")
+    graft.functions.texthash.register(docs.sparkSession)
     val toks = spread(docs)
       .select(col("doc_id"), textops.tokens(col("text")).as("w"))
-    // sequence(1, n) counts DOWN for n < 1 — the size guard is load-bearing
+    // fused native bigram pass ([[graft.functions.GramBuckets]],
+    // bigramsOnly — r21): each bigram's (hb, hu) from one thread-local
+    // digest walk instead of the interpreted HOF tree that paid the
+    // md5-hex-string hash60 chain twice per bigram. < 2-token docs
+    // yield an empty array and explode to nothing — the same no-score
+    // contract the size filter pinned (kept as a cheap prefilter).
     val bg = toks.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), expr(
-        "explode(transform(sequence(1, size(w) - 1), i -> " +
-          "named_struct('w1', element_at(w, i), " +
-          "'w2', element_at(w, i + 1))))").as("b"))
       .select(col("doc_id"),
-        pmod(textops.hash60(concat_ws(" ", col("b.w1"), col("b.w2"))),
-          lit(LmBuckets.toLong)).as("hb"),
-        pmod(textops.hash60(col("b.w1")), lit(LmBuckets.toLong)).as("hu"))
+        explode(graft.functions.texthash.bigramBuckets1024(col("w"))).as("b"))
+      .select(col("doc_id"),
+        col("b.bkt").as("hb"), col("b.pfx").as("hu"))
     // localCheckpoint: the ≤ B²-row joint count table feeds both model
     // folds — materialize it ONCE instead of re-running the corpus
     // aggregate per reference (the r14 double-broadcast lesson). A
