@@ -92,17 +92,34 @@ object Mutation {
                    (f: DataFrame => DataFrame): (Int, Int) = {
     val affected = keys.map(k => ((k % NumBuckets + NumBuckets) % NumBuckets).toInt)
       .distinct.sorted
-    affected.foreach { bkt =>
-      val bdir = s"$dir/b=$bkt"
-      require(new java.io.File(bdir).isDirectory,
-        s"applyMutation: bucket dir $bdir missing — mutation over a " +
-          "non-materialized layout would silently drop the bucket")
-      // Compaction.rewrite builds the tmp from a full read of the live
-      // dir BEFORE the swap, so the read-modify-write is safe
-      graft.streaming.Compaction.rewrite(bdir) { tmp =>
-        f(s.read.parquet(bdir)).write.parquet(tmp)
+    // One bucket rewrite = one tiny Spark job (read one dir → filter →
+    // write). Running them serially leaves the cluster idle for every
+    // job's scheduling latency × affected buckets; the rewrites touch
+    // DISJOINT directories (distinct tmp dirs, distinct renames), so
+    // they are submitted concurrently from a bounded pool and the
+    // per-bucket atomic tmp-build+swap contract is unchanged. Spark's
+    // scheduler interleaves the jobs (FIFO back-fill); 4 in flight is
+    // enough to hide the latency without flooding a shared cluster.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, affected.length)))
+    try {
+      val futures = affected.map { bkt =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val bdir = s"$dir/b=$bkt"
+            require(new java.io.File(bdir).isDirectory,
+              s"applyMutation: bucket dir $bdir missing — mutation over a " +
+                "non-materialized layout would silently drop the bucket")
+            // Compaction.rewrite builds the tmp from a full read of the
+            // live dir BEFORE the swap, so the read-modify-write is safe
+            graft.streaming.Compaction.rewrite(bdir) { tmp =>
+              f(s.read.parquet(bdir)).write.parquet(tmp)
+            }
+          }
+        })
       }
-    }
+      futures.foreach(_.get()) // propagate the first failure loudly
+    } finally pool.shutdown()
     (affected.length, NumBuckets - affected.length)
   }
 

@@ -69,8 +69,16 @@ object Tombstones {
     writeLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val prior = read(s, layoutDir, keyCol)
         .map(_.collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
-      (prior ++ ids).distinct.sorted.toDF(keyCol).coalesce(1)
-        .write.mode("overwrite").parquet(path(layoutDir))
+      // Idempotent re-delete fast path: if every incoming id is already
+      // registered, the union IS the prior set — skip the rewrite (a
+      // re-run of a delete gate re-registers the same pinned set every
+      // time; rewriting an identical sidecar per run is a pure
+      // write-job tax). `prior.nonEmpty` guards the never-registered +
+      // empty-ids case, which must still create the sidecar.
+      if (!(prior.nonEmpty && ids.forall(prior.toSet))) {
+        (prior ++ ids).distinct.sorted.toDF(keyCol).coalesce(1)
+          .write.mode("overwrite").parquet(path(layoutDir))
+      }
     }
   }
 

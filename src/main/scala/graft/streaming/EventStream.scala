@@ -221,7 +221,18 @@ object EventStream {
         System.err.println(s"[stream-progress] $gate ${p.json}"))
   }
 
-  private def runAvailableNow(s: SparkSession, gate: String, d: String)
+  /** State-partition sizing, MEASURED r21: widening the corpus-sized-
+    * state gates (s2 sessions / s3 hashes / s4 join buffers) from 8 to
+    * defaultParallelism (32) state partitions was tried and REJECTED —
+    * 5-run medians at sf0.1 went s4 4.19→26.5 s, s2 2.48→12.1 s,
+    * s3 2.07→11.6 s (maintain phase 4.0→24.3 s on s4): the HDFS state
+    * store pays per-partition delta/snapshot/maintenance I/O per
+    * micro-batch, which dwarfs the parallelism gain at any state size
+    * that fits a batch. 8 stays the setting at every scale tested;
+    * `stateParts` remains a parameter so a genuinely huge-state
+    * deployment can widen it deliberately. */
+  private def runAvailableNow(s: SparkSession, gate: String, d: String,
+      stateParts: Int = 8)
       (build: SparkSession => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
     // Sanitized dataset path (not hashCode) keys the subdir: unique per
@@ -232,7 +243,7 @@ object EventStream {
     java.nio.file.Files.createDirectories(root)
     val ss = s.newSession()
     inheritStreamingConfs(s, ss)
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     val q = build(ss)
       .writeStream.format("parquet")
       .option("path", root.resolve("out").toString)
@@ -417,7 +428,11 @@ object EventStream {
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // repartition on the partition key: the partial rows are ≤
+        // days × types, but without it each of the shuffle tasks
+        // writes its own file into every day dir it holds
         graft.operators.Rollup.rollupPart(batch.toDF())
+          .repartition(col("day"))
           .write.mode("append").partitionBy("day").parquet(rollupDir)
         // background merge every N batches: parts fold back to one row
         // per grain (sum/sum/hll_union — the serve math applied early),
@@ -449,6 +464,11 @@ object EventStream {
         batch.toDF()
           .withColumn("day", date_trunc("day", col("ts")).cast("date"))
           .select(col("event_type"), col("value"), col("day"))
+          // co-locate rows by day before the partitioned append (c7's
+          // build discipline): one file per day per batch instead of
+          // one per (writer task × day) — the narrow rows shuffle for
+          // far less than the saved per-file open/footer cost
+          .repartition(col("day"))
           .write.mode("append").partitionBy("day").parquet(layoutDir)
         graft.operators.Ttl.applyTtl(layoutDir, cutoff)
         // background merge: each surviving day dir folds back to c7's
@@ -609,7 +629,11 @@ object EventStream {
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // repartition on the bucket key: compactPart's groupBy leaves
+        // every task holding keys of ALL buckets, so the partitioned
+        // append would land tasks × buckets small files per batch
         graft.operators.Replacing.compactPart(batch.toDF())
+          .repartition(col("b"))
           .write.mode("append").partitionBy("b").parquet(partsDir)
         // background merge: FINAL struct-max applied early folds all
         // parts to one (associative over versions — FINAL unchanged)
@@ -708,7 +732,14 @@ object EventStream {
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // repartition on the bucket key before the partitioned append —
+        // the t8 batch-build discipline: without it every writer task
+        // lands one file in every bucket dir it holds postings for
+        // (tasks × buckets small files PER BATCH, measured ≤8 files in
+        // each of ~29 dirs per batch at sf0.1), and both the compaction
+        // tick and every serve pay the open cost
         graft.operators.InvertedIndex.postings(batch.toDF())
+          .repartition(col("tb"))
           .write.mode("append").option("compression", "zstd")
           .partitionBy("tb").parquet(indexDir)
         // background merge every N batches: per-batch part files fold
@@ -762,7 +793,9 @@ object EventStream {
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // same one-file-per-bucket-per-batch discipline as indexMaintain
         graft.operators.InvertedIndex.posPostings(batch.toDF())
+          .repartition(col("tb"))
           .write.mode("append").option("compression", "zstd")
           .partitionBy("tb").parquet(indexDir)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0)
