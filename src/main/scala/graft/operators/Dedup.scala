@@ -98,9 +98,15 @@ object Dedup {
   private def spreadBuildMaterialize(docs: DataFrame)(build: Column): DataFrame = {
     val np = docs.sparkSession.sparkContext.defaultParallelism
     graft.functions.texthash.register(docs.sparkSession)
+    // hash on doc_id, not round-robin (r21): every keyless
+    // repartition(n) first LOCALLY SORTS its input so task retries
+    // reproduce the same row→partition map (SPARK-23207) — a
+    // serialized sort of the built arrays per partition. Hashing the
+    // unique doc_id spreads identically, skips the sort, and is
+    // deterministic under retries by construction.
     graft.Spread.ifNarrow(docs.filter(size(textops.tokens(col("text"))) >= 3))
       .select(col("doc_id"), build)
-      .repartition(np)
+      .repartition(np, col("doc_id"))
   }
 
   /** Native single-pass shingle build ([[graft.functions.WordShingles]];
@@ -167,31 +173,37 @@ object Dedup {
     val ex = if (exIn.columns.contains("n")) exIn
       else exIn.withColumn("n", lit(0))
     val key = keyCols.map(col)
-    // count(doc_id), not count(1) — identical occupancies (doc_id is
-    // never null on any posting row), but the reference keeps doc_id
-    // ALIVE through the count branch's column pruning, so its
-    // materialization exchange (the EX2 of spreadBuildMaterialize, or
-    // any caller-side repartition) canonicalizes identically to the
-    // posting branch's and Spark reuses ONE exchange for both — one
-    // scan + one build instead of a full duplicated scan→tokenize→
-    // shingle/hash chain on the count side (measured: 2 scans → 1 on
-    // d2/d3/d4/d7/m4; the r21 plan files pin it).
-    val live = ex.groupBy(key: _*).agg(count(col("doc_id")).as("df"))
-      .filter(col("df").between(2, cap)).select(key: _*)
-    // Explicit round-robin repartition between the bucket collapse and
-    // the pair explode (r19): the collapsed bucket rows are a few KB,
-    // so AQE's size-based coalescing folded the post-agg partitions to
-    // ONE — and the pair explode (the family's dominant work: an
-    // interpreted nested-HOF amplifying each bucket to occ²/2 rows)
-    // ran single-task. Measured at sf1: one thread busy, 31 parked, on
-    // every bucketedPairs caller. A user-specified partition count is
-    // exempt from AQE coalescing, the bucket rows are tiny to shuffle,
-    // and round-robin also spreads occupancy skew across tasks.
+    // ONE posting exchange, hash-partitioned on the bucket key (r21
+    // re-plan). The r20 shape ran the occupancy count and the posting
+    // join as two consumers of the BUILD exchange — each re-exploding
+    // the shingle arrays (two ~700 ms stages at sf0.1) and writing its
+    // own exchange (partial counts + postings) — then ROUND-ROBIN
+    // repartitioned the collapsed buckets before the explode, paying
+    // sortBeforeRepartition on the bucket rows. Explicitly hashing the
+    // POSTING rows on the key instead satisfies every downstream
+    // requirement at once: the occupancy count, the count⋈postings
+    // prune join (both sides co-partitioned — ReuseExchange reads one
+    // shuffle twice), the per-bucket collect AND the pair explode all
+    // fuse into a single post-exchange stage. One explode pass and one
+    // exchange where there were two passes and three exchanges
+    // (measured at sf0.1: d2 9→6 jobs, 4.01→2.55 s wall; plan files
+    // pin the shape). Skew: a user-specified repartition is exempt
+    // from AQE coalescing (the r19 single-task-explode regression
+    // guard), per-partition explode work is Σ occ² over its hashed
+    // keys with occ ≤ cap, and hot keys above the cap cross the
+    // exchange only to be counted and dropped — same bytes as the r20
+    // posting-branch exchange.
     val parallelism = exIn.sparkSession.sessionState.conf.numShufflePartitions
-    val buckets = ex.join(live.hint("shuffle_hash"), keyCols)
+    val exP = ex.repartition(parallelism, key: _*)
+    // count(doc_id), not count(1) — identical occupancies (doc_id is
+    // never null on any posting row); keeping doc_id alive makes the
+    // count subtree canonically equal to the probe subtree so the
+    // single exchange is reused, not duplicated under column pruning.
+    val live = exP.groupBy(key: _*).agg(count(col("doc_id")).as("df"))
+      .filter(col("df").between(2, cap)).select(key: _*)
+    val buckets = exP.join(live.hint("shuffle_hash"), keyCols)
       .groupBy(key: _*)
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .repartition(parallelism)
     // in-bucket pairs via the native [[graft.functions.PairExplode]]
     // (one pass per bucket; the declarative nested-HOF form it
     // replaced sliced the tail array per index and evaluated its
@@ -519,28 +531,31 @@ object Dedup {
     * them. The embedding rides the posting row once; only SURVIVING
     * pairs ever become rows.
     *
-    * Known trade (shared with [[bucketedPairs]], deliberate): the
-    * occupancy-count side re-derives the bucket keys from a second,
-    * COLUMN-PRUNED pass over the source (the plan shows two scans —
-    * the count side never reads the embedding payload, only the key
-    * derivation). The alternatives both lose: a count window over one
-    * shuffled pass forces WindowExec's full sort of the posting rows
-    * (the sort-merge cost the SHUFFLE_HASH formulation exists to
-    * avoid), and a size-capped collect aggregate folds the count into
-    * one pass but carries per-group LIST state through the map-side
-    * partial — rows, not counts, in every mapper's hash table. Counts
-    * stay map-side-combinable 8-byte partials; the duplicated pass is
-    * a key-columns-only map. */
+    * r21: the occupancy count no longer re-derives keys from a second
+    * column-pruned source pass (the r20 "two scans" trade) — both the
+    * count and the probe side read ONE key-partitioned exchange; see
+    * the in-body comment. The alternatives considered then still lose:
+    * a count window forces WindowExec's full sort, and a size-capped
+    * collect aggregate carries per-group LIST state through the
+    * map-side partial. */
   private def nearPairsInBuckets(rows: DataFrame, keyCols: Seq[String],
       cap: Int, maxDistance: Double): DataFrame = {
     val key = keyCols.map(col)
-    val live = rows.groupBy(key: _*).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, cap)).select(key: _*)
+    // Same one-exchange re-plan as [[bucketedPairs]] (r21): hash the
+    // embedding-carrying rows on the bucket key once; occupancy count,
+    // prune join, per-bucket collect and the fused verify-explode all
+    // consume that partitioning in one post-exchange stage. This also
+    // retires the documented two-scan trade above: the count no longer
+    // re-derives keys from a second column-pruned source pass — it
+    // counts the exchanged rows (a local shuffle read; the embedding
+    // payload rides the exchange exactly once either way).
     val parallelism = rows.sparkSession.sessionState.conf.numShufflePartitions
-    val buckets = rows.join(live.hint("shuffle_hash"), keyCols)
+    val rowsP = rows.repartition(parallelism, key: _*)
+    val live = rowsP.groupBy(key: _*).agg(count(col("doc_id")).as("df"))
+      .filter(col("df").between(2, cap)).select(key: _*)
+    val buckets = rowsP.join(live.hint("shuffle_hash"), keyCols)
       .groupBy(key: _*)
       .agg(collect_list(struct(col("doc_id"), col("embedding"))).as("ds"))
-      .repartition(parallelism)
     buckets
       .select(explode(vectors.nearPairExplode(col("ds"), maxDistance)).as("p"))
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
