@@ -196,9 +196,14 @@ object Dedup {
     val parallelism = exIn.sparkSession.sessionState.conf.numShufflePartitions
     val exP = ex.repartition(parallelism, key: _*)
     // count(doc_id), not count(1) — identical occupancies (doc_id is
-    // never null on any posting row); keeping doc_id alive makes the
-    // count subtree canonically equal to the probe subtree so the
-    // single exchange is reused, not duplicated under column pruning.
+    // never null on a posting row), doc_id kept alive for plan
+    // canonicalization (the r20 shared-build lesson). Note the planner
+    // still runs the count as its own map-side partial below a partial-
+    // counts exchange rather than reading exP post-shuffle — measured
+    // r21: forcing column parity (a throwaway max(n)) does NOT change
+    // that choice, and map-side 8-byte count partials are the scalable
+    // plan anyway; the explode therefore runs once per side, with the
+    // heavy collect+explode work fused after exP.
     val live = exP.groupBy(key: _*).agg(count(col("doc_id")).as("df"))
       .filter(col("df").between(2, cap)).select(key: _*)
     val buckets = exP.join(live.hint("shuffle_hash"), keyCols)
@@ -728,8 +733,69 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Size switch for [[dupClustersAuto]]: at or below this many
+    * CANONICAL edges (post-dedup (hi, lo) rows) the component labeling
+    * runs as a driver union-find over a bounded collect — the
+    * q44/q45 SweepSwitchRows discipline (same 250k constant: ~4 MB of
+    * edge longs, the trained-literal collect class). Above it the
+    * O(log n) distributed star alternation runs unchanged. Rationale:
+    * each star round is a multi-exchange distributed action whose
+    * FIXED scheduling cost (~0.5 s here) dwarfs the data work on a
+    * near-dup pair graph (d6's sf0.1 graph is a few hundred edges),
+    * while a path-compressed union-find labels 250k edges in
+    * milliseconds on one core. */
+  val StarSwitchEdges = 250000L
+
+  /** [[dupClustersStar]] with the bounded-graph driver switch. Output
+    * is IDENTICAL (every pair-graph node labeled with its component's
+    * min id, doc_id-ordered): union-by-min-root makes each set's
+    * representative its minimum id, exactly the star fixed point's
+    * center. Node-count guard: a pathological input of self-pairs only
+    * has few canonical edges but unboundedly many nodes, so the
+    * collect is additionally gated on the node count before it runs. */
+  def dupClustersAuto(pairs: DataFrame,
+      switchEdges: Long = StarSwitchEdges): DataFrame = {
+    val p = cut(pairs.select(col("doc_a"), col("doc_b")))
+    val edges = p.select(
+        greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    // one bounded-scalar action; also materializes the lazy cut, the
+    // same job the star path's first convergence probe would run
+    val ec = edges.count()
+    lazy val nodes = p.select(col("doc_a").as("id"))
+      .union(p.select(col("doc_b").as("id"))).distinct()
+    if (ec <= switchEdges && nodes.count() <= 2 * switchEdges + 2) {
+      val es = edges.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != r) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      es.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val ns = nodes.collect().map(_.getLong(0))
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      ns.toSeq.map(n => (n, find(n))).sortBy(_._1)
+        .toDF("doc_id", "cluster")
+        .orderBy(col("doc_id")) // the d6 ordering contract, in-plan
+    } else dupClustersStar(p)._1 // p, not pairs: reuse the cut —
+      // the star path must not recompute the pair pipeline the edge
+      // count above already materialized
+  }
+
   def d6Query(s: SparkSession, d: String): DataFrame =
-    dupClustersStar(ngramJaccard(Tables.documents(s, d)))._1
+    dupClustersAuto(ngramJaccard(Tables.documents(s, d)))
 
   // ---------------------------------------------------------------- d7
 

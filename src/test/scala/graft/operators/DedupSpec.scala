@@ -153,6 +153,27 @@ class DedupSpec extends SparkSpec {
     all(out.map(_.getAs[Long]("cluster"))) shouldBe 0L
   }
 
+  test("dupClustersAuto: driver switch matches the star path, incl. self-pairs") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L), (9L, 3L), (12L, 12L))
+      .toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+      3L -> 3L, 7L -> 3L, 9L -> 3L, 12L -> 12L)
+    val auto = Dedup.dupClustersAuto(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    auto shouldBe want
+    // forced past the switch: the distributed star path must agree
+    val dist = Dedup.dupClustersAuto(pairs, switchEdges = 0L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    dist shouldBe want
+  }
+
+  test("dupClustersAuto output is doc_id-ordered (the d6 contract)") {
+    val pairs = Seq((9L, 3L), (1L, 7L), (5L, 5L)).toDF("doc_a", "doc_b")
+    val ids = Dedup.dupClustersAuto(pairs).collect()
+      .map(_.getAs[Long]("doc_id"))
+    ids shouldBe ids.sorted
+  }
+
   test("dupClustersStar matches dupClusters on a multi-component graph") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L), (9L, 3L), (12L, 12L))
       .toDF("doc_a", "doc_b")
