@@ -231,8 +231,19 @@ object EventStream {
     * that fits a batch. 8 stays the setting at every scale tested;
     * `stateParts` remains a parameter so a genuinely huge-state
     * deployment can widen it deliberately. */
+  /** `noDataBatch = false` skips the trailing no-data micro-batch
+    * (spark.sql.streaming.noDataMicroBatches.enabled). ONLY legal for
+    * gates whose OUTPUT never depends on watermark finalization:
+    * stream-stream INNER joins (s4) emit on match during the data
+    * batch, and dropDuplicatesWithinWatermark (s3) emits each first
+    * sight eagerly — for both, the no-data batch's only work is state
+    * EVICTION, and gate state dies with the run. Gates that emit ON
+    * the final watermark (append-mode aggregates s1/s5, s2's
+    * event-time timeouts) MUST keep it: their rows only appear in
+    * that batch. Measured r21: the skipped batch cost ~1.2 s of
+    * state-store commit per gate run at sf0.1. */
   private def runAvailableNow(s: SparkSession, gate: String, d: String,
-      stateParts: Int = 8)
+      stateParts: Int = 8, noDataBatch: Boolean = true)
       (build: SparkSession => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
     // Sanitized dataset path (not hashCode) keys the subdir: unique per
@@ -244,6 +255,8 @@ object EventStream {
     val ss = s.newSession()
     inheritStreamingConfs(s, ss)
     ss.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    if (!noDataBatch)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val q = build(ss)
       .writeStream.format("parquet")
       .option("path", root.resolve("out").toString)
@@ -943,7 +956,7 @@ object EventStream {
     * keeps an ARBITRARY member of each duplicate set, so any
     * non-key-determined column would be nondeterministic across runs. */
   def s3Query(s: SparkSession, d: String): DataFrame =
-    runAvailableNow(s, "s3", d) { ss =>
+    runAvailableNow(s, "s3", d, noDataBatch = false) { ss =>
       val raw = ss.read.parquet(s"$d/documents.parquet")
       val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
         .select(col("doc_id"), col("text"), col("n_chars"))
@@ -963,7 +976,7 @@ object EventStream {
     * L2 norm (array columns don't survive the driver compare; the
     * norm is the v6/v7-proven bit-exact scalar stand-in). */
   def s4Query(s: SparkSession, d: String): DataFrame =
-    runAvailableNow(s, "s4", d) { ss =>
+    runAvailableNow(s, "s4", d, noDataBatch = false) { ss =>
       graft.functions.vectors.register(ss)
       val rawD = ss.read.parquet(s"$d/documents.parquet")
       val rawE = ss.read.parquet(s"$d/embeddings.parquet")
