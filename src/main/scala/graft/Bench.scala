@@ -135,13 +135,31 @@ object Bench {
     names.foreach(runOne) // warmup, untimed
     val (probeT1Pre, probeMtPre) = probe()
     val load1Pre = load1()
+    // In-run contention signal (r22, replaces reliance on the
+    // bracketing probes alone): /proc/loadavg is sampled after every
+    // timed query run and the per-query MAX lands in the full record.
+    // The r21 32-core driver record was demonstrably contended in the
+    // MIDDLE of the run (untouched scan queries 5–9× slow at c32 yet
+    // r20-normal at c8) while both probe legs read clean — pre/post
+    // bracketing is structurally blind to mid-run load. A per-query
+    // load trace makes that failure mode self-evident in the record.
+    val loadByQuery = scala.collection.mutable.Map.empty[String, Double]
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     // run-major order (all queries, Runs times) rather than repeating
     // each query back-to-back: back-to-back repeats share a still-warm
     // cache/JIT state the per-round driver run never sees, and a GC
     // pause then hits all 3 samples of ONE query instead of one sample
     // of three queries.
     val samples: Seq[Seq[(String, Either[String, Double])]] =
-      (1 to Runs).map(_ => names.map(n => n -> runOne(n)))
+      (1 to Runs).map(_ => names.map { n =>
+        val r = runOne(n)
+        val l = load1()
+        if (l >= 0) {
+          loadSamples += l
+          loadByQuery(n) = math.max(loadByQuery.getOrElse(n, -1.0), l)
+        }
+        n -> r
+      })
     // second probe AFTER the timed runs: contention that starts
     // mid-record (the r19 signature — tests kicked off while the bench
     // was running) is invisible to a pre-only probe
@@ -211,38 +229,60 @@ object Bench {
       Some(entries.mkString("{", ",", "}"))
     } else None
     val phasesJson = streamPhases.map(p => s""","stream_phases":$p""").getOrElse("")
+    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val cpusDetected = Runtime.getRuntime.availableProcessors()
+    val loadMax = if (loadSamples.isEmpty) -1.0 else loadSamples.max
+    val loadMean =
+      if (loadSamples.isEmpty) -1.0 else loadSamples.sum / loadSamples.size
+    // per-query in-run load trace (max of the 1-min loadavg sampled
+    // right after each of the query's timed runs) — the adjudicator's
+    // mid-run contention evidence, full record only
+    val loadJson = names.flatMap(n => loadByQuery.get(n).map(l =>
+      "\"" + n + "\":" + fmt2(l))).mkString("{", ",", "}")
+    // cpus_env vs cpus_detected: local[$SPARK_GRAFT_CPUS] on a cpuset
+    // smaller than $SPARK_GRAFT_CPUS is oversubscription the r21 c32
+    // record suffered invisibly; recording both makes it self-evident.
+    val envJson = s""","cpus_env":"$cpus","cpus_detected":$cpusDetected,"load1_inrun":{"max":${fmt2(loadMax)},"mean":${fmt2(loadMean)},"n":${loadSamples.size}}"""
     val probeJson = s""","probe":{"t1_pre":${fmt(probeT1Pre)},"mt_pre":${fmt(probeMtPre)},"t1_post":${fmt(probeT1Post)},"mt_post":${fmt(probeMtPost)},"load1_pre":${fmt(load1Pre)},"load1_post":${fmt(load1Post)},"band_t1":${fmt(ProbeT1Max)},"band_mt":${fmt(ProbeMtMax)},"verdict":"$probeVerdict"}"""
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$qs,"spread":$spread$phasesJson$probeJson,"sf":"$sfDir"}"""
-    println(fullLine)
-    // Truncation-proof copy of the FULL record (r9 verdict #1: the
-    // driver's stdout tail capture clipped the spread data exactly when
-    // it was needed to adjudicate a 2–3× outlier block). The file is
-    // the archival record; stdout stays the driver contract.
-    // Default is cwd-relative so the archival write works from any
-    // checkout location; SPARK_GRAFT_BENCH_OUT overrides.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // Full archival record → FILE ONLY (r22; was also printed to
+    // stdout). Per-cpu default filename: the r21 driver's c8 run
+    // overwrote the c32 run's BENCH_full.json (single fixed name),
+    // destroying the only full 32-core per-query record.
+    // SPARK_GRAFT_BENCH_OUT still overrides for ad-hoc subset runs.
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$qs,"spread":$spread,"load1_by_query":$loadJson$envJson$phasesJson$probeJson,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_full_c$cpus.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    // Compact twin WITHOUT the per-query spread, printed LAST: the
-    // driver's tail-window capture truncated the r6 line from the FRONT
-    // (only the trailing spread survived, parsed:null). The final line
-    // is the short one, so whatever tail budget exists keeps a complete
-    // parseable record. At 150+ gates even the spread-less full map
-    // (~3.4 KB at 2 dp) overflows the driver's 2,000-char tail window
-    // and the round artifact parsed to null (r18 verdict hygiene item)
-    // — so the final line is a bounded DIGEST that always fits:
-    // headline + errors + the top-20 slowest medians, with the omitted
-    // count explicit (no silent truncation) and a pointer to the
-    // committed full record.
-    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val slowest = stats.collect { case (k, Some((med, _, _, _)), _) => (k, med) }
-      .sortBy(-_._2).take(20)
-      .map { case (k, m) => "\"" + k + "\":" + fmt2(m) }
-      .mkString("{", ",", "}")
-    val omitted = math.max(0,
-      stats.count { case (_, m, _) => m.isDefined } - 20)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":$slowest,"queries_omitted":$omitted,"probe":"$probeVerdict","full":"BENCH_full.json","sf":"$sfDir"}""")
+    // stdout contract (r22 verdict item 1): exactly ONE JSON line, and
+    // it is the LAST line on stdout — build.sbt routes forked stdout
+    // through unprefixed (StdoutOutput) and suppresses sbt's trailing
+    // "[success]" line, the two reasons every earlier round's record
+    // parsed to null. The line is additionally BOUNDED to fit the
+    // driver's observed 2,000-char tail-capture window whole: queries
+    // are added in descending-median order while the line stays under
+    // budget, the omitted count is explicit (no silent truncation),
+    // and the full per-query record (all queries + spread + load
+    // trace) lives in the file above. Timed region, run count, query
+    // set and methodology are unchanged from r20/r21.
+    val lineBudget = 1900
+    val byMedian = stats.collect { case (k, Some((med, _, _, _)), _) => (k, med) }
+      .sortBy(-_._2)
+    val fixedHead = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":${errs.length},"errors":$errJson,"queries":{"""
+    def fixedTail(omitted: Int) =
+      s"""},"queries_omitted":$omitted,"probe":"$probeVerdict","probe_t1":${fmt2(math.min(probeT1Pre, probeT1Post))},"probe_mt":${fmt2(math.min(probeMtPre, probeMtPost))}$envJson,"full":"$outFile","sf":"$sfDir"}"""
+    val entries = byMedian.map { case (k, m) => "\"" + k + "\":" + fmt2(m) }
+    // worst-case tail length is with the full omitted count
+    val budget = lineBudget - fixedHead.length - fixedTail(byMedian.size).length
+    var used = 0
+    var taken = 0
+    while (taken < entries.size &&
+        used + entries(taken).length + (if (taken > 0) 1 else 0) <= budget) {
+      used += entries(taken).length + (if (taken > 0) 1 else 0)
+      taken += 1
+    }
+    val omitted = byMedian.size - taken
+    println(fixedHead + entries.take(taken).mkString(",") + fixedTail(omitted))
     spark.stop()
   }
 }
