@@ -627,10 +627,7 @@ object Dedup {
     * and returns the convergence scalar, instead of an eager
     * checkpoint job followed by a separate probe job. On a small graph
     * the saved per-round scheduling latency is most of d6's cost. */
-  private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+  private def cut(df: DataFrame): DataFrame = Lineage.cut(df, eager = false)
 
   /** Connected components via alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -755,7 +752,14 @@ object Dedup {
     * collect is additionally gated on the node count before it runs. */
   def dupClustersAuto(pairs: DataFrame,
       switchEdges: Long = StarSwitchEdges): DataFrame = {
-    val p = cut(pairs.select(col("doc_a"), col("doc_b")))
+    // cast in the SHARED prep: the driver path reads raw longs
+    // (row.getLong), so an integer-typed doc id must widen here or the
+    // public API's behavior would depend on input size (the star path
+    // casts implicitly). Doc ids are non-null by contract (a null id
+    // cannot name a document); both paths reject it the same way.
+    val p = cut(pairs.select(
+      col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b")))
     val edges = p.select(
         greatest(col("doc_a"), col("doc_b")).as("a"),
         least(col("doc_a"), col("doc_b")).as("b"))

@@ -85,7 +85,7 @@ object Dsir {
       case None => gramBuckets(docs).groupBy(col("bkt")).agg(
         count(lit(1)).as("cr"),
         count(when(col("lang") === lit(targetLang), lit(1))).as("ct"))
-        .localCheckpoint()
+        .transform(Lineage.cut(_))
     }
     // The smoothed multinomials are defined over ALL B buckets (that is
     // what add-one smoothing means), so the model table spans the full

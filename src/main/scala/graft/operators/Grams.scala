@@ -69,5 +69,5 @@ object Grams {
       .groupBy(col("big"), col("bkt"), col("pfx"))
       .agg(count(lit(1)).as("c"),
         count(when(col("lang") === lit(targetLang), lit(1))).as("ct"))
-      .localCheckpoint()
+      .transform(Lineage.cut(_))
 }

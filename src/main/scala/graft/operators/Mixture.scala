@@ -111,7 +111,7 @@ object Mixture {
       col("source"), col("doc_id"), col("smp_doc"),
       size(textops.tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("pct", pctOf(col("source")))
-      .localCheckpoint()
+      .transform(Lineage.cut(_))
     val kept = mixtureTake(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs_kept"), sum(col("n_tok")).as("tokens_kept"))

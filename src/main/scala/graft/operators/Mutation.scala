@@ -118,7 +118,22 @@ object Mutation {
           }
         })
       }
-      futures.foreach(_.get()) // propagate the first failure loudly
+      try futures.foreach(_.get()) // propagate the first failure loudly
+      catch { case e: java.util.concurrent.ExecutionException =>
+        // A failed bucket must not unwind while SIBLING rewrites keep
+        // swapping directories in the background (the caller may read
+        // or rebuild the layout immediately): cancel what hasn't run,
+        // interrupt what has (a mid-build Spark job aborts before its
+        // swap; the swap itself is not interrupt-sensitive), and wait
+        // for the pool to drain before rethrowing. Rethrow the CAUSE —
+        // callers catch the original exception type (e.g. the
+        // missing-bucket IllegalArgumentException), not the pool's
+        // ExecutionException wrapper.
+        futures.foreach(_.cancel(true))
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        throw Option(e.getCause).getOrElse(e)
+      }
     } finally pool.shutdown()
     (affected.length, NumBuckets - affected.length)
   }

@@ -146,7 +146,7 @@ object SemCells {
     // route once; every fine Lloyd pass reuses the routed frame
     val routed = e
       .withColumn("_sc_c0", Ann.nearestCentroid(coarse, col("embedding")))
-      .localCheckpoint()
+      .transform(Lineage.cut(_))
     // fine seeds: ≤ k_f members per region, spread by hash rank (a
     // deterministic pseudo-random pick — id-order would seed one
     // corner of the region)

@@ -390,7 +390,7 @@ object TextAnalysis {
         .select(col("bkt").as("hb"), col("pfx").as("hu"), col("c"))
       case None =>
         bg.groupBy(col("hb"), col("hu")).agg(count(lit(1)).as("c"))
-          .localCheckpoint()
+          .transform(Lineage.cut(_))
     }
     val cbs = joint.groupBy(col("hb")).agg(sum(col("c")).as("cb"))
     val cus = joint.groupBy(col("hu")).agg(sum(col("c")).as("cu"))
