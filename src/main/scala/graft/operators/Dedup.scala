@@ -204,8 +204,27 @@ object Dedup {
     // that choice, and map-side 8-byte count partials are the scalable
     // plan anyway; the explode therefore runs once per side, with the
     // heavy collect+explode work fused after exP.
-    val live = exP.groupBy(key: _*).agg(count(col("doc_id")).as("df"))
-      .filter(col("df").between(2, cap)).select(key: _*)
+    // max(n) is a THROWAWAY whose only job is column parity: without a
+    // reference to `n`, pruning drops it from the count branch's copy
+    // of exP, the two exchanges stop being canonically equal, and the
+    // count side pays its OWN full-posting exchange plus a second
+    // explode pass (r22 AQE final-plan dump: Exchange(16) [doc_id, g]
+    // next to Exchange(11) [doc_id, n, g], no reuse). With parity both
+    // branches read ONE materialized posting shuffle (ReusedExchange
+    // in the final plan), the occupancy count runs post-shuffle on the
+    // co-partitioned rows, and the build explode runs once. The filter
+    // keeps the throwaway ALIVE through pruning with a tautology
+    // Catalyst has no rule to fold: x >= Long.MinValue is true for
+    // every non-null long (n itself may be ANY value — d4/m4 carry a
+    // raw hash here, so `>= 0` would be WRONG), and the isNull arm
+    // keeps all-null-n groups. Behavior is bit-identical to the plain
+    // count for every input.
+    val live = exP.groupBy(key: _*)
+      .agg(count(col("doc_id")).as("df"),
+        max(col("n").cast("long")).as("_n_parity"))
+      .filter(col("df").between(2, cap) &&
+        (col("_n_parity") >= Long.MinValue || col("_n_parity").isNull))
+      .select(key: _*)
     val buckets = exP.join(live.hint("shuffle_hash"), keyCols)
       .groupBy(key: _*)
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
@@ -556,8 +575,22 @@ object Dedup {
     // payload rides the exchange exactly once either way).
     val parallelism = rows.sparkSession.sessionState.conf.numShufflePartitions
     val rowsP = rows.repartition(parallelism, key: _*)
-    val live = rowsP.groupBy(key: _*).agg(count(col("doc_id")).as("df"))
-      .filter(col("df").between(2, cap)).select(key: _*)
+    // Same column-parity pin as [[bucketedPairs]] (r22): without a
+    // reference to `embedding`, pruning drops it from the count
+    // branch's copy of rowsP and the branch re-derives the keys from a
+    // SECOND source scan + its own small exchange (r22 AQE final-plan
+    // dump for d5: two Scan parquet nodes, no ReusedExchange — the r20
+    // two-scan trade was never actually retired at runtime). With
+    // parity the count reads the one materialized embedding-carrying
+    // shuffle locally; the second scan and its re-derivation (bucket
+    // re-assignment per vector) disappear. The filter tautology keeps
+    // the throwaway alive (no Catalyst rule folds x >= Long.MinValue).
+    val live = rowsP.groupBy(key: _*)
+      .agg(count(col("doc_id")).as("df"),
+        max(size(col("embedding")).cast("long")).as("_e_parity"))
+      .filter(col("df").between(2, cap) &&
+        (col("_e_parity") >= Long.MinValue || col("_e_parity").isNull))
+      .select(key: _*)
     val buckets = rowsP.join(live.hint("shuffle_hash"), keyCols)
       .groupBy(key: _*)
       .agg(collect_list(struct(col("doc_id"), col("embedding"))).as("ds"))
