@@ -99,6 +99,13 @@ object HeavyHitters {
       .join(candSide, groups :+ keyName)
       .groupBy((gc :+ col(keyName)): _*)
       .agg(sum(col("__w")).as(weightName), max(col("total")).as("total"))
+    // AUDIT(unpartitioned window): with groups = Nil this rank window
+    // has no partition spec and Spark logs "No Partition Defined for
+    // Window" — sound at any corpus scale because its input is the
+    // already-filtered hit set, ≤ `capacity` rows per group (the MG
+    // sketch emits at most `capacity` candidates and `hits` is a
+    // subset), so the one-task rank touches ≤ capacity·|groups| rows
+    // fixed by the sketch, never by the corpus.
     hits
       .filter(col(weightName) * lit(thresholdFactor.toLong) > col("total"))
       .withColumn("rk", row_number().over(Window.partitionBy(gc: _*)

@@ -302,7 +302,9 @@ object Stats {
     val bt = df.groupBy((kc :+ bucket.as("bucket")): _*)
       .agg(sum(col(sums.head._1)).as(s"bt_${sums.head._1}"),
         sums.tail.map { case (c, _) => sum(col(c)).as(s"bt_$c") }: _*)
-    // per-key exclusive bucket prefix + grand total, one window pass
+    // AUDIT(unpartitioned window): with keys = Nil (q63) these two
+    // windows have no partition spec and Spark logs "No Partition
+    // Defined for Window" — sound at any corpus scale: one window pass
     // over the subtotal table (tiny: its size is domain/width, fixed
     // by the measurement's resolution, never by the corpus)
     val wOff = Window.partitionBy(kc: _*).orderBy(col("bucket"))
