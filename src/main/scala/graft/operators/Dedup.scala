@@ -781,8 +781,10 @@ object Dedup {
     * min id, doc_id-ordered): union-by-min-root makes each set's
     * representative its minimum id, exactly the star fixed point's
     * center. Node-count guard: a pathological input of self-pairs only
-    * has few canonical edges but unboundedly many nodes, so the
-    * collect is additionally gated on the node count before it runs. */
+    * has few canonical edges but unboundedly many nodes, so the driver
+    * path is additionally gated on the node count — via the same
+    * bounded limit-fetch that retrieves the nodes, so the gate can
+    * never itself collect more than its own bound. */
   def dupClustersAuto(pairs: DataFrame,
       switchEdges: Long = StarSwitchEdges): DataFrame = {
     // cast in the SHARED prep: the driver path reads raw longs
@@ -797,13 +799,29 @@ object Dedup {
         greatest(col("doc_a"), col("doc_b")).as("a"),
         least(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    // one bounded-scalar action; also materializes the lazy cut, the
-    // same job the star path's first convergence probe would run
-    val ec = edges.count()
+    // ONE bounded job gates AND fetches (r22, was count-then-collect —
+    // four driver actions where two suffice): CollectLimit(k+1) returns
+    // min(n, k+1) rows, so a result longer than the switch detects the
+    // big graph with the same certainty as the count, and a within-
+    // bound result IS the full edge set. The size gate keeps the fetch
+    // bounded (≤ k+1 rows) whatever the input. On the driver path this
+    // also fully materializes the lazy cut (the limit scans every
+    // partition when n ≤ k); on the big-graph path partitions the limit
+    // did compute are persisted and the rest replay from the pair
+    // pipeline's still-live shuffle stages, which the scheduler skips —
+    // the pipeline itself never re-runs.
+    val limE = (switchEdges + 1).min(Int.MaxValue.toLong).toInt
+    val es = edges.limit(limE).collect()
     lazy val nodes = p.select(col("doc_a").as("id"))
       .union(p.select(col("doc_b").as("id"))).distinct()
-    if (ec <= switchEdges && nodes.count() <= 2 * switchEdges + 2) {
-      val es = edges.collect()
+    // same one-job gate+fetch for the node side (the self-pair guard):
+    // ≤ 2k+2 nodes can touch ≤ k canonical edges, anything above means
+    // a pathological self-pair flood — star path
+    lazy val ns: Array[Long] = {
+      val limN = (2 * switchEdges + 3).min(Int.MaxValue.toLong).toInt
+      nodes.limit(limN).collect().map(_.getLong(0))
+    }
+    if (es.length <= switchEdges && ns.length <= 2 * switchEdges + 2) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -820,15 +838,14 @@ object Dedup {
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
-      val ns = nodes.collect().map(_.getLong(0))
       val sp = pairs.sparkSession
       import sp.implicits._
       ns.toSeq.map(n => (n, find(n))).sortBy(_._1)
         .toDF("doc_id", "cluster")
         .orderBy(col("doc_id")) // the d6 ordering contract, in-plan
     } else dupClustersStar(p)._1 // p, not pairs: reuse the cut —
-      // the star path must not recompute the pair pipeline the edge
-      // count above already materialized
+      // the star path must not recompute the pair pipeline the limit
+      // probe above already ran through
   }
 
   def d6Query(s: SparkSession, d: String): DataFrame =

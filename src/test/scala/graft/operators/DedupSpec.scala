@@ -167,6 +167,28 @@ class DedupSpec extends SparkSpec {
     dist shouldBe want
   }
 
+  test("dupClustersAuto: limit-gate boundaries pick the right path, same output") {
+    // 4 canonical edges, 2 components
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L), (9L, 3L))
+      .toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+      3L -> 3L, 7L -> 3L, 9L -> 3L)
+    def run(switch: Long) = Dedup.dupClustersAuto(pairs, switchEdges = switch)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    // exactly at the switch: driver path (the limit fetch returns the
+    // full edge set); one below: the k+1st row detects the big graph
+    // and the star path runs — identical labels either way
+    run(4L) shouldBe want
+    run(3L) shouldBe want
+    // node-gate flood: few canonical edges but self-pair-only nodes
+    // past 2k+2 must force the star path, which labels every node
+    val flood = pairs.unionByName(
+      (100L to 110L).map(i => (i, i)).toDF("doc_a", "doc_b"))
+    val out = Dedup.dupClustersAuto(flood, switchEdges = 4L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    out shouldBe want ++ (100L to 110L).map(i => i -> i).toMap
+  }
+
   test("dupClustersAuto output is doc_id-ordered (the d6 contract)") {
     val pairs = Seq((9L, 3L), (1L, 7L), (5L, 5L)).toDF("doc_a", "doc_b")
     val ids = Dedup.dupClustersAuto(pairs).collect()
