@@ -82,11 +82,24 @@ object Tombstones {
     }
   }
 
-  /** The live deleted set, if any delete was ever registered. */
+  /** The live deleted set, if any delete was ever registered.
+    *
+    * Schema is supplied, not inferred: the sidecar is always exactly
+    * the single BIGINT key column [[write]] persists, and the
+    * footer-inference pass `s.read.parquet` would otherwise run is a
+    * whole driver job. No `distinct()` either — [[write]] persists a
+    * distinct sorted set (and [[compact]] re-persists via write), so
+    * a per-read dedup exchange was pure overhead on every serve and
+    * every registration's prior-read. A delete gate reads the sidecar
+    * ~5× per run (pinned-set read, one prior-read per serving copy,
+    * the serve's anti-join), so both savings multiply. */
   def read(s: SparkSession, layoutDir: String, keyCol: String): Option[DataFrame] = {
     val p = path(layoutDir)
     if (new java.io.File(p, "_SUCCESS").exists())
-      Some(s.read.parquet(p).select(col(keyCol)).distinct())
+      Some(s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            keyCol, org.apache.spark.sql.types.LongType))))
+        .parquet(p))
     else None
   }
 
