@@ -10,8 +10,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads a partitioned directory tree — nothing here assumes single-file.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-JVM schema memo for [[load]] — the catalog role a metastore
+    * plays in a deployed engine: without it, `spark.read.parquet`
+    * re-runs footer schema inference as a driver JOB on every call,
+    * and every query pays it once per input table (measured r22: 135
+    * such jobs, ~4 s of stage wall, in ONE timed pass over the query
+    * surface at sf0.1). Keyed on (absolute path, mtime, size) so a
+    * rewritten or grown corpus re-infers instead of serving a stale
+    * schema; non-local paths (no stat available) skip the memo rather
+    * than trust an unverifiable key. Caches only the SCHEMA — every
+    * read still scans the parquet data itself. Assumes all sessions
+    * in the JVM share the parquet-read confs (nanosAsLong,
+    * inferTimestampNTZ) GraftSession pins — true for every entry
+    * point and test harness in this repo. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val f = new java.io.File(
+      if (p.startsWith("file:")) p.stripPrefix("file:") else p)
+    if (f.exists) {
+      val key = (f.getAbsolutePath, f.lastModified, f.length)
+      val sch = schemaMemo.computeIfAbsent(key,
+        _ => spark.read.parquet(p).schema)
+      spark.read.schema(sch).parquet(p)
+    } else spark.read.parquet(p)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
