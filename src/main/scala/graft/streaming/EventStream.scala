@@ -286,7 +286,7 @@ object EventStream {
     * dir itself. Also correct unchanged for a directory-of-parts
     * corpus. */
   private def streamEvents(ss: SparkSession, d: String): DataFrame = {
-    val raw = ss.read.parquet(s"$d/events.parquet") // schema probe
+    val raw = graft.Tables.load(ss, d, "events") // schema probe (memoized)
     val src = ss.readStream.schema(raw.schema).parquet(s"$d/events*.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file
@@ -614,7 +614,7 @@ object EventStream {
     inheritStreamingConfs(s, ss)
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val model = graft.operators.Dsir.ensureModel(ss, d)
-    val raw = ss.read.parquet(s"$d/documents.parquet")
+    val raw = graft.Tables.load(ss, d, "documents")
     val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
     val q = scoreMaintain(src, model, root.resolve("scores").toString,
       root.resolve("ckpt").toString)
@@ -717,7 +717,7 @@ object EventStream {
     inheritStreamingConfs(s, ss)
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     graft.operators.Dedup.ensurePostingIndex(ss, d)
-    val raw = ss.read.parquet(s"$d/documents.parquet")
+    val raw = graft.Tables.load(ss, d, "documents")
     val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
     val q = ingestDedup(graft.operators.Dedup.d8Shard(src), d,
       root.resolve("out").toString, root.resolve("ckpt").toString)
@@ -780,7 +780,7 @@ object EventStream {
     val ss = s.newSession()
     inheritStreamingConfs(s, ss)
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val raw = ss.read.parquet(s"$d/documents.parquet")
+    val raw = graft.Tables.load(ss, d, "documents")
     val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
     val q = indexMaintain(src, root.resolve("idx").toString,
       root.resolve("ckpt").toString)
@@ -834,7 +834,7 @@ object EventStream {
     val ss = s.newSession()
     inheritStreamingConfs(s, ss)
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val raw = ss.read.parquet(s"$d/documents.parquet")
+    val raw = graft.Tables.load(ss, d, "documents")
     val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
     val q = posIndexMaintain(src, root.resolve("idx").toString,
       root.resolve("ckpt").toString)
@@ -957,7 +957,7 @@ object EventStream {
     * non-key-determined column would be nondeterministic across runs. */
   def s3Query(s: SparkSession, d: String): DataFrame =
     runAvailableNow(s, "s3", d, noDataBatch = false) { ss =>
-      val raw = ss.read.parquet(s"$d/documents.parquet")
+      val raw = graft.Tables.load(ss, d, "documents")
       val src = ss.readStream.schema(raw.schema).parquet(s"$d/documents*.parquet")
         .select(col("doc_id"), col("text"), col("n_chars"))
       val recrawl = src.filter(col("doc_id") % 10 === 0)
@@ -978,8 +978,8 @@ object EventStream {
   def s4Query(s: SparkSession, d: String): DataFrame =
     runAvailableNow(s, "s4", d, noDataBatch = false) { ss =>
       graft.functions.vectors.register(ss)
-      val rawD = ss.read.parquet(s"$d/documents.parquet")
-      val rawE = ss.read.parquet(s"$d/embeddings.parquet")
+      val rawD = graft.Tables.load(ss, d, "documents")
+      val rawE = graft.Tables.load(ss, d, "embeddings")
       val docs = ss.readStream.schema(rawD.schema)
         .parquet(s"$d/documents*.parquet")
         .select(col("doc_id"), col("text"))
