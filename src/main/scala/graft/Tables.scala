@@ -38,6 +38,30 @@ object Tables {
     } else spark.read.parquet(p)
   }
 
+  /** Memoized read of an ENGINE-WRITTEN layout directory (posting /
+    * ANN / rollup / parts layouts): same memo as [[load]], same
+    * measured cost (one footer-inference driver job per
+    * `spark.read.parquet` call, ~28 ms each; every index/rollup serve
+    * pays 1–2). Staleness argument, layout-specific: a layout's
+    * schema changes ONLY via rebuild or compaction, and both go
+    * through tmp-build + atomic swap of the directory itself — a new
+    * dir inode, new mtime, new memo key. Appends land new FILES (in
+    * the dir or its partition subdirs) with the same columns by the
+    * layouts' append contract, so a memo hit over an append is
+    * correct; partition-column types are engine-assigned ints,
+    * identical across appends. Data is still read from disk on every
+    * query — only the schema is cached. */
+  def loadLayout(spark: SparkSession, dir: String): DataFrame = {
+    val f = new java.io.File(
+      if (dir.startsWith("file:")) dir.stripPrefix("file:") else dir)
+    if (f.isDirectory) {
+      val key = (f.getAbsolutePath, f.lastModified, f.length)
+      val sch = schemaMemo.computeIfAbsent(key,
+        _ => spark.read.parquet(dir).schema)
+      spark.read.schema(sch).parquet(dir)
+    } else spark.read.parquet(dir)
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -518,7 +518,7 @@ object Ann {
     import s.implicits._
     vectors.register(s)
     val cb = codebookFor(s, d)
-    val idx = s.read.parquet(ensureIvfIndex(s, d))
+    val idx = Tables.loadLayout(s, ensureIvfIndex(s, d))
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
     val probePairs: Seq[(Int, Long, Seq[Double])] =
@@ -579,7 +579,7 @@ object Ann {
     vectors.register(s)
     val cb = codebookFor(s, d)
     val dir = ensureIvfIndex(s, d)
-    val idx = s.read.parquet(dir)
+    val idx = Tables.loadLayout(s, dir)
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
     val probePairs: Seq[(Int, Long, Seq[Double])] =
@@ -729,7 +729,7 @@ object Ann {
     // slot and the refine (a point join against candidates) inherits
     // the exclusion. The gate serves live = false — its contract is
     // the plain index.
-    val idxRaw = s.read.parquet(i8Dir)
+    val idxRaw = Tables.loadLayout(s, i8Dir)
     val idx = if (live)
       graft.sources.Tombstones.filterLive(s, i8Dir, "vec_id")(idxRaw)
     else idxRaw
@@ -774,7 +774,7 @@ object Ann {
     import s.implicits._
     val queries = queryVecs.toDF("query_id", "qv")
     val w = Window.partitionBy(col("query_id")).orderBy(col("score"), col("vec_id"))
-    s.read.parquet(ensureIvfIndex(s, d))
+    Tables.loadLayout(s, ensureIvfIndex(s, d))
       .filter(col("cid").isin(probedCells: _*))
       .select(col("vec_id"), col("embedding"))
       .join(broadcast(cand), Seq("vec_id"))
@@ -970,7 +970,7 @@ object Ann {
     val pqDir = ensureIvfPqIndex(s, d)
     // live: the quantizedIvfKnn rule — deletes filtered at the rank
     // scan, inherited by the candidate-bounded refine
-    val idxRaw = s.read.parquet(pqDir)
+    val idxRaw = Tables.loadLayout(s, pqDir)
     val idx = if (live)
       graft.sources.Tombstones.filterLive(s, pqDir, "vec_id")(idxRaw)
     else idxRaw

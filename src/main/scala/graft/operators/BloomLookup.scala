@@ -75,7 +75,7 @@ object BloomLookup {
   /** Point lookup served from the bloom layout. */
   def lookup(s: SparkSession, d: String,
       users: Seq[Long] = LookupUsers): DataFrame =
-    s.read.parquet(ensureLayout(s, d))
+    Tables.loadLayout(s, ensureLayout(s, d))
       .filter(col("user_id").isin(users.map(Long.box): _*))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),

@@ -120,7 +120,7 @@ object Collapsing {
     * Types nobody currently occupies net to zero rows everywhere and
     * are dropped, matching the oracle's latest-per-key grouping. */
   def c11Query(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(ensureCollapsing(s, d))
+    Tables.loadLayout(s, ensureCollapsing(s, d))
       .groupBy(col("event_type"))
       .agg(
         sum(col("sign")).cast("long").as("net_users"),

@@ -253,7 +253,7 @@ object Curation {
       s"_b$RowsPerBucket"
     val dir = graft.sources.LocalIndex.ensure("compact", d, "", fp)(
       out => { partitionedLayout(docs, out); () })
-    layoutStats(docs, s.read.parquet(dir))
+    layoutStats(docs, Tables.loadLayout(s, dir))
   }
 
   // ---------------------------------------------------------------- c8

@@ -1402,7 +1402,7 @@ object Dedup {
       .select(col("shard_vec"), col("embedding").as("semb"), col("cell"))
     val cells = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val corpus = s.read.parquet(path).filter(col("cell").isin(cells: _*))
+    val corpus = Tables.loadLayout(s, path).filter(col("cell").isin(cells: _*))
     // round(4) on the REPORTED score (the d2/d8 jaccard convention):
     // self-matches sit at 1-2 ulps of zero, where engine-order float
     // tails dominate any relative compare; the radius filter itself

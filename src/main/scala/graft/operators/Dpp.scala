@@ -104,7 +104,7 @@ object Dpp {
   /** The peak-days report, served from the partitioned layout with
     * DPP pruning the fact scan to qualifying day directories. */
   def c18Query(s: SparkSession, d: String): DataFrame = {
-    val fact = s.read.parquet(ensureLayout(s, d))
+    val fact = Tables.loadLayout(s, ensureLayout(s, d))
     val t = peakThreshold(s, d)
     val dim = dayCounts(s, d).filter(col("n_day") > t)
     fact.join(broadcast(dim), Seq("day"))

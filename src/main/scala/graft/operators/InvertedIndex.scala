@@ -256,7 +256,7 @@ object InvertedIndex {
     * terms, with term count and summed term frequency. */
   def searchIndexed(s: SparkSession, d: String,
       needle: Seq[String] = Needle, minMatch: Int = MinMatch): DataFrame =
-    searchIndex(s.read.parquet(ensureIndex(s, d)), needle, minMatch)
+    searchIndex(Tables.loadLayout(s, ensureIndex(s, d)), needle, minMatch)
 
   /** The same pruned search over ANY posting layout with this module's
     * schema — the serve path s10's stream-maintained index shares. */
@@ -325,7 +325,7 @@ object InvertedIndex {
   def searchIndexedLive(s: SparkSession, d: String,
       needle: Seq[String] = Needle, minMatch: Int = MinMatch): DataFrame = {
     val dir = ensureIndex(s, d)
-    val pruned = s.read.parquet(dir)
+    val pruned = Tables.loadLayout(s, dir)
       .filter(col("tb").isin(needleBuckets(needle).map(Int.box): _*) &&
         col("token").isin(needle: _*))
     score(graft.sources.Tombstones.filterLive(s, dir, "doc_id")(pruned),
@@ -440,7 +440,7 @@ object InvertedIndex {
 
   def bm25Indexed(s: SparkSession, d: String,
       needle: Seq[String] = Needle): DataFrame = {
-    val idx = s.read.parquet(ensureIndex(s, d))
+    val idx = Tables.loadLayout(s, ensureIndex(s, d))
     val pruned = idx.filter(col("tb").isin(needleBuckets(needle).map(Int.box): _*) &&
       col("token").isin(needle: _*))
     val (idf, avgdl) = statsFor(s, d, needle)
@@ -566,7 +566,7 @@ object InvertedIndex {
   }
 
   def t11Query(s: SparkSession, d: String): DataFrame =
-    phraseSearch(s.read.parquet(ensurePosIndex(s, d)))
+    phraseSearch(Tables.loadLayout(s, ensurePosIndex(s, d)))
 
   /** t11 oracle: positions replayed 1-based in SQL, the same
     * candidate-gather + adjacency filter. */

@@ -160,7 +160,7 @@ object Mutation {
     * pruned scan of the bucketed parquet — mutations leave an ordinary
     * table behind, not a view with filter debt. */
   def servedReport(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(dir)
+    Tables.loadLayout(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("users"),

@@ -138,7 +138,7 @@ object Replacing {
     * event_type. Serves from the compacted parts ONLY (no raw events
     * scan — pinned in PlanAuditSpec); the oracle recomputes from raw. */
   def c10Query(s: SparkSession, d: String): DataFrame =
-    finalReport(s.read.parquet(ensureReplacing(s, d)))
+    finalReport(Tables.loadLayout(s, ensureReplacing(s, d)))
 
   /** DuckDB twin: latest-per-key straight off raw events via a
     * `row_number() = 1` window (ts DESC, event_id DESC — the struct-max

@@ -137,7 +137,7 @@ object Rollup {
     * streaming-maintained rollup gate (s7), which must produce the
     * IDENTICAL report from parts written one micro-batch at a time. */
   def servedWithContract(s: SparkSession, d: String, rollupDir: String): DataFrame = {
-    val served = serveReport(s.read.parquet(rollupDir))
+    val served = serveReport(Tables.loadLayout(s, rollupDir))
     val exact = Tables.events(s, d)
       .filter(col("ts") >= to_timestamp(lit(s"$ServeFrom 00:00:00")) &&
         col("ts") < to_timestamp(lit(s"$ServeUntil 00:00:00")))

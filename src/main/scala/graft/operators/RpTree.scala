@@ -310,7 +310,7 @@ object RpTree {
       queryVecs: Seq[(Int, Seq[Double])] = Ann.querySet): DataFrame = {
     vectors.register(s)
     val thr = treeFor(s, d)
-    val idx = s.read.parquet(ensureIndex(s, d))
+    val idx = Tables.loadLayout(s, ensureIndex(s, d))
     val allProbes = queryVecs.flatMap { case (_, v) =>
       probeLeaves(thr, v, maxFlips)
     }.distinct

@@ -115,7 +115,7 @@ object Ttl {
   /** The per-(day, type) daily report over a (post-expiry) layout —
     * shared by the batch gate (c15) and its streaming twin (s9). */
   def servedDaily(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(dir)
+    Tables.loadLayout(s, dir)
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))

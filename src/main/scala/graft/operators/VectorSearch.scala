@@ -232,7 +232,7 @@ object VectorSearch {
     * TakeOrderedAndProject — no join, no embed recompute, no shuffle
     * (asserted in VectorSearchSpec). */
   def crossModalKnn(s: SparkSession, d: String, k: Int = 10): DataFrame =
-    knnOver(s.read.parquet(ensureCombined(s, d)), col("text_embedding"),
+    knnOver(Tables.loadLayout(s, ensureCombined(s, d)), col("text_embedding"),
       qvec(6), col("doc_id"), Seq(col("lang")), k)
 
   /** The unpersisted v9 shape (combine rebuilt inline) — kept for
@@ -279,7 +279,7 @@ object VectorSearch {
     * the recall-vs-v2 contract pinned separately in the spec. */
   def quantizedKnn(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val path = ensureQuantized(s, d)
-    s.read.parquet(path)
+    Tables.loadLayout(s, path)
       .withColumn("score", vectors.cosineDistanceI8(col("qemb"), qcol(qvec(1))))
       .select(col("vec_id"), col("label"), col("score"))
       .orderBy(col("score"), col("vec_id"))
@@ -294,7 +294,7 @@ object VectorSearch {
     * the float32 corpus). Deterministic end to end → exact oracle. */
   def quantizedKnnL2(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val path = ensureQuantized(s, d)
-    s.read.parquet(path)
+    Tables.loadLayout(s, path)
       .withColumn("score",
         vectors.l2DistanceI8(col("qemb"), col("scale"), qcol(qvec(0))))
       .select(col("vec_id"), col("label"), col("score"))

@@ -37,7 +37,7 @@ object SampleKeys {
         .withColumn("smp_doc", textops.hash60(col("doc_id").cast("string")))
         .write.mode("overwrite").option("compression", "zstd").parquet(out)
     }
-    s.read.parquet(dir)
+    Tables.loadLayout(s, dir)
   }
 
   /** Events with `smp_user` = hash60(user_id) (q66's sampling unit)
@@ -49,6 +49,6 @@ object SampleKeys {
         .withColumn("smp_user", textops.hash60(col("user_id").cast("string")))
         .write.mode("overwrite").option("compression", "zstd").parquet(out)
     }
-    s.read.parquet(dir)
+    Tables.loadLayout(s, dir)
   }
 }
